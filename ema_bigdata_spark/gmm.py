@@ -1,0 +1,119 @@
+"""EM for a 1-D Gaussian Mixture Model — the reference's core algorithm
+(``/root/reference`` ``Main.scala:59-92``), rebuilt Spark-first.
+
+Reference job structure: per EM iteration a global-denominator scan, a
+persisted N×K responsibilities RDD, then **5 jobs per component** plus a
+log-likelihood job — 5K+2 full passes (Main.scala:72-89; SURVEY.md §3.3).
+
+This rebuild (SURVEY.md §4.3): each iteration is ONE shuffle-free
+whole-stage-codegen'd aggregation returning all 3K sufficient statistics
+plus the log-likelihood (3K+2 numbers to the driver).  Parameters live
+in Python between iterations and are injected as literals, so nothing
+iterative is ever stored cluster-side.  At 100 TB this is a linear
+cached scan per iteration with a 1-row result — the optimal shape.
+
+Textbook math throughout (SURVEY.md §2.3 records the reference's two
+operator-precedence bugs and its global-γ-denominator deviation; we do
+not reproduce them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.functions.gaussian import gamma_k, log_density
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+#: reference converged when Δ lnP ≤ 80 absolute (Main.scala:89) — a
+#: dataset-size-dependent threshold; ours is configurable.
+DEFAULT_TOL = 1e-3
+DEFAULT_MAX_ITER = 30
+
+
+@dataclass
+class GMMModel:
+    weights: list[float]
+    means: list[float]
+    variances: list[float]
+    log_likelihood: float
+    n_iter: int
+
+
+def _init_params(df: DataFrame, x: str, k: int) -> tuple[list, list, list, int]:
+    """Deterministic init (replaces unseeded takeSample, Main.scala:95):
+    means = first K values in Knuth-hash order of a unique id column if
+    present else of the value; variance = global var_pop for every
+    component (Main.scala:67); weights uniform 1/K (Main.scala:68)."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop(x).alias("v"),
+    ).collect()[0]
+    order = (
+        F.expr("(event_id * 2654435761) % 1000000007")
+        if "event_id" in df.columns
+        else F.col(x)
+    )
+    means = [
+        r[0] for r in df.orderBy(order).select(x).limit(k).collect()
+    ]
+    return [1.0 / k] * k, means, [float(stats.v)] * k, int(stats.n)
+
+
+def gmm_fit(
+    df: DataFrame,
+    x: str = "value",
+    k: int = 3,
+    tol: float = DEFAULT_TOL,
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> GMMModel:
+    """Fit a K-component 1-D GMM with EM; one Spark job per iteration."""
+    df = df.select(*(c for c in (x, "event_id") if c in df.columns)).cache()
+    phi, mu, s2, n = _init_params(df, x, k)
+
+    lnp_prev = None
+    it = 0
+    for it in range(1, max_iter + 1):
+        p, m, v = tuple(phi), tuple(mu), tuple(s2)
+        aggs = []
+        for j in range(k):
+            g = F.expr(gamma_k(x, j, p, m, v))
+            aggs += [
+                F.sum(g).alias(f"n{j}"),
+                F.sum(g * F.col(x)).alias(f"sx{j}"),
+                F.sum(g * F.col(x) * F.col(x)).alias(f"sxx{j}"),
+            ]
+        aggs.append(F.sum(F.expr(log_density(x, phi=p, mu=m, s2=v))).alias("lnp"))
+        row = df.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars back
+
+        lnp = float(row.lnp)
+        for j in range(k):
+            nj = float(row[f"n{j}"]) or 1e-300
+            phi[j] = nj / n
+            mu[j] = float(row[f"sx{j}"]) / nj
+            s2[j] = max(float(row[f"sxx{j}"]) / nj - mu[j] * mu[j], 1e-12)
+
+        if lnp_prev is not None and abs(lnp - lnp_prev) <= tol:
+            lnp_prev = lnp
+            break
+        lnp_prev = lnp
+
+    df.unpersist()
+    return GMMModel(phi, mu, s2, lnp_prev, it)
+
+
+@query("gmm_fit")  # rows-only: iterative, not SQL-expressible (SURVEY §2.2)
+def q_gmm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EM fit on events.value → K-row parameter table."""
+    model = gmm_fit(load_table(spark, sf_dir, "events"), "value", k=3)
+    rows = [
+        (j, round(model.weights[j], 6), round(model.means[j], 6),
+         round(model.variances[j], 6))
+        for j in range(3)
+    ]
+    return spark.createDataFrame(
+        rows, "component BIGINT, weight DOUBLE, mean DOUBLE, variance DOUBLE"
+    )

@@ -1,0 +1,54 @@
+"""Query registry: the single source of truth for the tested contract.
+
+Every operator from ``SURVEY.md §2`` registers here with its Spark
+implementation and (when SQL-expressible) its DuckDB oracle SQL.
+``__spark_entry__.py`` simply re-exports the two dicts.
+
+Convention (driver hash-compare requirements):
+- every computed column is aliased identically in Spark and oracle SQL;
+- every float output is ``round(x, N)`` on BOTH sides (default N=6);
+- integer-ish computed outputs are cast to BIGINT on both sides;
+- no unseeded randomness anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB SQL or None (rows-only)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    from ema_bigdata_spark.operators import (  # noqa: F401
+        dedup,
+        joins,
+        reference,
+        relational,
+        scalars,
+        similarity,
+        text,
+        windows,
+    )
+    from ema_bigdata_spark import gmm  # noqa: F401
+    from ema_bigdata_spark.operators import multimodal  # noqa: F401
+    from ema_bigdata_spark.streaming import stream_queries  # noqa: F401
