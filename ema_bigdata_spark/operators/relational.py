@@ -1,1 +1,293 @@
-"""Placeholder — populated in a later phase."""
+"""Part B — relational core: scans, aggregates, grouping sets, sort,
+set ops (SURVEY.md §2.4).
+
+None of these exist in the reference (its only operators are
+map/filter/reduce over one double column — SURVEY.md §2.1); they are
+the driver-mandated extension surface, expressed as stock DataFrame
+ops so Catalyst provides pushdown/pruning/AQE for free.
+
+Money math uses the fixed-point integer helpers (functions/parity.py)
+for bit-exact cross-engine sums: lineitem prices are 2-decimal,
+o_totalprice is 4-decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.functions.parity import (
+    avg_fixed,
+    cents,
+    sql_avg_fixed,
+    sql_cents,
+    sql_sum_fixed,
+    sum_fixed,
+)
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import filter_ts_range, load_raw, load_table
+
+# lineitem derived measures as exact scaled integers (lazy: Column
+# construction needs an active session):
+#   disc_price = l_extendedprice·(1−l_discount)          → int ×10⁴
+#   charge     = disc_price·(1+l_tax)                    → int ×10⁶
+
+
+def _disc_price_int():
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def _charge_int():
+    return (
+        cents("l_extendedprice")
+        * (F.lit(100) - cents("l_discount"))
+        * (F.lit(100) + cents("l_tax"))
+    )
+
+_SQL_PC = sql_cents("l_extendedprice")
+_SQL_DC = sql_cents("l_discount")
+_SQL_TC = sql_cents("l_tax")
+_SQL_DISC_PRICE_INT = f"({_SQL_PC} * (100 - {_SQL_DC}))"
+_SQL_CHARGE_INT = f"({_SQL_PC} * (100 - {_SQL_DC}) * (100 + {_SQL_TC}))"
+
+
+# -- q_filter_project: scan + pushdown filter + arithmetic projection -----
+
+
+@query(
+    "q_filter_project",
+    oracle=f"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           (CAST({_SQL_DISC_PRICE_INT} AS DOUBLE) / CAST(10000 AS DOUBLE))
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def q_filter_project(spark, sf_dir):
+    # Filter on the RAW int64 nanos column so the predicate reaches the
+    # parquet scan (PushedFilters + row-group stats pruning) — filtering
+    # a converted timestamp column would defeat pushdown at 100 TB.
+    li = filter_ts_range(
+        load_raw(spark, sf_dir, "lineitem"), "l_shipdate", "1996-01-01", "1997-01-01"
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        (_disc_price_int().cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+# -- q_pricing_summary: TPC-H Q1-shaped hash aggregate --------------------
+
+
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_fixed('l_quantity')} AS sum_qty,
+           {sql_sum_fixed('l_extendedprice')} AS sum_base_price,
+           (CAST(sum({_SQL_DISC_PRICE_INT}) AS DOUBLE) / CAST(10000 AS DOUBLE))
+             AS sum_disc_price,
+           (CAST(sum({_SQL_CHARGE_INT}) AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             AS sum_charge,
+           round({sql_avg_fixed('l_quantity')}, 6) AS avg_qty,
+           round({sql_avg_fixed('l_extendedprice')}, 6) AS avg_price,
+           round({sql_avg_fixed('l_discount')}, 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    # One shuffle on (returnflag, linestatus) with map-side partial agg;
+    # a handful of groups → tiny exchange even at 100 TB.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_fixed("l_quantity").alias("sum_qty"),
+            sum_fixed("l_extendedprice").alias("sum_base_price"),
+            (F.sum(_disc_price_int()).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(_charge_int()).cast("double") / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
+            F.round(avg_fixed("l_quantity"), 6).alias("avg_qty"),
+            F.round(avg_fixed("l_extendedprice"), 6).alias("avg_price"),
+            F.round(avg_fixed("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# -- q_agg_distinct: exact distinct aggregate -----------------------------
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    # Spark expands multi-distinct via Expand (one shuffle); exact — the
+    # sketch-based alternative is q_approx_distinct.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# -- q_approx_distinct: HLL sketch (rows-only: sketch estimates differ
+#    between engines by design) -------------------------------------------
+
+
+@query("q_approx_distinct")
+def q_approx_distinct(spark, sf_dir):
+    # HLL++ partial sketches merge associatively → one small shuffle of
+    # fixed-size sketches regardless of data size; THE cardinality tool
+    # at 100 TB where exact distinct would shuffle the full key set.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01)
+            .cast("long")
+            .alias("approx_custs"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# -- q_rollup / q_cube: grouping sets -------------------------------------
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           {sql_sum_fixed('o_totalprice', 10000)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            sum_fixed("o_totalprice", 10000).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_fixed('l_quantity')} AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            sum_fixed("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# -- q_sort_limit: total-order top-k --------------------------------------
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_sort_limit(spark, sf_dir):
+    # Planned as TakeOrderedAndProject: per-partition top-10 + driver
+    # merge — no global sort shuffle, O(k) driver memory at any scale.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# -- set operations --------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def q_union(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def q_except(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.subtract(s)

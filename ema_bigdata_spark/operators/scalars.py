@@ -1,1 +1,171 @@
-"""Placeholder — populated in a later phase."""
+"""Part B — scalar function surface: string/date/math/conditional/JSON
+(SURVEY.md §2.4).  The reference's only scalar ops are double
+arithmetic inside closures (SURVEY.md §1.2).
+
+All expressions are built-in Column functions → whole-stage codegen,
+no Python in the row path.  Parity conventions: integer-ish outputs
+cast to BIGINT on both sides; libm-backed outputs (sqrt/ln/exp)
+rounded to 6; date_trunc goes through DATE (Spark's timestamp
+date_trunc is session-timezone-dependent — verified gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+
+# -- q_string_funcs -------------------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           substr(p_name, 1, 5) AS pfx,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           (p_name LIKE '%gre%') AS has_gre,
+           CAST(length(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           concat(p_brand, '#', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_slug
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.col("p_name").like("%gre%").alias("has_gre"),
+        F.size(F.split("p_name", " ", -1)).cast("long").alias("n_words"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+    )
+
+
+# -- q_date_funcs ---------------------------------------------------------
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS days_since_95
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")  # NTZ→DATE is timezone-free
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("o_year"),
+        F.month(d).cast("long").alias("o_month"),
+        F.dayofmonth(d).cast("long").alias("o_day"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+# -- q_math_funcs ---------------------------------------------------------
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           abs(l_quantity - 25.0) AS abs_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           (CAST(l_orderkey AS BIGINT) % 7) AS key_mod
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.abs(F.col("l_quantity") - F.lit(25.0)).alias("abs_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias(
+            "price_bucket"
+        ),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# -- q_case_null ----------------------------------------------------------
+
+
+@query(
+    "q_case_null",
+    oracle="""
+    SELECT status_word, priority_class, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                WHEN 'O' THEN 'open'
+                                ELSE 'partial' END AS status_word,
+             coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!')
+               AS priority_class
+      FROM orders
+    )
+    GROUP BY status_word, priority_class
+    """,
+)
+def q_case_null(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word")
+    )
+    prio = F.coalesce(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")
+    ).alias("priority_class")
+    return (
+        o.select(status, prio)
+        .groupBy("status_word", "priority_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# -- q_json_extract -------------------------------------------------------
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0)
+             AS k_round
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        ((k % 10) == 0).alias("k_round"),
+    )

@@ -1,1 +1,165 @@
-"""Placeholder — populated in a later phase."""
+"""Part B — window functions: ranking, running frames, offsets, and
+gaps-and-islands sessionization (SURVEY.md §2.4).  Absent from the
+reference (no key-based operators at all, SURVEY.md §2.1).
+
+Parity rules applied here:
+- every window ORDER BY ends with a unique key (deterministic ties);
+- running sums use explicit ROWS frames (DuckDB defaults to RANGE);
+- time deltas are integer microseconds via ``timestampdiff`` on
+  TIMESTAMP_NTZ — engine-identical, timezone-free;
+- running money sums accumulate exact scaled integers.
+
+Scale: windows shuffle once on their partition key; per-user
+partitions are small (bounded events per user), so state per key stays
+in memory; AQE splits any skewed user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.functions.parity import cents
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+#: 30-minute session gap in microseconds
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+# -- q_window_rank: top-2 orders per customer -----------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+    )
+
+
+# -- q_window_running: per-user running sum with explicit ROWS frame ------
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(100 AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def q_window_running(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_value"
+        ),
+    )
+
+
+# -- q_window_lag: inter-event gap per user -------------------------------
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS gap_us
+    FROM events
+    """,
+)
+def q_window_lag(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("_prev").isNotNull(),
+                F.expr("timestampdiff(MICROSECOND, _prev, ts)").cast("long"),
+            ).alias("gap_us"),
+        )
+    )
+
+
+# -- q_sessionize: gaps-and-islands with windows only (no UDF) ------------
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL THEN 1
+                  WHEN date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) > {SESSION_GAP_US} THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+    )
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    # Classic two-window sessionization: flag session starts via lag,
+    # then a running sum of flags numbers the sessions.  Both windows
+    # share one partitioning → a single shuffle on user_id.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = (
+        F.when(prev.isNull(), 1)
+        .when(
+            F.expr("timestampdiff(MICROSECOND, _prev, ts)") > SESSION_GAP_US, 1
+        )
+        .otherwise(0)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("_prev", prev)
+        .withColumn("is_new", is_new)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_new").over(wrun).cast("long").alias("session_id"),
+        )
+    )

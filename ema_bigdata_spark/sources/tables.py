@@ -6,13 +6,15 @@ an sf dir.
 
 Timestamp handling
 ------------------
-The testdata parquet stores ``INT64 TIMESTAMP(NANOS)`` columns, which
-Spark rejects outright (``PARQUET_TYPE_ILLEGAL``).  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` they read as nanoseconds
+``events.ts`` is stored as ``INT64 TIMESTAMP(NANOS)``, which Spark
+rejects outright (``PARQUET_TYPE_ILLEGAL``).  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` it reads as nanoseconds
 since epoch; we convert ``ns div 1000`` to ``TIMESTAMP_NTZ`` —
 **truncation to microseconds matches DuckDB's parquet reader bit-for-bit**
-(verified on sf0.001), and NTZ is timezone-free so results never depend
-on the session timezone (DuckDB's TIMESTAMP is likewise naive).
+(verified on sf0.001).  ``orders.o_orderdate`` / ``lineitem.l_shipdate``
+are millisecond timestamps (isAdjustedToUTC=false) that Spark reads
+natively as TIMESTAMP_NTZ.  NTZ is timezone-free so results never
+depend on the session timezone (DuckDB's TIMESTAMP is likewise naive).
 
 Scale note: the conversion is a codegen'd per-row projection (no
 shuffle, no Python).  Filters on a *converted* column cannot be pushed
@@ -45,8 +47,6 @@ TABLES = (
 # timestamp(NANOS) columns per table (everything else reads natively)
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
 }
 
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
@@ -85,13 +85,21 @@ def filter_ts_range(
     lo: str | None = None,
     hi: str | None = None,
 ) -> DataFrame:
-    """Range-filter on a RAW nanos long column (parquet pushdown +
-    row-group pruning survive), then convert it to TIMESTAMP_NTZ.
+    """Pushdown-friendly time-range filter (``lo`` inclusive, ``hi``
+    exclusive, ISO strings).
 
-    ``lo`` inclusive, ``hi`` exclusive, ISO strings.
+    For a raw nanos LONG column the comparison stays integer (parquet
+    pushdown + row-group stats pruning survive) and the column is then
+    converted to TIMESTAMP_NTZ; native TIMESTAMP_NTZ columns filter
+    directly (Spark pushes NTZ predicates into the scan).
     """
+    from pyspark.sql.types import LongType
+
+    is_raw = isinstance(df_raw.schema[col].dataType, LongType)
     if lo is not None:
-        df_raw = df_raw.where(F.col(col) >= F.lit(ts_ns(lo)))
+        bound = F.lit(ts_ns(lo)) if is_raw else F.lit(lo).cast("timestamp_ntz")
+        df_raw = df_raw.where(F.col(col) >= bound)
     if hi is not None:
-        df_raw = df_raw.where(F.col(col) < F.lit(ts_ns(hi)))
-    return df_raw.withColumn(col, _ns_to_ntz(col))
+        bound = F.lit(ts_ns(hi)) if is_raw else F.lit(hi).cast("timestamp_ntz")
+        df_raw = df_raw.where(F.col(col) < bound)
+    return df_raw.withColumn(col, _ns_to_ntz(col)) if is_raw else df_raw
