@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a JVM-side noop sink (no Python
+collection overhead in the measurement; the full plan executes).  The
+flagship EM fit is timed at a fixed 10 iterations so the number is a
+stable per-iteration throughput signal, mirroring the reference's
+fixed-repetition harness (Main.scala:38-52).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: queries excluded from the timing sweep (not representative of
+#: engine throughput): none currently.
+SKIP: set[str] = set()
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from ema_bigdata_spark import registry
+    from ema_bigdata_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="ema-bigdata-bench")
+
+    # warm the JVM + file listing once so per-query numbers measure the
+    # query, not session bootstrap
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        if name in SKIP:
+            continue
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        _force(df)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship iterative op at fixed iteration count
+    from ema_bigdata_spark.gmm import gmm_fit
+    from ema_bigdata_spark.sources.tables import load_table
+
+    t0 = time.monotonic()
+    gmm_fit(
+        load_table(spark, SF_DIR, "events"), "value", k=3, tol=0.0, max_iter=10
+    )
+    timings["gmm_fit_10iter"] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,21 +45,17 @@ class GMMModel:
 
 def _init_params(df: DataFrame, x: str, k: int) -> tuple[list, list, list, int]:
     """Deterministic init (replaces unseeded takeSample, Main.scala:95):
-    means = first K values in Knuth-hash order of a unique id column if
-    present else of the value; variance = global var_pop for every
-    component (Main.scala:67); weights uniform 1/K (Main.scala:68)."""
+    means = spread quantiles (j+1)/(k+1) via Spark's approx-quantile
+    sketch (deterministic, mergeable, scales to any data size — and
+    unlike the reference's uniform sample it can't draw all K seeds
+    from one mode); variance = global var_pop for every component
+    (Main.scala:67); weights uniform 1/K (Main.scala:68)."""
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.var_pop(x).alias("v"),
     ).collect()[0]
-    order = (
-        F.expr("(event_id * 2654435761) % 1000000007")
-        if "event_id" in df.columns
-        else F.col(x)
-    )
-    means = [
-        r[0] for r in df.orderBy(order).select(x).limit(k).collect()
-    ]
+    probs = [(j + 1) / (k + 1) for j in range(k)]
+    means = df.approxQuantile(x, probs, 0.001)
     return [1.0 / k] * k, means, [float(stats.v)] * k, int(stats.n)
 
 

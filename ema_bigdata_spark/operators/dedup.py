@@ -1,1 +1,284 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-pipeline deduplication over ``documents`` (driver mandate,
+SURVEY.md §2.4): exact, MinHash-LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the whole point of these operators at 100 TB):
+- exact dedup = one hash shuffle on the normalized text key;
+- MinHash / SimHash compress each document to a tiny signature via
+  per-row higher-order functions (no shuffle), then find candidate
+  pairs by *banding* — only documents agreeing on a band ever meet in
+  the join, so the shuffle carries signatures, not documents;
+- all hash math is explicit modular BIGINT arithmetic (ANSI-safe, no
+  overflow) and fully deterministic — no unseeded randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+# MinHash parameters: 16 hashes = 4 bands × 4 rows (LSH threshold
+# ≈ (1/4)^(1/4) ≈ 0.71 Jaccard).
+_MH_PRIME = 1_000_000_007
+_MH_COEFFS = [(2 * j + 3, 104_729 * (j + 1) % _MH_PRIME) for j in range(16)]
+_MH_BANDS = 4
+_MH_ROWS = 4
+
+#: SimHash: 32-bit signature, near-dup = Hamming distance ≤ 3; bands of
+#: 8 bits guarantee any pair within distance 3 shares ≥1 exact band.
+_SH_BITS = 32
+_SH_BANDS = 4
+
+
+def _shingles(col: str = "text") -> F.Column:
+    """3-word shingles as an array column (docs shorter than 3 tokens
+    fall back to the whole text)."""
+    return F.expr(
+        f"""CASE WHEN size(split({col}, ' ', -1)) >= 3
+            THEN transform(sequence(1, size(split({col}, ' ', -1)) - 2),
+                           i -> concat_ws(' ', slice(split({col}, ' ', -1), i, 3)))
+            ELSE array({col}) END"""
+    )
+
+
+# -- q_dedup_exact: normalized exact dedup (SQL-oracled) ------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(length(lower(trim(text))) AS BIGINT) AS norm_len
+    FROM documents
+    GROUP BY lower(trim(text))
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    # One shuffle keyed by the normalized text; at 100 TB key by a
+    # 128-bit content hash instead to shrink the exchange — same plan.
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.lower(F.trim(F.col("text"))).alias("_norm"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(
+            "keep_doc_id",
+            "n_copies",
+            F.length("_norm").cast("long").alias("norm_len"),
+        )
+    )
+
+
+# -- q_dedup_minhash: MinHash-LSH candidate pairs (rows-only) -------------
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + 16 minhash values, computed per-row with HOFs (no
+    shuffle, no Python).  xxhash64 shingle hashes are reduced mod p
+    before the affine step so products stay far from BIGINT overflow
+    (ANSI mode errors on wrap)."""
+    sig = docs.select(
+        "doc_id",
+        F.expr("transform(shingles, s -> pmod(xxhash64(s), 1000000007))").alias(
+            "shash"
+        ),
+    )
+    mh = [
+        F.expr(
+            f"array_min(transform(shash, h -> pmod(h * {a} + {b}, {_MH_PRIME})))"
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MH_COEFFS)
+    ]
+    return sig.select("doc_id", F.array(*mh).alias("sig"))
+
+
+@query("q_dedup_minhash")  # rows-only: engine-specific hash functions
+def q_dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shingles", _shingles()
+    )
+    sigs = _minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * _MH_ROWS + r]
+                                for r in range(_MH_ROWS)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# -- q_dedup_simhash: SimHash near-dup pairs (rows-only) ------------------
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    # 32 per-bit majority sums in ONE aggregation pass
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+                for b in range(_SH_BITS)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    width = _SH_BITS // _SH_BANDS
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for i in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -- q_ngram_jaccard: exact n-gram Jaccard similarity (SQL-oracled) -------
+
+_JACCARD_MIN = 0.2
+#: shingle buckets larger than this are "stop shingles" — dropped from
+#: candidate generation on BOTH engines (bounds the pair blow-up the
+#: same way real LSH pipelines drop ubiquitous shingles).
+_BUCKET_CAP = 100
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN length(string_split(text, ' ')) >= 3
+                 THEN list_transform(
+                        generate_series(1, length(string_split(text, ' ')) - 2),
+                        i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 2),
+                               ' '))
+                 ELSE [text] END) AS sh
+        FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_BUCKET_CAP}
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN keep k ON a.sh = k.sh
+                JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_MIN}
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shingles", _shingles()
+    )
+    sh = docs.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("bc")).where(
+        F.col("bc") <= _BUCKET_CAP
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(keep.select("sh"), "sh")
+        .join(b, (F.col("a.sh") == F.col("b.sh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

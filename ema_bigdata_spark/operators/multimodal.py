@@ -1,1 +1,114 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-pipeline multimodal columns (driver mandate, SURVEY.md §2.4).
+
+Pattern for 100 TB media pipelines: media payloads travel as opaque
+``binary`` columns next to typed metadata; decode / feature-extract
+runs as Arrow-batched pandas iterators (``mapInPandas``) so each task
+processes whole record batches without per-row Python overhead, and
+repartitioning controls decode parallelism independently of file
+layout.
+
+The container has no image/audio codecs, so the decode step is a
+clearly marked stub (``decode_media`` raises NotImplementedError); the
+Spark-side plumbing — schema, binary handling, batch iteration,
+deterministic feature extraction — is real and tested via
+``q_mm_features``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+_FEATURE_SCHEMA = (
+    "doc_id BIGINT, byte_len BIGINT, first_byte BIGINT, byte_checksum BIGINT"
+)
+_CHECKSUM_MOD = 1_000_003
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Decode an image/audio/video payload into a feature tensor.
+
+    STUB: media codecs (PIL/libav/...) are not available in this
+    environment.  Production implementations decode ``payload`` and
+    return (H, W, C) pixel arrays / PCM frames; everything downstream
+    (schema, batching, partitioning) is unchanged.
+    """
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment — "
+        "q_mm_features uses deterministic byte-level features instead"
+    )
+
+
+@query("q_mm_features")  # rows-only: exercises the Arrow/pandas path
+def q_mm_features(spark, sf_dir):
+    """Binary-column plumbing end-to-end: utf-8 payload bytes stand in
+    for media blobs; mapInPandas extracts features batch-wise.
+
+    The batch function is a *closure* (pickled by value) so executors
+    never need this package importable — the driver process may be the
+    only place the repo is on sys.path.
+    """
+    checksum_mod = _CHECKSUM_MOD
+
+    def byte_features(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # deterministic stand-in for media decode: byte stats per batch
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ),
+                    "byte_checksum": payloads.map(
+                        lambda b: sum(b) % checksum_mod
+                    ),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = docs.mapInPandas(byte_features, schema=_FEATURE_SCHEMA)
+    return out.orderBy("doc_id")
+
+
+# -- q_multimodal_join: typed metadata ⋈ vectors (SQL-oracled) ------------
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(e.label AS BIGINT) AS label,
+           round(sqrt(list_aggregate(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+             AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    dot_self = (
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) *"
+        " CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.col("label").cast("long").alias("label"),
+        F.round(F.sqrt(F.expr(dot_self)), 6).alias("l2_norm"),
+    )

@@ -1,1 +1,221 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-pipeline similarity search over ``embeddings`` (array<float>,
+64-dim; driver mandate, SURVEY.md §2.4): vector norms, brute-force
+cosine top-k, LSH-bucketed ANN, and embedding-cosine near-dup pairs.
+
+All vector math is higher-order array functions (JVM-side sequential
+folds — identical op order to DuckDB's list functions, so per-row
+values match bit-for-bit before the ROUND).  No Python UDFs.
+
+Scale path: brute-force top-k is the exact baseline (one narrow scan +
+TakeOrdered).  The LSH variant compresses each vector to a small
+signature per-row, so candidate generation shuffles signatures only —
+the pattern that survives 100 TB, with recall tunable via bands.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+_DIM = 64
+_PROBE_ID = 0
+_TOPK = 10
+
+# engine-shared fragments (embedding elements cast FLOAT→DOUBLE first)
+_DOT_SELF = (
+    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_SQL_DOT_SELF = (
+    "list_aggregate(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+
+# -- q_embed_norm: L2 norm via higher-order fold (SQL-oracled) ------------
+
+
+@query(
+    "q_embed_norm",
+    oracle=f"""
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt({_SQL_DOT_SELF}), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embed_norm(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(F.expr(_DOT_SELF)), 6).alias("l2_norm"),
+    )
+
+
+# -- q_similarity_topk: brute-force cosine top-k (SQL-oracled) ------------
+
+
+def _probe_vector(spark, sf_dir) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == _PROBE_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row.embedding]
+
+
+def _cosine_to_probe(probe: list[float]) -> F.Column:
+    """cos(embedding, probe) with the probe folded in as literals.
+
+    Op order matches the DuckDB oracle: Σ e_i·p_i sequential fold, then
+    / (sqrt(Σe²)·sqrt(Σp²))."""
+    parr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in probe) + ")"
+    dot = (
+        f"aggregate(zip_with(embedding, {parr},"
+        " (a, b) -> CAST(a AS DOUBLE) * b),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pnorm = sum(v * v for v in probe) ** 0.5
+    return F.expr(f"{dot} / (sqrt({_DOT_SELF}) * CAST({pnorm!r} AS DOUBLE))")
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = {_PROBE_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(
+               list_aggregate(list_transform(list_zip(e.embedding, p.pe),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+               / (sqrt({_SQL_DOT_SELF.replace('embedding', 'e.embedding')})
+                  * sqrt(list_aggregate(list_transform(p.pe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             6) AS cosine
+      FROM embeddings e, p
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    # Exact brute force: narrow scan + per-row fold + TakeOrdered(k) —
+    # no shuffle of vectors; at 100 TB each partition returns its local
+    # top-k and the driver merges k·partitions rows.
+    probe = _probe_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(_cosine_to_probe(probe), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_TOPK)
+    )
+
+
+# -- q_ann_lsh: random-hyperplane LSH ANN (rows-only) ---------------------
+
+_ANN_PLANES = 8
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5(plane, dim) —
+    reproducible across runs/engines with no RNG state."""
+    planes = []
+    for p in range(_ANN_PLANES):
+        row = []
+        for d in range(_DIM):
+            digest = hashlib.md5(f"plane{p}_dim{d}".encode()).digest()
+            row.append(1.0 if digest[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _signature(col: str, planes: list[list[float]]) -> F.Column:
+    bits = []
+    for p, w in enumerate(planes):
+        warr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in w) + ")"
+        dot = (
+            f"aggregate(zip_with({col}, {warr},"
+            " (a, b) -> CAST(a AS DOUBLE) * b),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(F.expr(dot) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits, F.lit(0)).cast("long")
+
+
+@query("q_ann_lsh")  # rows-only: LSH recall is approximate by design
+def q_ann_lsh(spark, sf_dir):
+    """ANN top-k for the probe: candidates = vectors whose hyperplane
+    signature is within Hamming distance 1 of the probe's, re-ranked by
+    exact cosine.  Signature computation is per-row (no shuffle); the
+    candidate filter is a cheap integer comparison."""
+    planes = _plane_weights()
+    probe = _probe_vector(spark, sf_dir)
+    # probe signature computed in Python with the same ±1 planes
+    psig = 0
+    for p, w in enumerate(planes):
+        if sum(a * b for a, b in zip(probe, w)) > 0:
+            psig |= 1 << p
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.withColumn("sig", _signature("embedding", planes))
+    cand = sig.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(psig))) <= 1
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(_cosine_to_probe(probe), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_TOPK)
+    )
+
+
+# -- q_embed_dup: embedding-cosine near-duplicate pairs (rows-only) -------
+
+_DUP_COS = 0.95
+
+
+@query("q_embed_dup")
+def q_embed_dup(spark, sf_dir):
+    """Near-duplicate vector pairs (cosine ≥ 0.95) via LSH blocking:
+    only pairs sharing the full 8-bit signature are compared exactly —
+    the O(n²) comparison never materializes."""
+    planes = _plane_weights()
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(_DOT_SELF)
+    sig = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+        F.sqrt(norm).alias("nrm"),
+        _signature("embedding", planes).alias("sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dot_ab = (
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = F.expr(dot_ab) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _DUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )

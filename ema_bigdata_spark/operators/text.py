@@ -1,1 +1,270 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-pipeline text analysis over ``documents`` (driver mandate,
+SURVEY.md §2.4): token stats, language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+Everything is built-in expressions / higher-order functions — zero
+Python in the row path, so the same code whole-stage-codegens and
+scales linearly with document count (one shuffle only where a groupBy
+genuinely needs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+# Deterministic demo lexicon over the corpus vocabulary (synthetic
+# docs; real deployments swap in per-language stopword lists — the
+# *operator shape* is what scales: token explode + tiny broadcast join).
+LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "value", "key"),
+    "de": ("sort", "merge", "order"),
+    "fr": ("table", "row", "column"),
+    "zh": ("spark", "stream", "batch"),
+}
+
+STOPWORDS = ("the", "a")
+
+
+# -- q_text_tokens: corpus token frequency --------------------------------
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE lang = 'en'
+    ) WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    # explode → groupBy(token): one shuffle keyed by token; partial
+    # (map-side) counts keep the exchange proportional to vocabulary,
+    # not corpus size.
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# -- q_lang_id: marker-lexicon language identification --------------------
+
+
+def _lexicon_sql_values() -> str:
+    rows = [
+        f"('{w}', '{lang}')" for lang, words in LEXICON.items() for w in words
+    ]
+    return ", ".join(rows)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH lex(word, lex_lang) AS (VALUES {_lexicon_sql_values()}),
+    hits AS (
+      SELECT t.doc_id, l.lex_lang, count(*) AS n_hits
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) t JOIN lex l ON t.token = l.word
+      GROUP BY t.doc_id, l.lex_lang
+    ),
+    best AS (
+      SELECT doc_id, lex_lang, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, lex_lang) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(b.lex_lang, 'und') AS pred_lang,
+           CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(w, lang) for lang, words in LEXICON.items() for w in words],
+            "word STRING, lex_lang STRING",
+        )
+    )
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    )
+    hits = (
+        tokens.join(lex, tokens.token == lex.word)  # broadcast: no shuffle
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("lex_lang")
+    )
+    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
+# -- q_quality_score: length/stopword/word-shape heuristics ---------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# identical expression text on both engines (parity) — pure per-row math
+_QUALITY_EXPR = (
+    "round(CAST(0.3 AS DOUBLE) * ln(1 + n_chars_calc)"
+    " + CAST(0.4 AS DOUBLE) * (CAST(1 AS DOUBLE)"
+    "   - abs(avg_word_len - CAST(4.5 AS DOUBLE)) / CAST(4.5 AS DOUBLE))"
+    " + CAST(0.3 AS DOUBLE) * stop_ratio, 6)"
+)
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     x -> x IN ({_STOP_IN}))) AS BIGINT)
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           round(CAST(length_wordchars AS DOUBLE) / n_tokens, 6)
+             AS avg_word_len_r,
+           round(stop_ratio, 6) AS stop_ratio_r,
+           {_QUALITY_EXPR} AS quality
+    FROM (
+      SELECT *,
+             (n_chars_calc - (n_tokens - 1)) AS length_wordchars,
+             CAST(length_wordchars AS DOUBLE) / n_tokens AS avg_word_len,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+      FROM m
+    )
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' ', -1), x -> x IN ({_STOP_IN})))"
+            " AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    m = (
+        m.withColumn(
+            "length_wordchars", F.col("n_chars_calc") - (F.col("n_tokens") - 1)
+        )
+        .withColumn(
+            "avg_word_len",
+            F.col("length_wordchars").cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "stop_ratio", F.col("n_stop").cast("double") / F.col("n_tokens")
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        F.round(
+            F.col("length_wordchars").cast("double") / F.col("n_tokens"), 6
+        ).alias("avg_word_len_r"),
+        F.round(F.col("stop_ratio"), 6).alias("stop_ratio_r"),
+        F.expr(_QUALITY_EXPR).alias("quality"),
+    )
+
+
+# -- q_token_count: whitespace + BPE-ish regex token counts ---------------
+
+#: simple BPE-ish pre-tokenizer: letter runs | single digits | symbols
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+             AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+# -- q_doc_fingerprint: position-weighted integer content hash ------------
+# Pure BIGINT arithmetic (exact on both engines): h(word) folds length
+# and boundary characters; the position weight makes it order-sensitive
+# like a rolling hash, while the final modulus keeps it compact.
+
+_FP_MOD = 1_000_000_007
+
+
+def _word_hash(word: str) -> str:
+    return (
+        f"(length({word}) * 2654435761"
+        f" + ascii(substr({word}, 1, 1)) * 40503"
+        f" + ascii(substr({word}, length({word}), 1)))"
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           (CAST(sum(ord * {_word_hash('word')}) AS BIGINT) % {_FP_MOD})
+             AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, u.word, u.ord
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS ord) u
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "word"),
+    ).withColumn("ord", F.col("pos") + 1)  # 1-based like generate_subscripts
+    return tok.groupBy("doc_id").agg(
+        (F.sum(F.col("ord") * F.expr(_word_hash("word"))) % _FP_MOD)
+        .cast("long")
+        .alias("fingerprint"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )

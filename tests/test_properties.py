@@ -1,0 +1,137 @@
+"""Property tests (SURVEY.md §5.2): semantic invariants the oracle
+comparison can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark import registry
+from ema_bigdata_spark.sources.tables import load_table
+
+registry.load_all()
+
+
+def test_gamma_rows_sum_to_one(spark, sf_dir):
+    """Textbook per-row normalization: γ_0+γ_1+γ_2 = 1 per row (the
+    reference's global denominator breaks this — SURVEY.md §2.3 #3)."""
+    df = registry.QUERIES["q_gamma_fixed"](spark, sf_dir)
+    bad = df.where(
+        F.abs(F.col("g0") + F.col("g1") + F.col("g2") - 1.0) > 2e-6
+    ).count()
+    assert bad == 0
+
+
+def test_aggregate_repartition_invariant(spark, sf_dir):
+    """Exact fixed-point aggregation is partitioning-independent."""
+    from ema_bigdata_spark.functions.parity import avg_fixed
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = {
+        n: ev.repartition(n).agg(F.round(avg_fixed("value"), 6)).collect()[0][0]
+        for n in (1, 2, 8)
+    }
+    assert len(set(vals.values())) == 1, vals
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    out1 = registry.QUERIES["q_dedup_exact"](spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out1.count() <= n_docs
+    # every kept id appears once
+    assert out1.select("keep_doc_id").distinct().count() == out1.count()
+
+
+def test_similarity_self_match(spark, sf_dir):
+    """The probe vector's best neighbor is itself with cosine 1."""
+    top = registry.QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].cosine - 1.0) < 1e-6
+
+
+def test_ann_lsh_contains_self(spark, sf_dir):
+    top = registry.QUERIES["q_ann_lsh"](spark, sf_dir).collect()
+    assert top and top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+
+
+def test_rows_only_queries_deterministic(spark, sf_dir):
+    """Every query without a SQL oracle must still be deterministic —
+    the driver's rows-only check reruns them."""
+    names = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    for name in names:
+        a = [tuple(r) for r in registry.QUERIES[name](spark, sf_dir).collect()]
+        b = [tuple(r) for r in registry.QUERIES[name](spark, sf_dir).collect()]
+        assert sorted(map(repr, a)) == sorted(map(repr, b)), name
+
+
+def test_minhash_finds_exact_duplicates(spark, sf_dir):
+    """Identical texts must always be MinHash candidates: inject a
+    duplicated doc pair and check the pair surfaces."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").limit(1).collect()[0]
+    dup = docs.sparkSession.createDataFrame(
+        [(900_000_001, base.text, "en", "dup", len(base.text)),
+         (900_000_002, base.text, "en", "dup", len(base.text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    # same pipeline as q_dedup_minhash but over the augmented corpus
+    from ema_bigdata_spark.operators import dedup as dd
+
+    aug = docs.unionByName(dup).withColumn("shingles", dd._shingles())
+    sigs = dd._minhash_signatures(aug)
+    pairs = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .collect()
+    )
+    assert (900_000_001, 900_000_002) in [tuple(r) for r in pairs]
+
+
+class TestGMM:
+    def test_loglik_improves_and_recovers(self, spark):
+        """Seeded synthetic 3-component mixture: fitted means recover
+        ground truth up to permutation; lnP is non-decreasing."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        xs = np.concatenate(
+            [
+                rng.normal(-5.0, 1.0, 4000),
+                rng.normal(0.0, 0.7, 3000),
+                rng.normal(6.0, 1.5, 3000),
+            ]
+        )
+        df = spark.createDataFrame([(float(v),) for v in xs], "value DOUBLE")
+        from ema_bigdata_spark.gmm import gmm_fit
+
+        model = gmm_fit(df, "value", k=3, tol=1e-4, max_iter=50)
+        got = sorted(model.means)
+        for g, want in zip(got, [-5.0, 0.0, 6.0]):
+            assert abs(g - want) < 0.3, (got, model)
+
+    def test_matches_sparkml_loglik(self, spark, sf_dir):
+        """Converged average log-likelihood within tolerance of
+        pyspark.ml's GaussianMixture on the same data (different init,
+        same model family)."""
+        pytest.importorskip("numpy")
+        from pyspark.ml.clustering import GaussianMixture
+        from pyspark.ml.feature import VectorAssembler
+
+        from ema_bigdata_spark.gmm import gmm_fit
+
+        ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+        n = ev.count()
+        ours = gmm_fit(ev, "value", k=3, tol=1e-3, max_iter=40)
+        va = VectorAssembler(inputCols=["value"], outputCol="features")
+        gm = GaussianMixture(k=3, seed=11, tol=1e-4, maxIter=60)
+        sml = gm.fit(va.transform(ev))
+        theirs = sml.summary.logLikelihood / n
+        assert abs(ours.log_likelihood / n - theirs) < 0.05, (
+            ours.log_likelihood / n,
+            theirs,
+        )
