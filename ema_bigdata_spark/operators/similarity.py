@@ -180,6 +180,73 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+# -- q_ann_ivf: inverted-file (IVF) ANN (rows-only) -----------------------
+
+_IVF_LISTS = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
+    """Deterministic coarse quantizer: the first ``_IVF_LISTS`` vectors
+    in xxhash64(vec_id) order — a seeded uniform sample.  Production
+    path: a few k-means refinement sweeps (each sweep = one groupBy on
+    the assigned list id); the query plan below is identical either
+    way, only the centroid literals improve."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        .limit(_IVF_LISTS)
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _sqdist(col: str, center: list[float]) -> str:
+    carr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in center) + ")"
+    return (
+        f"aggregate(zip_with({col}, {carr},"
+        " (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+@query("q_ann_ivf")  # rows-only: ANN recall is approximate by design
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN top-k: assign every vector to its nearest of
+    ``_IVF_LISTS`` centroids (per-row argmin, no shuffle), search only
+    the ``_IVF_NPROBE`` lists nearest the probe, re-rank exactly.
+
+    At 100 TB the assignment is a codegen'd projection over the scan
+    and the list filter prunes ~(1 - nprobe/lists) of all distance
+    work; writing the table partitioned by ``ivf_list`` turns the
+    filter into partition pruning (zero I/O for unprobed lists)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    probe = _probe_vector(spark, sf_dir)
+    darr = "array(" + ", ".join(_sqdist("embedding", c) for c in cents) + ")"
+    assign = F.expr(f"array_position({darr}, array_min({darr}))").cast("int")
+
+    pdists = [
+        sum((a - b) * (a - b) for a, b in zip(probe, c)) for c in cents
+    ]
+    probe_lists = sorted(
+        range(1, _IVF_LISTS + 1), key=lambda i: (pdists[i - 1], i)
+    )[:_IVF_NPROBE]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("ivf_list", assign)
+        .where(F.col("ivf_list").isin(probe_lists))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine_to_probe(probe), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_TOPK)
+    )
+
+
 # -- q_embed_dup: embedding-cosine near-duplicate pairs (rows-only) -------
 
 _DUP_COS = 0.95

@@ -39,6 +39,114 @@ _START_NTZ = (
 
 
 @query(
+    "s_stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                       > {30 * 60 * 1_000_000} THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def s_stream_session(spark, sf_dir):
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the pattern Structured Streaming's
+    built-in windows can't express (data-driven session boundaries with
+    arbitrary per-key state).
+
+    Each micro-batch the state function merges the user's new events
+    with the carried-over open session (start/end/count), emits every
+    session closed by a >30 min gap, and stores the still-open tail
+    session back into the state store.  Here the single file = single
+    batch and the stream end closes all sessions, so the result equals
+    the batch gaps-and-islands sessionization and is SQL-oracled — a
+    stronger check than rows-only.
+
+    Scale: state per key is three scalars (not the events), the state
+    store shuffles once on user_id, and the watermark-driven timeout
+    (``GroupStateTimeout.EventTimeTimeout`` in production) bounds how
+    long an open session can hold state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        if state.exists:
+            open_start, open_end, open_n = state.get
+        else:
+            open_start = open_end = open_n = None
+        ts_us = sorted(
+            int(t) // 1_000 for pdf in pdfs for t in pdf["ts"].tolist()
+        )
+        out = []
+        for t in ts_us:
+            if open_start is None:
+                open_start, open_end, open_n = t, t, 1
+            elif t - open_end > gap_us:
+                out.append((key[0], open_start, open_end, open_n))
+                open_start, open_end, open_n = t, t, 1
+            else:
+                open_end, open_n = t, open_n + 1
+        if open_start is not None:
+            # single-batch run: the stream ends here, so the open tail
+            # session is final too — emit it AND keep it in state (a
+            # longer-running stream would extend it next batch).
+            out.append((key[0], open_start, open_end, open_n))
+            state.update((open_start, open_end, open_n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events"]
+        )
+
+    raw_schema = load_raw(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "ts")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id BIGINT, start_us BIGINT, end_us BIGINT,"
+        " n_events BIGINT",
+        stateStructType="start_us BIGINT, end_us BIGINT, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    us_to_ntz = "timestampadd(MICROSECOND, {}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    return spark.table(sink).select(
+        "user_id",
+        F.expr(us_to_ntz.format("start_us")).alias("session_start"),
+        F.expr(us_to_ntz.format("end_us")).alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
     "s_stream_tumbling",
     oracle="""
     SELECT date_trunc('minute', ts) AS window_start,

@@ -54,6 +54,13 @@ def test_ann_lsh_contains_self(spark, sf_dir):
     assert top and top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
 
 
+def test_ann_ivf_contains_self(spark, sf_dir):
+    """IVF always finds the probe itself: its own list is by definition
+    among the nprobe nearest lists, and its cosine is 1."""
+    top = registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    assert top and top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+
+
 def test_rows_only_queries_deterministic(spark, sf_dir):
     """Every query without a SQL oracle must still be deterministic —
     the driver's rows-only check reruns them."""
