@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ema_bigdata_spark.functions.gaussian import gamma_k, log_density
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_table
+from ema_bigdata_spark.sources.tables import load_table, spread
 
 #: reference converged when Δ lnP ≤ 80 absolute (Main.scala:89) — a
 #: dataset-size-dependent threshold; ours is configurable.
@@ -67,7 +67,9 @@ def gmm_fit(
     max_iter: int = DEFAULT_MAX_ITER,
 ) -> GMMModel:
     """Fit a K-component 1-D GMM with EM; one Spark job per iteration."""
-    df = df.select(x).cache()  # one narrow double column cached
+    # one narrow double column, spread across cores, cached: every
+    # iteration re-scans this in parallel from memory
+    df = spread(df.select(x)).cache()
     phi, mu, s2, n = _init_params(df, x, k)
 
     lnp_prev = None

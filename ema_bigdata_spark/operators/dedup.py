@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_table
+from ema_bigdata_spark.sources.tables import load_table, spread
 
 # MinHash parameters: 16 hashes = 4 bands × 4 rows (LSH threshold
 # ≈ (1/4)^(1/4) ≈ 0.71 Jaccard).
@@ -98,7 +98,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 
 @query("q_dedup_minhash")  # rows-only: engine-specific hash functions
 def q_dedup_minhash(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = spread(load_table(spark, sf_dir, "documents")).withColumn(
         "shingles", _shingles()
     )
     sigs = _minhash_signatures(docs)

@@ -75,6 +75,9 @@ def q_mm_features(spark, sf_dir):
                 }
             )
 
+    # measured: NOT spread() — Arrow worker startup outweighs the
+    # parallelism below ~10k rows; at scale the scan splits anyway and
+    # decode parallelism is tuned with repartition(n) by the caller
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )

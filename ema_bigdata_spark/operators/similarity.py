@@ -19,7 +19,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_table
+from ema_bigdata_spark.sources.tables import load_table, spread
 
 _DIM = 64
 _PROBE_ID = 0
@@ -258,7 +258,7 @@ def q_embed_dup(spark, sf_dir):
     only pairs sharing the full 8-bit signature are compared exactly —
     the O(n²) comparison never materializes."""
     planes = _plane_weights()
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     norm = F.expr(_DOT_SELF)
     sig = emb.select(
         "vec_id",

@@ -79,6 +79,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan for CPU-heavy per-row operators.
+
+    The testdata parquet files hold ONE row group each, so Spark plans a
+    single split and per-row compute (shingling, minhash, vector math,
+    Arrow batches) runs on one core.  At 100 TB a scan yields thousands
+    of row-group splits and this is a no-op (guarded below) — the
+    round-robin exchange only fires when the input has fewer splits
+    than cores, where shuffling a few MB to unlock every core is free.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def filter_ts_range(
     df_raw: DataFrame,
     col: str,
