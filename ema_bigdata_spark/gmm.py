@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.gaussian import gamma_k, log_density
+from ema_bigdata_spark.functions.gaussian import DENSITY_FLOOR, wdens
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table, spread
 
@@ -76,16 +76,36 @@ def gmm_fit(
     it = 0
     for it in range(1, max_iter + 1):
         p, m, v = tuple(phi), tuple(mu), tuple(s2)
+        # two-stage plan, still one job: a projection computes each
+        # weighted density ONCE (the naive all-in-agg form replicates
+        # the k-term density tree 3k+1 times — slower to analyze and
+        # codegen), then the agg sums trivial column refs.
+        weights = df.select(
+            F.col(x).alias("_x"),
+            *[
+                F.expr(wdens(x, p[j], m[j], v[j])).alias(f"w{j}")
+                for j in range(k)
+            ],
+        )
+        rowsum = F.greatest(
+            sum((F.col(f"w{j}") for j in range(k)), F.lit(0.0)),
+            F.lit(DENSITY_FLOOR),
+        )
+        resp = weights.select(
+            "_x",
+            F.log(rowsum).alias("_lnp"),
+            *[(F.col(f"w{j}") / rowsum).alias(f"g{j}") for j in range(k)],
+        )
         aggs = []
         for j in range(k):
-            g = F.expr(gamma_k(x, j, p, m, v))
+            g = F.col(f"g{j}")
             aggs += [
                 F.sum(g).alias(f"n{j}"),
-                F.sum(g * F.col(x)).alias(f"sx{j}"),
-                F.sum(g * F.col(x) * F.col(x)).alias(f"sxx{j}"),
+                F.sum(g * F.col("_x")).alias(f"sx{j}"),
+                F.sum(g * F.col("_x") * F.col("_x")).alias(f"sxx{j}"),
             ]
-        aggs.append(F.sum(F.expr(log_density(x, phi=p, mu=m, s2=v))).alias("lnp"))
-        row = df.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars back
+        aggs.append(F.sum("_lnp").alias("lnp"))
+        row = resp.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars back
 
         lnp = float(row.lnp)
         for j in range(k):

@@ -291,3 +291,106 @@ def q_except(spark, sf_dir):
         F.col("s_nationkey").cast("long").alias("nationkey")
     )
     return c.subtract(s)
+
+
+# -- q_corr_stats: exact Pearson correlation / covariance -----------------
+# All five sufficient statistics are EXACT integer sums (DECIMAL(38,0)
+# headroom — sum of squared price-cents exceeds BIGINT at sf>=0.1) and
+# the final correlation is one shared double formula over identical
+# inputs, so the result is bit-equal across engines.  Built-in
+# corr()/covar_pop() stream doubles and are order-dependent — the same
+# reason SURVEY §7 bans raw SUM(double) under the hash gate.
+
+_CORR_FORMULA = (
+    "(n * sxy - sx * sy)"
+    " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+)
+#: covar_pop, descaled from cents×cents
+_COVAR_FORMULA = (
+    "((sxy / n) - (sx / n) * (sy / n)) / CAST(10000 AS DOUBLE)"
+)
+
+
+@query(
+    "q_corr_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(qx) AS DOUBLE) AS sx,
+             CAST(sum(py) AS DOUBLE) AS sy,
+             CAST(sum(qx * py) AS DOUBLE) AS sxy,
+             CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+             CAST(sum(py * py) AS DOUBLE) AS syy
+      FROM (
+        SELECT l_returnflag,
+               {sql_cents('l_quantity')} AS qx,
+               {sql_cents('l_extendedprice')} AS py
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round({_CORR_FORMULA}, 6) AS corr_qty_price,
+           round({_COVAR_FORMULA}, 6) AS covar_pop_qty_price
+    FROM g
+    """,
+)
+def q_corr_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_quantity").alias("qx"),
+        cents("l_extendedprice").alias("py"),
+    )
+    dec = "decimal(38,0)"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("qx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("py").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("qx") * F.col("py")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("qx") * F.col("qx")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("py") * F.col("py")).cast(dec)).cast("double").alias("syy"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.expr(_CORR_FORMULA), 6).alias("corr_qty_price"),
+        F.round(F.expr(_COVAR_FORMULA), 6).alias("covar_pop_qty_price"),
+    )
+
+
+# -- q_percentiles: exact interpolated percentiles ------------------------
+# Integer-domain trick for bit-parity: interpolate over the exact
+# ×10⁴-scaled BIGINT (integers < 2⁵³ and quarter fractions are both
+# exact in double ⇒ lower + (upper−lower)·frac is exact), descale once.
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(ti, 0.25) / 10000, 6) AS p25,
+           round(quantile_cont(ti, 0.50) / 10000, 6) AS p50,
+           round(quantile_cont(ti, 0.75) / 10000, 6) AS p75
+    FROM (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 10000) AS BIGINT) AS ti
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 10000, 0).cast("long").alias("ti"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        *[
+            F.round(F.expr(f"percentile(ti, {q_})") / 10000, 6).alias(name)
+            for q_, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+        ],
+    )

@@ -268,3 +268,64 @@ def q_doc_fingerprint(spark, sf_dir):
         .alias("fingerprint"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
+
+
+# -- q_tfidf: top TF-IDF term per document --------------------------------
+# Two aggregations (term frequency per doc, document frequency per
+# term) + a broadcast-size DF join + one ranking window.  Ranking key
+# is the ROUNDED score so mathematically-tied scores take the same
+# term tiebreak on both engines.
+
+_TFIDF_SCORE = "round(tf * ln(n_docs / df), 6)"
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE term <> '' GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, {_TFIDF_SCORE} AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY {_TFIDF_SCORE} DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term AS top_term, score AS tfidf
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")  # vocabulary is tiny vs corpus
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("score", F.expr(_TFIDF_SCORE))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"),
+                F.col("score").alias("tfidf"))
+    )
