@@ -179,3 +179,118 @@ def q_join_range(spark, sf_dir):
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# -- q_join_full: full outer join -----------------------------------------
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(CAST(c.c_nationkey AS BIGINT),
+                    CAST(s.s_nationkey AS BIGINT)) AS nationkey,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM customer c
+    FULL OUTER JOIN supplier s ON c.c_custkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def q_join_full(spark, sf_dir):
+    # Key chosen so both unmatched sides occur (custkey range exceeds
+    # suppkey range); full outer forces a shuffle join — Spark cannot
+    # broadcast either side of FULL OUTER.
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_custkey == s.s_suppkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(
+            F.col("c_nationkey").cast("long"),
+            F.col("s_nationkey").cast("long"),
+        ).alias("nationkey")
+    ).agg(
+        F.count("c_custkey").cast("long").alias("n_customers"),
+        F.count("s_suppkey").cast("long").alias("n_suppliers"),
+    )
+
+
+# -- q_join_cross: cartesian product (small dims only) --------------------
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    # Explicit cross joins are legitimate ONLY for tiny dims (here
+    # 5×25); the engine never relies on an implicit cartesian fallback
+    # for real joins (q_join_range keeps an equi conjunct for exactly
+    # that reason).
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+# -- q_sql_exists: correlated EXISTS via the SQL entry path ---------------
+
+
+@query(
+    "q_sql_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_exists(spark, sf_dir):
+    """TPC-H Q4 shape through ``spark.sql`` — the engine's SQL front
+    door.  Catalyst rewrites the correlated EXISTS into a left-semi
+    join (same physical plan as q_join_semi's DataFrame form)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM v_orders
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem
+          WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# -- q_sql_scalar_subquery: uncorrelated scalar subquery ------------------
+
+
+@query(
+    "q_sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_sql_scalar_subquery(spark, sf_dir):
+    """Scalar subquery via ``spark.sql``: the inner aggregate runs once
+    and is broadcast into the filter (a subquery-reuse exchange, not a
+    per-row loop).  Threshold 3× keeps the float comparison far from
+    ties, so the double `avg` is hash-safe despite summation order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM v_orders)
+        """
+    )
