@@ -15,6 +15,7 @@ Scale strategy per join:
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.functions.parity import sql_sum_fixed, sum_fixed
@@ -294,3 +295,35 @@ def q_sql_scalar_subquery(spark, sf_dir):
         WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM v_orders)
         """
     )
+
+
+# -- salted_join: explicit skew mitigation (library API, not a query) -----
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for pathological skew.
+
+    The left (skewed, large) side gets a per-row salt in [0, n_salt);
+    the right side is replicated n_salt times with every salt value, so
+    the hot key's rows spread over ``n_salt`` shuffle partitions instead
+    of one straggler task.  Result is identical to ``left.join(right,
+    key, how)`` for equi-joins because every (key, salt) pair still
+    meets its replicated match exactly once.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; this explicit form is for the cases AQE can't see — e.g. a
+    skewed *aggregation* feeding the join, or deliberate pre-salting of
+    a known-hot tenant key at 100 TB.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.rand(seed=42)), F.lit(n_salt))
+    lsalted = left.withColumn("_salt", salt)
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return lsalted.join(rsalted, [key, "_salt"], how).drop("_salt")

@@ -140,26 +140,39 @@ def q_window_lag(spark, sf_dir):
     """,
 )
 def q_sessionize(spark, sf_dir):
-    # Classic two-window sessionization: flag session starts via lag,
-    # then a running sum of flags numbers the sessions.  Both windows
-    # share one partitioning → a single shuffle on user_id.
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return sessionize(load_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def sessionize(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = SESSION_GAP_US,
+):
+    """Assign 1-based ``session_id`` per ``user_col``: a new session
+    starts when the gap since the previous event exceeds ``gap_us``.
+
+    Classic two-window gaps-and-islands: flag session starts via lag,
+    then a running sum of flags numbers the sessions.  Both windows
+    share one partitioning → a single shuffle on ``user_col``; per-key
+    state is one row of lookback, so any events volume streams through.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("ts").over(w)
+    prev = F.lag(ts_col).over(w)
     is_new = (
         F.when(prev.isNull(), 1)
         .when(
-            F.expr("timestampdiff(MICROSECOND, _prev, ts)") > SESSION_GAP_US, 1
+            F.expr(f"timestampdiff(MICROSECOND, _prev, {ts_col})") > gap_us, 1
         )
         .otherwise(0)
     )
     return (
-        load_table(spark, sf_dir, "events")
-        .withColumn("_prev", prev)
+        df.withColumn("_prev", prev)
         .withColumn("is_new", is_new)
-        .select(
-            "event_id",
-            "user_id",
-            F.sum("is_new").over(wrun).cast("long").alias("session_id"),
-        )
+        .withColumn("session_id", F.sum("is_new").over(wrun).cast("long"))
+        .drop("_prev", "is_new")
     )

@@ -198,3 +198,50 @@ def s_stream_tumbling(spark, sf_dir):
         "n_events",
         "n_users",
     )
+
+
+@query(
+    "s_stream_sliding",
+    oracle="""
+    SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT unnest([date_trunc('minute', ts) - INTERVAL 1 MINUTE,
+                     date_trunc('minute', ts)]) AS ws
+      FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def s_stream_sliding(spark, sf_dir):
+    """Sliding windows (2-minute length, 1-minute slide): every event
+    lands in two overlapping windows.  Same watermarked streaming shape
+    as ``s_stream_tumbling``; state size is bounded by
+    (watermark / slide + length / slide) windows per key — the slide
+    interval, not the data volume, controls state at 100 TB/day rates."""
+    raw_schema = load_raw(spark, sf_dir, "events").schema
+    to_instant = F.expr("timestamp_micros(ts div 1000)")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", to_instant)
+    )
+    agg = (
+        stream.withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        F.expr(_START_NTZ).alias("window_start"), "n_events"
+    )

@@ -142,3 +142,90 @@ class TestGMM:
             ours.log_likelihood / n,
             theirs,
         )
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting is a pure physical rewrite: results identical."""
+    from ema_bigdata_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    plain = sorted(
+        map(tuple, orders.join(cust, "custkey")
+            .select("o_orderkey", "c_mktsegment").collect())
+    )
+    salted = sorted(
+        map(tuple, salted_join(orders, cust, "custkey", n_salt=8)
+            .select("o_orderkey", "c_mktsegment").collect())
+    )
+    assert plain == salted and plain
+
+
+class TestSessionizeProperty:
+    """Hypothesis: the windowed gaps-and-islands sessionization agrees
+    with a direct per-user Python reference on arbitrary event sets."""
+
+    def _reference(self, events, gap_us):
+        out = {}
+        by_user = {}
+        for eid, uid, ts_us in events:
+            by_user.setdefault(uid, []).append((ts_us, eid))
+        for uid, rows in by_user.items():
+            rows.sort()
+            sid = 0
+            prev = None
+            for ts_us, eid in rows:
+                if prev is None or ts_us - prev > gap_us:
+                    sid += 1
+                out[eid] = sid
+                prev = ts_us
+        return out
+
+    def test_sessionize_matches_reference(self, spark):
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from ema_bigdata_spark.operators.windows import sessionize
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(0, 4 * 10**9)),
+                min_size=1,
+                max_size=40,
+                unique_by=lambda t: t,
+            )
+        )
+        def run(raw):
+            events = [
+                (i, uid, ts_us) for i, (uid, ts_us) in enumerate(raw)
+            ]
+            df = spark.createDataFrame(
+                [
+                    (eid, uid, ts_us)
+                    for eid, uid, ts_us in events
+                ],
+                "event_id BIGINT, user_id BIGINT, ts_us BIGINT",
+            ).select(
+                "event_id",
+                "user_id",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts_us,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ).alias("ts"),
+            )
+            got = {
+                r.event_id: r.session_id
+                for r in sessionize(df).select(
+                    "event_id", "session_id"
+                ).collect()
+            }
+            from ema_bigdata_spark.operators.windows import SESSION_GAP_US
+
+            assert got == self._reference(events, SESSION_GAP_US)
+
+        run()
