@@ -98,9 +98,15 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 
 @query("q_dedup_minhash")  # rows-only: engine-specific hash functions
 def q_dedup_minhash(spark, sf_dir):
-    docs = spread(load_table(spark, sf_dir, "documents")).withColumn(
-        "shingles", _shingles()
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_pairs(docs)
+
+
+def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs for any DataFrame
+    with (``doc_id``, ``text_col``) — the library entry point; the
+    declared query binds it to the driver's ``documents`` table."""
+    docs = docs.withColumn("shingles", _shingles(text_col))
     sigs = _minhash_signatures(docs)
     bands = sigs.select(
         "doc_id",

@@ -115,3 +115,65 @@ def q_multimodal_join(spark, sf_dir):
         F.col("label").cast("long").alias("label"),
         F.round(F.sqrt(F.expr(dot_self)), 6).alias("l2_norm"),
     )
+
+
+# -- q_mm_frames: frame sampling / resize plumbing (rows-only) ------------
+
+_FRAME_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, frame_bytes BIGINT,"
+    " thumb_checksum BIGINT"
+)
+_FRAME_SIZE = 64          # bytes per fake "frame"
+_FRAME_STRIDE = 4         # sample every 4th frame
+_THUMB_FACTOR = 8         # fake resize: keep every 8th byte
+
+
+def sample_frames(payload: bytes, media_type: str):
+    """Sample frames from a video/audio payload and resize each.
+
+    STUB: real decoders (libav/ffmpeg) are absent here.  Production
+    implementations yield (frame_idx, np.ndarray) pairs; the fake below
+    slices fixed-size byte windows so the *Spark* contract — one input
+    row fanning out to many frame rows through an Arrow batch — is real
+    and tested.
+    """
+    raise NotImplementedError(
+        f"no codec for {media_type!r} — q_mm_frames uses deterministic "
+        "byte windows instead"
+    )
+
+
+@query("q_mm_frames")  # rows-only: exercises 1→N Arrow fan-out
+def q_mm_frames(spark, sf_dir):
+    """Frame-sampling shape end-to-end: each document payload expands
+    to every ``_FRAME_STRIDE``-th fixed-size byte window ("frame"),
+    each reduced by keeping every ``_THUMB_FACTOR``-th byte ("resize").
+    ``mapInPandas`` is the right tool because output cardinality per
+    input row is data-dependent (built-in explode can't decode), and
+    Arrow batches amortize the Python boundary."""
+    frame_size, stride, thumb = _FRAME_SIZE, _FRAME_STRIDE, _THUMB_FACTOR
+    checksum_mod = _CHECKSUM_MOD
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
+                   "thumb_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_size
+                for idx in range(0, n_frames, stride):
+                    frame = payload[idx * frame_size:(idx + 1) * frame_size]
+                    thumbnail = frame[::thumb]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["thumb_checksum"].append(
+                        sum(thumbnail) % checksum_mod
+                    )
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(frames, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

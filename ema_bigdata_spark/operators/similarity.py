@@ -104,11 +104,16 @@ def _cosine_to_probe(probe: list[float]) -> F.Column:
     """,
 )
 def q_similarity_topk(spark, sf_dir):
-    # Exact brute force: narrow scan + per-row fold + TakeOrdered(k) —
-    # no shuffle of vectors; at 100 TB each partition returns its local
-    # top-k and the driver merges k·partitions rows.
     probe = _probe_vector(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), probe)
+
+
+def cosine_topk(emb, probe: list[float], k: int = _TOPK):
+    """Exact brute-force cosine top-k for any (``vec_id``, ``label``,
+    ``embedding``) DataFrame and probe vector — the library entry
+    point.  Narrow scan + per-row fold + TakeOrdered(k): no shuffle of
+    vectors; at 100 TB each partition returns its local top-k and the
+    driver merges k·partitions rows."""
     return (
         emb.select(
             "vec_id",
@@ -116,7 +121,7 @@ def q_similarity_topk(spark, sf_dir):
             F.round(_cosine_to_probe(probe), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(_TOPK)
+        .limit(k)
     )
 
 
