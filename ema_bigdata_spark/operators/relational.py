@@ -394,3 +394,71 @@ def q_percentiles(spark, sf_dir):
             for q_, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
         ],
     )
+
+
+# -- q_pivot: long→wide conditional aggregation ---------------------------
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "view")
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+               for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    # Explicit value list: without it Spark runs an extra distinct scan
+    # to discover pivot columns AND the output schema becomes
+    # data-dependent — both wrong at 100 TB.  Pivot compiles to exactly
+    # the conditional-aggregate form in the oracle (one shuffle).
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+
+
+# -- q_grouping_sets: explicit grouping sets + grouping_id ----------------
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary grouping sets (not the rollup/cube lattices) through
+    the SQL entry path — Catalyst expands to a single Expand + one
+    hash aggregate, not one scan per set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
