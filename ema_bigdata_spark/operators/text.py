@@ -329,3 +329,35 @@ def q_tfidf(spark, sf_dir):
         .select("doc_id", F.col("term").alias("top_term"),
                 F.col("score").alias("tfidf"))
     )
+
+
+# -- q_normalize_text: canonicalization for dedup/training pipelines ------
+
+
+@query(
+    "q_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           norm,
+           CAST(length(norm) AS BIGINT) AS norm_len
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    """,
+)
+def q_normalize_text(spark, sf_dir):
+    """Canonical text normalization (lowercase, squash runs of spaces,
+    trim) — the key-building step ahead of exact dedup.  Pure codegen'd
+    string expressions; regex semantics chosen to parse identically
+    under Java regex and DuckDB RE2 (no classes, no backrefs)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")).alias(
+            "norm"
+        ),
+        F.length(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+        ).cast("long").alias("norm_len"),
+    )

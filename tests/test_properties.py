@@ -229,3 +229,13 @@ class TestSessionizeProperty:
             assert got == self._reference(events, SESSION_GAP_US)
 
         run()
+
+
+def test_embed_quantize_error_bound(spark, sf_dir):
+    """int8 symmetric quantization error is ≤ scale/254 per element
+    (half a quantization step), and dims are preserved."""
+    out = registry.QUERIES["q_embed_quantize"](spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.dim == 64 for r in rows)
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 254 + 1e-6, r
