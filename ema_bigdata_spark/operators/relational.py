@@ -507,3 +507,40 @@ def q_events_hourly(spark, sf_dir):
             sum_fixed("value").alias("sum_value"),
         )
     )
+
+
+# -- q_unpivot: wide→long (inverse of q_pivot) ----------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey <= 1000
+    )
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    # melt/unpivot compiles to a single Expand (3 output rows per input
+    # row, no shuffle, no self-union of scans).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )

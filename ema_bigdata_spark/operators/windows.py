@@ -176,3 +176,74 @@ def sessionize(
         .withColumn("session_id", F.sum("is_new").over(wrun).cast("long"))
         .drop("_prev", "is_new")
     )
+
+
+# -- q_window_frames: ranking-distribution functions ----------------------
+
+
+@query(
+    "q_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS first_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_frames(spark, sf_dir):
+    # percent_rank/cume_dist are exact small-integer ratios (identical
+    # doubles on both engines); the unique o_orderkey tiebreak makes
+    # ntile and first_value deterministic.
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(wrows).alias("first_key"),
+    )
+
+
+# -- q_window_range_frame: time-based rolling aggregate -------------------
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                              AND CURRENT ROW)
+                AS DOUBLE) / CAST(100 AS DOUBLE) AS rolling_10m
+    FROM events
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """Rolling 10-minute per-user sum via a RANGE frame — the
+    value-based frame built-in windows provide (vs the ROWS frame of
+    ``q_window_running``).  Spark's rangeBetween needs a numeric
+    ordering key, so the NTZ timestamp orders as exact epoch-µs; ties
+    (same ts) are IN the frame together on both engines."""
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr(us))
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0)).alias(
+            "rolling_10m"
+        ),
+    )
