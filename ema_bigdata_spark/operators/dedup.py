@@ -288,3 +288,73 @@ def q_ngram_jaccard(spark, sf_dir):
         .where(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# -- q_dedup_cluster: connected components over candidate pairs -----------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """(doc_a, doc_b) edges → (doc_id, cluster_id) with cluster_id =
+    min doc_id in the component — the step that turns near-dup PAIRS
+    into dedup GROUPS (keep one representative per cluster).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (dup clusters are near-cliques from
+    LSH banding, so 2-3 rounds in practice; ``max_iter`` bounds
+    pathological chains).  Each round is one join + one aggregation —
+    the standard large-graph pattern when components are small; at
+    100 TB checkpoint every few rounds to truncate lineage.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("q_dedup_cluster")  # rows-only: built on minhash candidate pairs
+def q_dedup_cluster(spark, sf_dir):
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_pairs(docs)
+    comp = connected_components(pairs)
+    return comp.orderBy("doc_id").select("doc_id", "cluster_id")

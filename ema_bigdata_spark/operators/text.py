@@ -361,3 +361,40 @@ def q_normalize_text(spark, sf_dir):
             F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
         ).cast("long").alias("norm_len"),
     )
+
+
+# -- q_stratified_sample: reproducible hash-based sampling ----------------
+
+#: Knuth multiplicative constant; doc_id * C mod 1000 is a uniform,
+#: engine-identical pseudo-random bucket.  (At >1e9 docs reduce doc_id
+#: mod a prime first to keep the product inside BIGINT.)
+_SAMPLE_C = 2_654_435_761
+_SAMPLE_RATES = {"en": 200, "es": 100, "de": 100, "fr": 50, "zh": 50}
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * {_SAMPLE_C}) % 1000 <
+          CASE lang {" ".join(f"WHEN '{k}' THEN {v}"
+                              for k, v in sorted(_SAMPLE_RATES.items()))}
+          ELSE 0 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling — training-data
+    mixing without ``rand()``: the same row set comes back on every
+    engine, every run, every partitioning (seeded-rand sampling is
+    partitioning-dependent and un-oracle-able).  Pure codegen'd integer
+    arithmetic; the predicate pushes to the scan."""
+    rate = F.lit(0)
+    for k, v in sorted(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    bucket = (F.col("doc_id") * F.lit(_SAMPLE_C)) % 1000
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(bucket < rate)
+        .select("doc_id", "lang")
+    )

@@ -239,3 +239,36 @@ def test_embed_quantize_error_bound(spark, sf_dir):
     assert rows and all(r.dim == 64 for r in rows)
     for r in rows:
         assert r.max_abs_err <= r.scale / 254 + 1e-6, r
+
+
+def test_connected_components_correct(spark):
+    """Known edge set → known components, including a 4-node chain
+    (tests multi-hop propagation, not just cliques)."""
+    from ema_bigdata_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Sampled fraction per lang lands near the configured rate."""
+    from ema_bigdata_spark.operators.text import _SAMPLE_RATES
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {r.lang: r.n for r in
+               registry.QUERIES["q_stratified_sample"](spark, sf_dir)
+               .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in _SAMPLE_RATES.items():
+        if totals.get(lang, 0) >= 50:
+            frac = sampled.get(lang, 0) / totals[lang]
+            assert abs(frac - rate / 1000) < 0.12, (lang, frac, rate)
