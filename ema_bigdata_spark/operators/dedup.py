@@ -149,32 +149,25 @@ def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
-    # 32 per-bit majority sums in ONE aggregation pass
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(_SH_BITS)
-        ]
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # The whole 32-bit majority signature is ONE per-row higher-order
+    # fold — no token explode, no groupBy: at 100 TB signature
+    # computation is a pure map over the scan and only the tiny
+    # (doc_id, simhash, band) rows ever shuffle.  (The explode +
+    # 32-sum groupBy form shuffles every token row.)
+    counts = (
+        "aggregate(transform(split(text, ' ', -1), w -> xxhash64(w)),"
+        f" array_repeat(0L, {_SH_BITS}),"
+        " (acc, h) -> zip_with(acc,"
+        f"   sequence(0, {_SH_BITS - 1}),"
+        "   (a, b) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)))"
     )
-    sim = bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-                for b in range(_SH_BITS)
-            ],
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("simhash"),
+    simhash = (
+        f"aggregate(zip_with({counts}, sequence(0, {_SH_BITS - 1}),"
+        " (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),"
+        " 0L, (acc, v) -> acc + v)"
     )
+    sim = docs.select("doc_id", F.expr(simhash).alias("simhash"))
     width = _SH_BITS // _SH_BANDS
     bands = sim.select(
         "doc_id",
