@@ -59,13 +59,17 @@ def q_embed_norm(spark, sf_dir):
 
 
 def _probe_vector(spark, sf_dir) -> list[float]:
-    row = (
+    rows = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") == _PROBE_ID)
         .select("embedding")
-        .collect()[0]
+        .collect()
     )
-    return [float(x) for x in row.embedding]
+    if not rows:
+        raise ValueError(
+            f"probe vec_id={_PROBE_ID} not found in {sf_dir}/embeddings"
+        )
+    return [float(x) for x in rows[0].embedding]
 
 
 def _cosine_to_probe(probe: list[float]) -> F.Column:

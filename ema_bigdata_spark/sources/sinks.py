@@ -58,3 +58,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines output — for nested/array results."""
     df.write.mode(mode).json(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    mode: str = "overwrite",
+) -> None:
+    """Parquet with rows sorted *within each file* by ``sort_cols``.
+
+    Sorting clusters values so parquet row-group min/max statistics
+    become selective: a later range filter on ``sort_cols`` skips
+    whole row groups at scan time (the poor-man's Z-order — the
+    single-column layout optimization that matters most at 100 TB).
+    ``sortWithinPartitions`` keeps the sort shuffle-free.
+    """
+    (
+        df.sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .parquet(path)
+    )

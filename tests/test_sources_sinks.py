@@ -109,3 +109,33 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_cust")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_sorted_write_clusters_row_groups(spark, sf_dir, tmp_path):
+    """Rows sorted within files → parquet column chunk min/max ranges
+    are narrow, the precondition for row-group skipping on range
+    filters."""
+    import pyarrow.parquet as pq
+
+    from ema_bigdata_spark.sources.sinks import write_sorted_parquet
+    from ema_bigdata_spark.sources.tables import load_table
+
+    out = str(tmp_path / "orders_sorted")
+    src = load_table(spark, sf_dir, "orders").repartition(4)
+    write_sorted_parquet(src, out, ("o_totalprice",))
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 2
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_totalprice"
+            )
+            stats = col.statistics
+            assert stats.has_min_max and stats.min <= stats.max
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
