@@ -374,3 +374,50 @@ def q_sql_tpch_q3(spark, sf_dir):
         LIMIT 10
         """
     )
+
+
+# -- q_sql_tpch_q5: local-supplier volume (6-way join) --------------------
+
+
+@query(
+    "q_sql_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_sql_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: a 6-relation join tree that exercises Catalyst's
+    join reordering — the selective region filter prunes nation, which
+    prunes supplier/customer, before the fact tables join.  region and
+    nation broadcast; AQE picks strategies for the rest at runtime."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue
+        FROM v_customer, v_orders, v_lineitem, v_supplier, v_nation,
+             v_region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+        """
+    )

@@ -195,20 +195,61 @@ _IVF_LISTS = 8
 _IVF_NPROBE = 2
 
 
+_IVF_SWEEPS = 2
+#: fixed-point scale for deterministic centroid averaging: float32
+#: embeddings scaled to exact BIGINTs so per-cluster sums are
+#: order-independent (a raw double sum would vary with partition
+#: scheduling and make the whole ANN output nondeterministic).
+_IVF_FP = 10_000_000
+
+
+def _assign_expr(cents: list[list[float]]) -> F.Column:
+    darr = "array(" + ", ".join(_sqdist("embedding", c) for c in cents) + ")"
+    return F.expr(f"array_position({darr}, array_min({darr}))").cast("int")
+
+
 def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
-    """Deterministic coarse quantizer: the first ``_IVF_LISTS`` vectors
-    in xxhash64(vec_id) order — a seeded uniform sample.  Production
-    path: a few k-means refinement sweeps (each sweep = one groupBy on
-    the assigned list id); the query plan below is identical either
-    way, only the centroid literals improve."""
+    """Deterministic coarse quantizer: seed with the first
+    ``_IVF_LISTS`` vectors in xxhash64(vec_id) order, then run
+    ``_IVF_SWEEPS`` k-means refinement sweeps.  Each sweep is one
+    assignment projection + one exact-integer aggregation (posexplode →
+    groupBy(list, dim) → BIGINT sums), so centroids are identical under
+    any partitioning — which keeps the declared ANN query rows-only
+    DETERMINISTIC, the contract sampled k-means would break."""
+    emb = load_table(spark, sf_dir, "embeddings")
     rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
         .limit(_IVF_LISTS)
         .select("embedding")
         .collect()
     )
-    return [[float(x) for x in r.embedding] for r in rows]
+    cents = [[float(x) for x in r.embedding] for r in rows]
+    for _ in range(_IVF_SWEEPS):
+        assigned = emb.select(
+            _assign_expr(cents).alias("lst"),
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding, x ->"
+                    f" CAST(round(CAST(x AS DOUBLE) * {_IVF_FP}) AS BIGINT))"
+                )
+            ).alias("dim", "xi"),
+        )
+        sums = (
+            assigned.groupBy("lst", "dim")
+            .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty lists keep their centroid
+        acc: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            acc.setdefault(int(r.lst) - 1, []).append(
+                (int(r.dim), int(r.s), int(r.n))
+            )
+        for lst, dims in acc.items():
+            for dim, s, n in dims:
+                new[lst][dim] = s / n / _IVF_FP
+        cents = new
+    return cents
 
 
 def _sqdist(col: str, center: list[float]) -> str:

@@ -245,3 +245,38 @@ def s_stream_sliding(spark, sf_dir):
     return spark.table(sink).select(
         F.expr(_START_NTZ).alias("window_start"), "n_events"
     )
+
+
+@query(
+    "s_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def s_stream_dedup(spark, sf_dir):
+    """Streaming deduplication — the data-quality workhorse for
+    at-least-once sources: ``dropDuplicates`` on the key emits only
+    first arrivals, with state bounded by the key cardinality (pair
+    ``dropDuplicatesWithinWatermark`` with an event-time watermark when
+    keys are unbounded, e.g. event ids at 100 TB/day).  Single-batch
+    run = batch DISTINCT, so it's SQL-oracled."""
+    raw_schema = load_raw(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
