@@ -355,3 +355,34 @@ def q_dedup_cluster(spark, sf_dir):
     pairs = minhash_pairs(docs)
     comp = connected_components(pairs)
     return comp.orderBy("doc_id").select("doc_id", "cluster_id")
+
+
+# -- q_minhash_jaccard_est: sketch-based similarity estimation ------------
+
+
+@query("q_minhash_jaccard_est")  # rows-only: engine-specific hashes
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Jaccard ESTIMATED from signature agreement (fraction of the 16
+    minhashes that collide) for every LSH candidate pair — the
+    sketch-only similarity join: at 100 TB the exact-shingle verify
+    pass (q_ngram_jaccard) touches documents again, while this needs
+    only the 128-byte signatures already shuffled for banding."""
+    docs = spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "shingles", _shingles()
+    )
+    sigs = _minhash_signatures(docs)
+    pairs = minhash_pairs(spread(load_table(spark, sf_dir, "documents")))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = (
+        "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
+        " v -> v)) AS DOUBLE) / CAST(16 AS DOUBLE)"
+    )
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.expr(agree), 6).alias("jaccard_est"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -544,3 +544,31 @@ def q_unpivot(spark, sf_dir):
         "measure",
         "val",
     )
+
+
+# -- q_approx_quantiles: mergeable quantile sketch ------------------------
+
+
+@query("q_approx_quantiles")  # rows-only: sketch values are
+# engine-specific (Greenwald-Khanna here vs DuckDB's t-digest)
+def q_approx_quantiles(spark, sf_dir):
+    """Approximate p25/p50/p75 of ``o_totalprice`` per status via the
+    Greenwald-Khanna sketch — the constant-memory, mergeable companion
+    to exact ``q_percentiles``: at 100 TB the exact form shuffles and
+    sorts every group, the sketch shuffles fixed-size summaries."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            *[
+                F.round(
+                    F.expr(
+                        f"approx_percentile(o_totalprice, {p}, 10000)"
+                    ),
+                    6,
+                ).alias(name)
+                for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+            ],
+        )
+    )

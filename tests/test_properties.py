@@ -272,3 +272,42 @@ def test_stratified_sample_rates(spark, sf_dir):
         if totals.get(lang, 0) >= 50:
             frac = sampled.get(lang, 0) / totals[lang]
             assert abs(frac - rate / 1000) < 0.12, (lang, frac, rate)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """For every candidate pair with an exact Jaccard ≥ 0.2, the
+    16-hash estimate is within a generous sketch tolerance (16 hashes
+    → σ ≈ sqrt(J(1−J)/16) ≤ 0.125; allow 3σ)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry.QUERIES["q_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in registry.QUERIES["q_minhash_jaccard_est"](
+            spark, sf_dir
+        ).collect()
+    }
+    checked = 0
+    for pair, j in exact.items():
+        if pair in est:
+            assert abs(est[pair] - j) <= 0.40, (pair, est[pair], j)
+            checked += 1
+    assert checked or not exact  # overlap unless no exact pairs at all
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    """Sketch quantiles land within 1% relative of the exact ones."""
+    exact = {
+        r.o_orderstatus: r
+        for r in registry.QUERIES["q_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderstatus: r
+        for r in registry.QUERIES["q_approx_quantiles"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for col in ("p25", "p50", "p75"):
+            e, a = getattr(exact[k], col), getattr(approx[k], col)
+            assert abs(a - e) / max(abs(e), 1.0) < 0.01, (k, col, e, a)
