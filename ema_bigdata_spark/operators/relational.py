@@ -572,3 +572,55 @@ def q_approx_quantiles(spark, sf_dir):
             ],
         )
     )
+
+
+# -- q_having: post-aggregation filter ------------------------------------
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8
+    """,
+)
+def q_having(spark, sf_dir):
+    # HAVING = filter above the aggregate; Catalyst keeps the partial
+    # aggregation below the exchange, so the filter prunes groups after
+    # one shuffle, not rows before it.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .where(F.col("n_orders") >= 8)
+    )
+
+
+# -- q_collect_agg: array-valued aggregation ------------------------------
+
+
+@query(
+    "q_collect_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           CAST(length(list_sort(list(n_name))) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_collect_agg(spark, sf_dir):
+    # collect_list order is partitioning-dependent → array_sort on both
+    # engines makes the array value canonical (same parity rule as
+    # ROUND for floats).
+    nations = F.array_sort(F.collect_list("n_name"))
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            nations.alias("nations"),
+            F.size(nations).cast("long").alias("n_nations"),
+        )
+    )
