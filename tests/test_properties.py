@@ -241,21 +241,31 @@ def test_embed_quantize_error_bound(spark, sf_dir):
         assert r.max_abs_err <= r.scale / 254 + 1e-6, r
 
 
-def test_connected_components_correct(spark):
+def test_connected_components_correct(spark, monkeypatch):
     """Known edge set → known components, including a 4-node chain
-    (tests multi-hop propagation, not just cliques)."""
-    from ema_bigdata_spark.operators.dedup import connected_components
+    (tests multi-hop propagation, not just cliques).  Runs BOTH the
+    driver union-find path and the distributed label-propagation path
+    (forced by zeroing the driver threshold) and requires identical
+    output."""
+    from ema_bigdata_spark.operators import dedup as dd
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "doc_a BIGINT, doc_b BIGINT",
     )
-    got = {
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20}
+    got_driver = {
         r.doc_id: r.cluster_id
-        for r in connected_components(pairs).collect()
+        for r in dd.connected_components(pairs).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX", 0)
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_stratified_sample_rates(spark, sf_dir):
