@@ -337,8 +337,13 @@ def connected_components(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    if edges.limit(_CC_DRIVER_MAX + 1).count() <= _CC_DRIVER_MAX:
-        return _components_driver(pairs.sparkSession, edges.collect())
+    # ONE bounded collect decides the path AND feeds the driver
+    # variant — a separate count probe would re-evaluate the whole
+    # candidate-pair pipeline and could under-count a source that
+    # changes between jobs, unbounding the later collect.
+    probe = edges.limit(_CC_DRIVER_MAX + 1).collect()
+    if len(probe) <= _CC_DRIVER_MAX:
+        return _components_driver(pairs.sparkSession, probe)
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
