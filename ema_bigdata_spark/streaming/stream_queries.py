@@ -280,3 +280,65 @@ def s_stream_dedup(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(sink)
+
+
+@query(
+    "s_stream_join",
+    oracle="""
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def s_stream_join(spark, sf_dir):
+    """Stream-stream inner join — both sides unbounded: each side is
+    watermarked and the time-range conjunct bounds how long a row can
+    await matches, so the join state stays finite (Spark evicts rows
+    older than watermark + range).  The equi key (user_id) drives the
+    state lookup exactly like the batch range join (q_join_range).
+    Single-batch run = the batch join, so it's SQL-oracled."""
+    raw_schema = load_raw(spark, sf_dir, "events").schema
+    to_instant = F.expr("timestamp_micros(ts div 1000)")
+
+    def side(alias):
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("user_id", "event_id", to_instant.alias("ts"))
+            .withWatermark("ts", _WATERMARK)
+            .alias(alias)
+        )
+
+    a, b = side("a"), side("b")
+    joined = a.join(
+        b,
+        F.expr(
+            """
+            a.user_id = b.user_id
+            AND b.event_id > a.event_id
+            AND b.ts >= a.ts
+            AND b.ts <= a.ts + INTERVAL 5 MINUTE
+            """
+        ),
+    ).select(F.col("a.user_id").alias("user_id"))
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
