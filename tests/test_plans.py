@@ -96,3 +96,29 @@ def test_gmm_iteration_is_single_shuffle_free_job(spark, sf_dir):
     # partial agg → single-partition exchange → final agg: exactly one
     assert plan.count("Exchange") == 1
     assert "SinglePartition" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    """The 6-way join must broadcast the tiny dims (region/nation at
+    minimum) rather than shuffling every relation."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_two_phase_no_value_scan(spark, sf_dir):
+    """Pivot with an explicit value list compiles to Spark's standard
+    two-phase aggregate (pre-agg on (key, pivot col) → pivotfirst on
+    key = two exchanges) and — critically — runs NO extra job to
+    discover pivot values (a distinct scan appears only when the value
+    list is omitted, which is wrong at 100 TB)."""
+    plan = _plan(spark, sf_dir, "q_pivot")
+    assert plan.count("Exchange") <= 2
+    assert "pivotfirst" in plan.lower()
+    assert plan.lower().count("filescan") == 1  # one scan, no discovery pass
+
+
+def test_unpivot_is_expand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_unpivot")
+    assert "Expand" in plan
+    assert "Exchange" not in plan  # melt needs no shuffle
