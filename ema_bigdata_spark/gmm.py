@@ -141,3 +141,26 @@ def q_gmm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component BIGINT, weight DOUBLE, mean DOUBLE, variance DOUBLE"
     )
+
+
+@query("q_gmm_bic")  # rows-only: iterative model selection
+def q_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection over K via BIC = p·ln(n) − 2·lnL with
+    p = 3K−1 free parameters — fits K ∈ {2, 3, 4} with the same
+    one-job-per-iteration EM and reports each fit, lowest BIC first.
+    The candidate fits share one cached column, so the marginal cost
+    per extra K is iterations, not I/O."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    n = ev.count()
+    rows = []
+    for k in (2, 3, 4):
+        m = gmm_fit(ev, "value", k=k, tol=0.0, max_iter=10)
+        p = 3 * k - 1
+        bic = p * math.log(n) - 2.0 * m.log_likelihood
+        rows.append((k, round(m.log_likelihood, 3), round(bic, 3)))
+    rows.sort(key=lambda r: r[2])
+    return spark.createDataFrame(
+        rows, "k BIGINT, log_likelihood DOUBLE, bic DOUBLE"
+    )

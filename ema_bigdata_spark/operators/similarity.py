@@ -406,3 +406,75 @@ def q_embed_quantize(spark, sf_dir):
         F.round(F.expr(scale), 6).alias("scale"),
         F.round(F.expr(err), 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+# -- q_similarity_batch: top-k for a batch of probes (SQL-oracled) --------
+
+_BATCH_PROBE_IDS = (0, 1, 2)
+_BATCH_K = 5
+
+
+@query(
+    "q_similarity_batch",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+      WHERE vec_id IN {_BATCH_PROBE_IDS}
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round(
+               list_aggregate(list_transform(list_zip(e.embedding, p.pe),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+               / (sqrt({_SQL_DOT_SELF.replace('embedding', 'e.embedding')})
+                  * sqrt(list_aggregate(list_transform(p.pe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             6) AS cosine,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY round(
+               list_aggregate(list_transform(list_zip(e.embedding, p.pe),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+               / (sqrt({_SQL_DOT_SELF.replace('embedding', 'e.embedding')})
+                  * sqrt(list_aggregate(list_transform(p.pe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             6) DESC, e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN p
+    )
+    SELECT probe_id, vec_id, cosine FROM scored WHERE rn <= {_BATCH_K}
+    """,
+)
+def q_similarity_batch(spark, sf_dir):
+    """Top-k neighbors for a BATCH of probes in one plan: broadcast the
+    probe set against the corpus, score per (probe, vector), take k per
+    probe with a ranking window — the serving-time shape (queries
+    arrive in batches; one scan amortizes over all of them) where the
+    single-probe form would rescan the corpus per query.  Ranking on
+    the ROUNDED score keeps cross-engine ties identical."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(list(_BATCH_PROBE_IDS))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("pe"),
+    )
+    dot = (
+        "aggregate(zip_with(embedding, pe, (a, b) -> CAST(a AS DOUBLE) * b),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pnorm = (
+        "sqrt(aggregate(transform(pe, x -> x * x),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    cos = F.round(
+        F.expr(f"{dot} / (sqrt({_DOT_SELF}) * {pnorm})"), 6
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .select("probe_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BATCH_K)
+        .select("probe_id", "vec_id", "cosine")
+    )
