@@ -45,18 +45,29 @@ class GMMModel:
 
 def _init_params(df: DataFrame, x: str, k: int) -> tuple[list, list, list, int]:
     """Deterministic init (replaces unseeded takeSample, Main.scala:95):
-    means = spread quantiles (j+1)/(k+1) via Spark's approx-quantile
-    sketch (deterministic, mergeable, scales to any data size — and
-    unlike the reference's uniform sample it can't draw all K seeds
-    from one mode); variance = global var_pop for every component
-    (Main.scala:67); weights uniform 1/K (Main.scala:68)."""
+    means = EXACT spread quantiles (j+1)/(k+1); variance = global
+    population variance (Main.scala:67); weights uniform 1/K
+    (Main.scala:68).
+
+    Everything here must be PARTITIONING-INDEPENDENT or the whole fit
+    is: approxQuantile's sketch merges and var_pop's double sums both
+    vary with partition count (observed: different fits on local[4]
+    vs local[32]).  So: exact `percentile` over the ×100 fixed-point
+    integers (the data is 2-decimal), and variance from exact integer
+    moment sums."""
+    probs = ", ".join(str((j + 1) / (k + 1)) for j in range(k))
+    xi = f"CAST(round({x} * 100) AS BIGINT)"
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.var_pop(x).alias("v"),
+        F.sum(F.expr(f"CAST({xi} AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr(f"CAST({xi} * {xi} AS DECIMAL(38,0))")).alias("s2"),
+        F.expr(f"percentile({xi}, array({probs}))").alias("qs"),
     ).collect()[0]
-    probs = [(j + 1) / (k + 1) for j in range(k)]
-    means = df.approxQuantile(x, probs, 0.001)
-    return [1.0 / k] * k, means, [float(stats.v)] * k, int(stats.n)
+    n = int(stats.n)
+    mean = float(stats.s1) / n / 100.0
+    var = float(stats.s2) / n / 10000.0 - mean * mean
+    means = [float(q) / 100.0 for q in stats.qs]
+    return [1.0 / k] * k, means, [var] * k, n
 
 
 def gmm_fit(
@@ -96,15 +107,28 @@ def gmm_fit(
             F.log(rowsum).alias("_lnp"),
             *[(F.col(f"w{j}") / rowsum).alias(f"g{j}") for j in range(k)],
         )
+        # Sufficient statistics as EXACT fixed-point DECIMAL(38,0) sums:
+        # double addition is order-dependent, so raw double sums vary
+        # with partition count and the fit would differ between a
+        # local[4] and a local[32] session (observed: 6-dp outputs
+        # flipped).  Quantizing each per-row term to 1e-12 and summing
+        # integers is associative — identical under ANY partitioning —
+        # and the 1e-12 quantization is far below EM's statistical
+        # noise.  Headroom: |term| ≤ ~1e6, ×1e12 ×1e12 rows ≈ 1e30 ≪
+        # 10^38.
+        def fp(col):
+            return F.sum(
+                F.expr(f"CAST(round(({col}) * 1e12) AS DECIMAL(38,0))")
+            ).cast("double") / F.lit(1e12)
+
         aggs = []
         for j in range(k):
-            g = F.col(f"g{j}")
             aggs += [
-                F.sum(g).alias(f"n{j}"),
-                F.sum(g * F.col("_x")).alias(f"sx{j}"),
-                F.sum(g * F.col("_x") * F.col("_x")).alias(f"sxx{j}"),
+                fp(f"g{j}").alias(f"n{j}"),
+                fp(f"g{j} * _x").alias(f"sx{j}"),
+                fp(f"g{j} * _x * _x").alias(f"sxx{j}"),
             ]
-        aggs.append(F.sum("_lnp").alias("lnp"))
+        aggs.append(fp("_lnp").alias("lnp"))
         row = resp.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars back
 
         lnp = float(row.lnp)

@@ -321,3 +321,21 @@ def test_approx_quantiles_near_exact(spark, sf_dir):
         for col in ("p25", "p50", "p75"):
             e, a = getattr(exact[k], col), getattr(approx[k], col)
             assert abs(a - e) / max(abs(e), 1.0) < 0.01, (k, col, e, a)
+
+
+def test_gmm_fit_partitioning_invariant(spark, sf_dir):
+    """The fit must be identical under any input partitioning: init
+    uses exact percentiles/moments and iterations sum fixed-point
+    DECIMALs, so repartitioning cannot perturb the result (double-sum
+    order independence — the property approxQuantile/var_pop broke)."""
+    from ema_bigdata_spark.gmm import gmm_fit
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    fits = [
+        gmm_fit(ev.repartition(n), "value", k=3, tol=0.0, max_iter=5)
+        for n in (1, 7)
+    ]
+    a, b = fits
+    assert [round(v, 9) for v in a.means] == [round(v, 9) for v in b.means]
+    assert [round(v, 9) for v in a.weights] == [round(v, 9) for v in b.weights]
+    assert round(a.log_likelihood, 6) == round(b.log_likelihood, 6)
