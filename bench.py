@@ -45,6 +45,18 @@ def main() -> None:
     # and reads events, so warm both fact tables)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # warm the Python/Arrow worker pool too (reused across queries via
+    # spark.python.worker.reuse): otherwise the alphabetically-first
+    # pandas-UDF query is billed ~3 s of one-time worker spin-up
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop_udf(s):
+        return s
+
+    spark.range(0, 64, 1, 32).select(_noop_udf("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

