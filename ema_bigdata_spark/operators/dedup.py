@@ -250,21 +250,22 @@ _BUCKET_CAP = 100
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    # Doc sizes and stop-shingle bucket counts ride ALONG as window
-    # columns instead of separate groupBy branches: the naive 5-join
-    # form recomputes the shingle explode four times; this shape
-    # explodes once and self-joins rows that already carry both doc
-    # sizes, cutting the shuffle count roughly in half (measured ~30%
-    # faster at sf0.1; the gap widens with corpus size).
+    # Per-doc work stays per-ROW as long as possible: shingle dedup is
+    # array_distinct (not an explode + DISTINCT exchange) and the doc
+    # size n = size(array_distinct) rides along from the projection
+    # (not a partitionBy(doc_id) window).  That leaves exactly two
+    # shuffles — the stop-shingle count over `sh` (whose exchange the
+    # self-join then REUSES) and the final pair groupBy — down from
+    # four.  At 100 TB join on a 128-bit content hash of the shingle
+    # instead of the string to shrink the exchange (64-bit birthday
+    # collisions get real at billions of shingles; strings here keep
+    # the DuckDB oracle exact).
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "shingles", _shingles()
-    )
     sh = (
-        docs.select("doc_id", F.explode("shingles").alias("sh"))
-        .distinct()
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.array_distinct(_shingles()).alias("shs"))
+        .select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
         .withColumn("bc", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .where(F.col("bc") <= _BUCKET_CAP)
     )
