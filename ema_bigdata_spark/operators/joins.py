@@ -421,3 +421,49 @@ def q_sql_tpch_q5(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+# -- q_join_salted: skew-safe equi join as declared surface ---------------
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """The salted-join path as a first-class query: events (the skewed
+    fact — a handful of hot users own most rows) joined to customer
+    through :func:`salted_join`, then aggregated per market segment.
+
+    The salt spreads each hot key over 16 shuffle partitions, so no
+    single task owns a hot user at 100 TB; the result is provably
+    identical to the plain equi join (the oracle IS the plain join).
+    Money sums go through exact cents (BIGINT) so the output is
+    bit-stable under any partitioning/salting."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .cast("double") / F.lit(100)
+            ).alias("sum_value"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )

@@ -398,3 +398,131 @@ def q_stratified_sample(spark, sf_dir):
         .where(bucket < rate)
         .select("doc_id", "lang")
     )
+
+
+# -- q_repetition_score: duplicate-bigram fraction (quality rule) ---------
+
+#: word-bigram arrays, engine-shared shape: n-1 bigrams for n>=2
+#: tokens, else empty.  (The Gopher-style repetition rule: a high
+#: duplicate-n-gram fraction marks boilerplate/spam for filtering.)
+_BIGRAMS = (
+    "CASE WHEN size(split(text, ' ', -1)) >= 2"
+    " THEN transform(sequence(1, size(split(text, ' ', -1)) - 1),"
+    "   i -> concat_ws(' ', element_at(split(text, ' ', -1), i),"
+    "                       element_at(split(text, ' ', -1), i + 1)))"
+    " ELSE array() END"
+)
+
+
+@query(
+    "q_repetition_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN list_transform(
+                      generate_series(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i + 1])
+               ELSE [] END AS bigrams
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN len(bigrams) = 0 THEN 0.0
+                 ELSE CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+                      / len(bigrams) END, 6) AS dup_frac
+    FROM bg
+    """,
+)
+def q_repetition_score(spark, sf_dir):
+    """Duplicate-bigram fraction per document — the Gopher-style
+    repetition quality rule for LLM-corpus filtering.  Entirely
+    per-row higher-order functions: zero shuffles, linear scan at any
+    scale (the filter `dup_frac > threshold` composes onto the scan)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bigrams", F.expr(_BIGRAMS)
+    )
+    n = F.size("bigrams")
+    dup = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct("bigrams"))).cast("double") / n
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_bigrams"),
+        F.round(dup, 6).alias("dup_frac"),
+    )
+
+
+# -- q_source_mix: per-(source, lang) corpus mixing report ----------------
+
+
+@query(
+    "q_source_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / sum(n_tokens) OVER (), 6) AS token_share
+    FROM per
+    """,
+)
+def q_source_mix(spark, sf_dir):
+    """Data-mixing report: docs, tokens, and corpus token share per
+    (source, lang) — the table a training-mix designer reads before
+    setting sampling weights.  One groupBy shuffle to ≤|sources|×|langs|
+    rows; the global-share window runs on that tiny aggregate, never on
+    raw documents."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ", -1))).cast("long").alias("n_tokens"),
+        )
+    )
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        Window.partitionBy()
+    )
+    return per.select(
+        "source", "lang", "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+    )
+
+
+# -- q_token_histogram: token-count distribution per language -------------
+
+_HIST_BUCKET = 10
+
+
+@query(
+    "q_token_histogram",
+    oracle=f"""
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) // {_HIST_BUCKET} AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Document-length histogram (token-count buckets of
+    {_HIST_BUCKET}) per language — the distribution check run before
+    setting min/max-length filters on a corpus.  Bucketing is per-row
+    integer arithmetic; one groupBy over ≤|langs|×|buckets| keys."""
+    toks = F.size(F.split("text", " ", -1))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            (toks / _HIST_BUCKET).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

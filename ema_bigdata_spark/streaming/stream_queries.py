@@ -342,3 +342,68 @@ def s_stream_join(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "s_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def s_stream_static_join(spark, sf_dir):
+    """Stream-static join — the streaming enrichment workhorse: an
+    unbounded event stream joined per micro-batch against a static
+    dimension snapshot (no state store needed on either side; the dim
+    is re-broadcast per batch, so at 100 TB/day the join cost is the
+    broadcast, not stream volume).  Aggregation runs on the enriched
+    stream.  Single-batch run = the batch join, so it's SQL-oracled."""
+    import uuid as _uuid
+
+    from ema_bigdata_spark.sources.tables import load_table
+
+    raw_schema = load_raw(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    enriched = stream.join(cust, "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+    )
+    sink = f"stream_static_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # exact per-segment distinct users from the batch side (streaming
+    # keeps approximate state); batch/stream share the one dim snapshot
+    exact_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    return (
+        spark.table(sink)
+        .join(exact_users, "c_mktsegment")
+        .select("c_mktsegment", "n_events", "n_users")
+    )
