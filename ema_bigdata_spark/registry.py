@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from ema_bigdata_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         joins,
         reference,
