@@ -122,3 +122,62 @@ def test_unpivot_is_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_unpivot")
     assert "Expand" in plan
     assert "Exchange" not in plan  # melt needs no shuffle
+
+
+def test_repetition_score_zero_shuffle(spark, sf_dir):
+    """The Gopher repetition rule is per-row only: no Exchange at all —
+    it composes onto any scan for free at 100 TB."""
+    plan = _plan(spark, sf_dir, "q_repetition_score")
+    assert "Exchange" not in plan
+
+
+def test_source_mix_window_on_aggregate(spark, sf_dir):
+    """The corpus-share window must run on the grouped aggregate (tiny),
+    never on raw documents: exactly one scan feeding one groupBy
+    exchange before the single-partition window."""
+    plan = _plan(spark, sf_dir, "q_source_mix")
+    assert plan.lower().count("filescan") == 1
+    # agg shuffle + window single-partition gather — nothing else
+    assert plan.count("Exchange") <= 2
+
+
+def test_retention_single_data_shuffle(spark, sf_dir):
+    """Retention shuffles data ONCE (user-keyed distinct); cohort
+    window and final groupBy reuse or aggregate tiny keys."""
+    plan = _plan(spark, sf_dir, "q_retention")
+    assert plan.lower().count("filescan") == 1  # no second scan for cohorts
+    assert plan.count("Exchange") <= 3
+
+
+def test_funnel_filters_push_to_scan(spark, sf_dir):
+    """Every funnel stage filters by event_type at the parquet scan."""
+    plan = _plan(spark, sf_dir, "q_funnel")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    """The static dimension must broadcast: per-batch cost is the dim
+    broadcast, not a stream-side shuffle."""
+    from ema_bigdata_spark.sources.tables import load_raw, load_table
+    from pyspark.sql import functions as F
+
+    raw_schema = load_raw(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    # analyzed (not optimized) plan: a streaming DF refuses full
+    # optimization outside writeStream.start(), but the broadcast hint
+    # must already be attached here to reach the per-batch planner
+    plan = (
+        stream.join(cust, "user_id")
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "broadcast" in plan.lower()

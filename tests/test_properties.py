@@ -339,3 +339,31 @@ def test_gmm_fit_partitioning_invariant(spark, sf_dir):
     assert [round(v, 9) for v in a.means] == [round(v, 9) for v in b.means]
     assert [round(v, 9) for v in a.weights] == [round(v, 9) for v in b.weights]
     assert round(a.log_likelihood, 6) == round(b.log_likelihood, 6)
+
+
+def test_funnel_monotone(spark, sf_dir):
+    """Stage counts can only shrink down the funnel."""
+    registry.load_all()
+    row = registry.QUERIES["q_funnel"](spark, sf_dir).collect()[0]
+    assert row.n_view >= row.n_click >= row.n_purchase >= 0
+
+
+def test_retention_day0_is_cohort_size(spark, sf_dir):
+    """Every user is active on their own cohort day, so day_offset=0
+    rows must sum to the total distinct-user count."""
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.sources.tables import load_table
+
+    registry.load_all()
+    ret = registry.QUERIES["q_retention"](spark, sf_dir)
+    day0 = (
+        ret.where(F.col("day_offset") == 0)
+        .agg(F.sum("n_users"))
+        .collect()[0][0]
+    )
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().count()
+    )
+    assert day0 == users
