@@ -423,3 +423,49 @@ def q_minhash_jaccard_est(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- q_dedup_incremental: new-batch dedup against an existing corpus ------
+
+#: deterministic batch split: doc_id % _INC_MOD == _INC_NEW is "today's
+#: ingest", the rest is the standing corpus.
+_INC_MOD = 5
+_INC_NEW = 4
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT lower(trim(text)) AS norm FROM documents
+      WHERE doc_id % {_INC_MOD} <> {_INC_NEW}
+    ),
+    batch AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      WHERE doc_id % {_INC_MOD} = {_INC_NEW}
+    )
+    SELECT b.doc_id,
+           CAST(length(b.norm) AS BIGINT) AS norm_len
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = b.norm)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: documents arriving today survive
+    only if their normalized text is NOT already in the standing
+    corpus — one LEFT ANTI join on the content key, the shape every
+    continuously-ingesting pipeline runs per batch.
+
+    At 100 TB the corpus side is a bucketed content-HASH table
+    (xxhash64/128), so the anti join co-locates on the bucket key and
+    only the (small) daily batch shuffles; here the key is the
+    normalized text itself to keep the DuckDB oracle exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("norm")
+    )
+    is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
+    corpus = docs.where(~is_new).select("norm")
+    batch = docs.where(is_new)
+    return batch.join(corpus, "norm", "left_anti").select(
+        "doc_id", F.length("norm").cast("long").alias("norm_len")
+    )

@@ -247,3 +247,38 @@ def q_window_range_frame(spark, sf_dir):
             "rolling_10m"
         ),
     )
+
+
+# -- q_compact_latest: keep-latest-per-key compaction (CDC/upsert) --------
+
+
+@query(
+    "q_compact_latest",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_compact_latest(spark, sf_dir):
+    """Keep-latest-per-key compaction — the CDC/upsert merge every
+    lakehouse table maintenance job runs: one ranking window keyed by
+    the logical key, ordered by recency with a unique tie-break
+    (event_id), keeping rank 1.
+
+    One shuffle on the key; at 100 TB the same window runs per
+    partition of a date-partitioned table, and AQE splits any hot key's
+    sort.  (A groupBy(max_by) would also work but loses the full-row
+    payload generality that makes this the standard compaction shape.)"""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+    )

@@ -99,6 +99,35 @@ def test_minhash_finds_exact_duplicates(spark, sf_dir):
     assert (900_000_001, 900_000_002) in [tuple(r) for r in pairs]
 
 
+def test_embed_dup_finds_planted_near_dups(spark, tmp_path):
+    """q_embed_dup is empty on random testdata (no cosine ≥ 0.95 pairs
+    exist), so plant near-duplicates in a fixture corpus and require
+    the LSH blocking + exact rerank to surface them."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    base = vecs[0]
+    rows = [(i + 1, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    # 101 = scaled copy of vec 1 (cosine exactly 1, identical signature);
+    # 102 = tiny perturbation of vec 1 (cosine ≈ 0.9999)
+    rows.append((101, [float(x) * 1.5 for x in base], 1))
+    noisy = base + 0.01 * rng.normal(size=64).astype("float32")
+    rows.append((102, [float(x) for x in noisy], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = registry.QUERIES["q_embed_dup"](spark, str(tmp_path)).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert (1, 101) in pairs, pairs
+    assert (1, 102) in pairs, pairs
+    assert all(r.cosine >= 0.95 for r in out)
+    # no false positives: every reported pair involves the planted trio
+    assert all({a, b} <= {1, 101, 102} for a, b in pairs), pairs
+
+
 class TestGMM:
     def test_loglik_improves_and_recovers(self, spark):
         """Seeded synthetic 3-component mixture: fitted means recover
