@@ -5,12 +5,24 @@ Reference job structure: per EM iteration a global-denominator scan, a
 persisted N×K responsibilities RDD, then **5 jobs per component** plus a
 log-likelihood job — 5K+2 full passes (Main.scala:72-89; SURVEY.md §3.3).
 
-This rebuild (SURVEY.md §4.3): each iteration is ONE shuffle-free
-whole-stage-codegen'd aggregation returning all 3K sufficient statistics
-plus the log-likelihood (3K+2 numbers to the driver).  Parameters live
-in Python between iterations and are injected as literals, so nothing
-iterative is ever stored cluster-side.  At 100 TB this is a linear
-cached scan per iteration with a 1-row result — the optimal shape.
+This rebuild exploits a structural fact of 1-D EM: every per-row
+quantity depends on the row ONLY through the scalar ``x``, so the exact
+sufficient statistics over N rows equal the same statistics over the
+**value histogram** (distinct x, count) — and a histogram's cardinality
+is bounded by the value DOMAIN, not by N.  The engine therefore runs
+
+1. ONE distributed ``groupBy(x).count()`` pass (map-side partial agg:
+   shuffle volume = distinct-values-per-partition, not rows — at 100 TB
+   this is the only full scan the whole fit performs);
+2. EM iterations over the histogram: collected to the driver and
+   vectorized in numpy when bins ≤ ``MAX_DRIVER_BINS`` (the histogram
+   IS a tiny aggregate — ~60 k bins for 2-decimal data in [0, 600]
+   regardless of row count), else a frequency-weighted single-job
+   aggregation per iteration over the cached histogram (SURVEY.md
+   §4.3's 3K+2-scalar shape, just over ``bins ≪ N`` rows).
+
+Either way the cluster does one pass total instead of the reference's
+5K+2 passes *per iteration*.
 
 Textbook math throughout (SURVEY.md §2.3 records the reference's two
 operator-precedence bugs and its global-γ-denominator deviation; we do
@@ -19,6 +31,7 @@ not reproduce them).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,12 +39,17 @@ from pyspark.sql import functions as F
 
 from ema_bigdata_spark.functions.gaussian import DENSITY_FLOOR, wdens
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_table, spread
+from ema_bigdata_spark.sources.tables import load_table
 
 #: reference converged when Δ lnP ≤ 80 absolute (Main.scala:89) — a
 #: dataset-size-dependent threshold; ours is configurable.
 DEFAULT_TOL = 1e-3
 DEFAULT_MAX_ITER = 30
+
+#: histogram-size cutover between the driver (numpy) and distributed
+#: iteration paths.  1 M bins ≈ 16 MB collected — still a "tiny
+#: aggregate" in SURVEY §4.3's sense; beyond it, iterate cluster-side.
+MAX_DRIVER_BINS = 1 << 20
 
 
 @dataclass
@@ -43,31 +61,174 @@ class GMMModel:
     n_iter: int
 
 
-def _init_params(df: DataFrame, x: str, k: int) -> tuple[list, list, list, int]:
-    """Deterministic init (replaces unseeded takeSample, Main.scala:95):
-    means = EXACT spread quantiles (j+1)/(k+1); variance = global
-    population variance (Main.scala:67); weights uniform 1/K
-    (Main.scala:68).
+def _weighted_percentiles(vals, cnts, probs) -> list[float]:
+    """Spark ``percentile(col, p, freq)`` semantics: linear interpolation
+    at position p·(N−1) in the expanded sorted multiset."""
+    import numpy as np
 
-    Everything here must be PARTITIONING-INDEPENDENT or the whole fit
-    is: approxQuantile's sketch merges and var_pop's double sums both
-    vary with partition count (observed: different fits on local[4]
-    vs local[32]).  So: exact `percentile` over the ×100 fixed-point
-    integers (the data is 2-decimal), and variance from exact integer
-    moment sums."""
+    cum = np.cumsum(cnts)  # vals already sorted ascending
+    n = int(cum[-1])
+    out = []
+    for p in probs:
+        pos = p * (n - 1)
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        frac = pos - lo
+        vlo = float(vals[np.searchsorted(cum, lo + 1)])
+        vhi = float(vals[np.searchsorted(cum, hi + 1)])
+        out.append(vlo * (1.0 - frac) + vhi * frac)
+    return out
+
+
+def _driver_em(vals, cnts, k: int, tol: float, max_iter: int) -> GMMModel:
+    """Vectorized EM over the collected (value, count) histogram.
+
+    Deterministic and partitioning-independent by construction: the
+    histogram's keys/counts are exact, the arrays are sorted by value,
+    and every numpy reduction runs over the same arrays regardless of
+    how the cluster partitioned the scan."""
+    import numpy as np
+
+    x = vals
+    c = cnts.astype(np.float64)
+    n = float(c.sum())
+    # init (replaces unseeded takeSample, Main.scala:95): means = exact
+    # spread quantiles (j+1)/(K+1); variance = global population
+    # variance (Main.scala:67); weights uniform 1/K (Main.scala:68)
+    mean = float((x * c).sum() / n)
+    var = float((((x - mean) ** 2) * c).sum() / n)
+    mu = np.array(
+        _weighted_percentiles(x, cnts, [(j + 1) / (k + 1) for j in range(k)])
+    )
+    s2 = np.full(k, max(var, 1e-12))
+    phi = np.full(k, 1.0 / k)
+
+    lnp_prev = None
+    it = 0
+    for it in range(1, max_iter + 1):
+        norm = phi / np.sqrt(2.0 * math.pi * s2)
+        w = norm[None, :] * np.exp(
+            (x[:, None] - mu[None, :]) ** 2 / (-2.0 * s2[None, :])
+        )
+        rowsum = np.maximum(w.sum(axis=1), DENSITY_FLOOR)
+        lnp = float((np.log(rowsum) * c).sum())
+        g = (w / rowsum[:, None]) * c[:, None]  # count-weighted γ
+        nj = np.maximum(g.sum(axis=0), 1e-300)
+        sx = (g * x[:, None]).sum(axis=0)
+        sxx = (g * (x * x)[:, None]).sum(axis=0)
+        phi = nj / n
+        mu = sx / nj
+        s2 = np.maximum(sxx / nj - mu * mu, 1e-12)
+        if lnp_prev is not None and abs(lnp - lnp_prev) <= tol:
+            lnp_prev = lnp
+            break
+        lnp_prev = lnp
+    return GMMModel(
+        [float(v) for v in phi],
+        [float(v) for v in mu],
+        [float(v) for v in s2],
+        lnp_prev,
+        it,
+    )
+
+
+def _init_params_hist(hist: DataFrame, k: int) -> tuple[list, list, list, int]:
+    """Distributed-path init over the histogram; PARTITIONING-INDEPENDENT
+    (exact frequency-weighted `percentile` over ×100 fixed-point integers
+    and exact DECIMAL moment sums — approxQuantile's sketch merges and
+    var_pop's double sums both vary with partition count)."""
     probs = ", ".join(str((j + 1) / (k + 1)) for j in range(k))
-    xi = f"CAST(round({x} * 100) AS BIGINT)"
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr(f"CAST({xi} AS DECIMAL(38,0))")).alias("s1"),
-        F.sum(F.expr(f"CAST({xi} * {xi} AS DECIMAL(38,0))")).alias("s2"),
-        F.expr(f"percentile({xi}, array({probs}))").alias("qs"),
+    xi = "CAST(round(_x * 100) AS BIGINT)"
+    stats = hist.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr(f"CAST({xi} AS DECIMAL(38,0)) * cnt")).alias("s1"),
+        F.sum(F.expr(f"CAST({xi} AS DECIMAL(38,0)) * {xi} * cnt")).alias(
+            "s2"
+        ),
+        F.expr(f"percentile({xi}, array({probs}), cnt)").alias("qs"),
     ).collect()[0]
     n = int(stats.n)
     mean = float(stats.s1) / n / 100.0
     var = float(stats.s2) / n / 10000.0 - mean * mean
     means = [float(q) / 100.0 for q in stats.qs]
     return [1.0 / k] * k, means, [var] * k, n
+
+
+def _distributed_em(
+    hist: DataFrame, k: int, tol: float, max_iter: int
+) -> GMMModel:
+    """Scale fallback when the histogram exceeds ``MAX_DRIVER_BINS``:
+    SURVEY §4.3's one-aggregation-per-iteration loop, frequency-weighted
+    over the cached histogram (bins ≪ N rows scanned per iteration)."""
+    from ema_bigdata_spark.sources.tables import spread
+
+    hist = spread(hist).cache()
+    try:
+        phi, mu, s2, n = _init_params_hist(hist, k)
+
+        lnp_prev = None
+        it = 0
+        for it in range(1, max_iter + 1):
+            p, m, v = tuple(phi), tuple(mu), tuple(s2)
+            # two-stage plan, still one job: a projection computes each
+            # weighted density ONCE, then the agg sums trivial refs.
+            weights = hist.select(
+                F.col("_x"),
+                F.col("cnt").cast("double").alias("_c"),
+                *[
+                    F.expr(wdens("_x", p[j], m[j], v[j])).alias(f"w{j}")
+                    for j in range(k)
+                ],
+            )
+            rowsum = F.greatest(
+                sum((F.col(f"w{j}") for j in range(k)), F.lit(0.0)),
+                F.lit(DENSITY_FLOOR),
+            )
+            resp = weights.select(
+                "_x",
+                "_c",
+                F.log(rowsum).alias("_lnp"),
+                *[
+                    (F.col(f"w{j}") / rowsum).alias(f"g{j}")
+                    for j in range(k)
+                ],
+            )
+            # Sufficient statistics as fixed-point DECIMAL(38,0) sums:
+            # double addition is order-dependent, so raw double sums
+            # vary with partition count.  Quantizing each per-bin term
+            # to 1e-12 and summing integers is associative — identical
+            # under ANY partitioning — and far below EM's statistical
+            # noise.
+            def fp(col):
+                return F.sum(
+                    F.expr(f"CAST(round(({col}) * 1e12) AS DECIMAL(38,0))")
+                ).cast("double") / F.lit(1e12)
+
+            aggs = []
+            for j in range(k):
+                aggs += [
+                    fp(f"g{j} * _c").alias(f"n{j}"),
+                    fp(f"g{j} * _x * _c").alias(f"sx{j}"),
+                    fp(f"g{j} * _x * _x * _c").alias(f"sxx{j}"),
+                ]
+            aggs.append(fp("_lnp * _c").alias("lnp"))
+            row = resp.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars
+
+            lnp = float(row.lnp)
+            for j in range(k):
+                nj = float(row[f"n{j}"]) or 1e-300
+                phi[j] = nj / n
+                mu[j] = float(row[f"sx{j}"]) / nj
+                s2[j] = max(
+                    float(row[f"sxx{j}"]) / nj - mu[j] * mu[j], 1e-12
+                )
+
+            if lnp_prev is not None and abs(lnp - lnp_prev) <= tol:
+                lnp_prev = lnp
+                break
+            lnp_prev = lnp
+    finally:
+        hist.unpersist()
+    return GMMModel(phi, mu, s2, lnp_prev, it)
 
 
 def gmm_fit(
@@ -77,74 +238,26 @@ def gmm_fit(
     tol: float = DEFAULT_TOL,
     max_iter: int = DEFAULT_MAX_ITER,
 ) -> GMMModel:
-    """Fit a K-component 1-D GMM with EM; one Spark job per iteration."""
-    # one narrow double column, spread across cores, cached: every
-    # iteration re-scans this in parallel from memory
-    df = spread(df.select(x)).cache()
-    phi, mu, s2, n = _init_params(df, x, k)
+    """Fit a K-component 1-D GMM with EM.
 
-    lnp_prev = None
-    it = 0
-    for it in range(1, max_iter + 1):
-        p, m, v = tuple(phi), tuple(mu), tuple(s2)
-        # two-stage plan, still one job: a projection computes each
-        # weighted density ONCE (the naive all-in-agg form replicates
-        # the k-term density tree 3k+1 times — slower to analyze and
-        # codegen), then the agg sums trivial column refs.
-        weights = df.select(
-            F.col(x).alias("_x"),
-            *[
-                F.expr(wdens(x, p[j], m[j], v[j])).alias(f"w{j}")
-                for j in range(k)
-            ],
-        )
-        rowsum = F.greatest(
-            sum((F.col(f"w{j}") for j in range(k)), F.lit(0.0)),
-            F.lit(DENSITY_FLOOR),
-        )
-        resp = weights.select(
-            "_x",
-            F.log(rowsum).alias("_lnp"),
-            *[(F.col(f"w{j}") / rowsum).alias(f"g{j}") for j in range(k)],
-        )
-        # Sufficient statistics as EXACT fixed-point DECIMAL(38,0) sums:
-        # double addition is order-dependent, so raw double sums vary
-        # with partition count and the fit would differ between a
-        # local[4] and a local[32] session (observed: 6-dp outputs
-        # flipped).  Quantizing each per-row term to 1e-12 and summing
-        # integers is associative — identical under ANY partitioning —
-        # and the 1e-12 quantization is far below EM's statistical
-        # noise.  Headroom: |term| ≤ ~1e6, ×1e12 ×1e12 rows ≈ 1e30 ≪
-        # 10^38.
-        def fp(col):
-            return F.sum(
-                F.expr(f"CAST(round(({col}) * 1e12) AS DECIMAL(38,0))")
-            ).cast("double") / F.lit(1e12)
+    One distributed histogram pass over the data, then EM over the
+    bounded-cardinality histogram (module docstring).  The cluster
+    touches the full dataset exactly once per fit."""
+    import numpy as np
 
-        aggs = []
-        for j in range(k):
-            aggs += [
-                fp(f"g{j}").alias(f"n{j}"),
-                fp(f"g{j} * _x").alias(f"sx{j}"),
-                fp(f"g{j} * _x * _x").alias(f"sxx{j}"),
-            ]
-        aggs.append(fp("_lnp").alias("lnp"))
-        row = resp.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars back
-
-        lnp = float(row.lnp)
-        for j in range(k):
-            nj = float(row[f"n{j}"]) or 1e-300
-            phi[j] = nj / n
-            mu[j] = float(row[f"sx{j}"]) / nj
-            s2[j] = max(float(row[f"sxx{j}"]) / nj - mu[j] * mu[j], 1e-12)
-
-        if lnp_prev is not None and abs(lnp - lnp_prev) <= tol:
-            lnp_prev = lnp
-            break
-        lnp_prev = lnp
-
-    df.unpersist()
-    return GMMModel(phi, mu, s2, lnp_prev, it)
+    hist = (
+        df.select(F.col(x).alias("_x"))
+        .where(F.col("_x").isNotNull())
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = hist.limit(MAX_DRIVER_BINS + 1).collect()
+    if len(head) > MAX_DRIVER_BINS:  # domain too wide: iterate on-cluster
+        return _distributed_em(hist, k, tol, max_iter)
+    vals = np.array([r._x for r in head], dtype=np.float64)
+    cnts = np.array([r.cnt for r in head], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    return _driver_em(vals[order], cnts[order], k, tol, max_iter)
 
 
 @query("gmm_fit")  # rows-only: iterative, not SQL-expressible (SURVEY §2.2)
