@@ -405,11 +405,15 @@ def q_stratified_sample(spark, sf_dir):
 #: word-bigram arrays, engine-shared shape: n-1 bigrams for n>=2
 #: tokens, else empty.  (The Gopher-style repetition rule: a high
 #: duplicate-n-gram fraction marks boilerplate/spam for filtering.)
+#: zipped shifted slices, not element_at-in-a-lambda: the HOF
+#: interpreter re-evaluates captured expressions per element, making
+#: the indexed form O(tokens²) per doc (measured 3× slower).
 _BIGRAMS = (
     "CASE WHEN size(split(text, ' ', -1)) >= 2"
-    " THEN transform(sequence(1, size(split(text, ' ', -1)) - 1),"
-    "   i -> concat_ws(' ', element_at(split(text, ' ', -1), i),"
-    "                       element_at(split(text, ' ', -1), i + 1)))"
+    " THEN zip_with("
+    "   slice(split(text, ' ', -1), 1, size(split(text, ' ', -1)) - 1),"
+    "   slice(split(text, ' ', -1), 2, size(split(text, ' ', -1)) - 1),"
+    "   (a, b) -> concat(a, ' ', b))"
     " ELSE array() END"
 )
 

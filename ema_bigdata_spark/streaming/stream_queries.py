@@ -21,6 +21,8 @@ GROUP BY — a stronger check than rows-only.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import uuid
 
 from pyspark.sql import functions as F
@@ -30,6 +32,29 @@ from ema_bigdata_spark.sources.tables import load_raw
 
 _WATERMARK = "10 minutes"
 _WINDOW = "1 minute"
+
+
+@contextlib.contextmanager
+def _state_partitions(spark, n: int | None = None):
+    """Pin the state-partition count for a stateful streaming query.
+
+    Structured Streaming freezes ``spark.sql.shuffle.partitions`` into
+    the checkpoint at query start, and every micro-batch pays a
+    per-partition state-store open/commit/snapshot cost REGARDLESS of
+    row volume — at 32 partitions that fixed cost dominates a local
+    run (measured: the stream-stream join drops 35 s → 4 s at 4-8
+    partitions).  State partitioning should track key cardinality and
+    throughput, not the batch-side shuffle width, so it gets its own
+    knob (``SPARK_GRAFT_STREAM_PARTITIONS``; a production deploy sizes
+    it to sustained keys/sec once — it cannot change after the
+    checkpoint is created)."""
+    n = n or int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 #: LTZ instant → NTZ wall clock (UTC), session-timezone-independent
 _START_NTZ = (
@@ -127,16 +152,17 @@ def s_stream_session(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stream_session_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     us_to_ntz = "timestampadd(MICROSECOND, {}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     return spark.table(sink).select(
         "user_id",
@@ -174,16 +200,17 @@ def s_stream_tumbling(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # exact distinct users per window from the batch side (stream keeps
     # counts) — demonstrates stream/batch unification on one API.
     exact_users = (
@@ -232,16 +259,17 @@ def s_stream_sliding(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink).select(
         F.expr(_START_NTZ).alias("window_start"), "n_events"
     )
@@ -269,16 +297,17 @@ def s_stream_dedup(spark, sf_dir):
         .dropDuplicates(["user_id", "event_type"])
     )
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink)
 
 
@@ -327,16 +356,17 @@ def s_stream_join(spark, sf_dir):
         ),
     ).select(F.col("a.user_id").alias("user_id"))
     sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -383,16 +413,17 @@ def s_stream_static_join(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("_approx_users"),
     )
     sink = f"stream_static_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # exact per-segment distinct users from the batch side (streaming
     # keeps approximate state); batch/stream share the one dim snapshot
     exact_users = (
