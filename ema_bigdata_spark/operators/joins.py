@@ -15,7 +15,7 @@ Scale strategy per join:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.functions.parity import sql_sum_fixed, sum_fixed
@@ -327,6 +327,137 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return lsalted.join(rsalted, [key, "_salt"], how).drop("_salt")
+
+
+# -- asof_join: time-series point-in-time join (library API) --------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    seq: str,
+    right_vals: tuple[str, ...],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to every ``left`` row the ``right_vals``
+    payload of the LATEST ``right`` row with the same ``key`` and
+    ``right.ts <= left.ts`` (left outer — left rows with no prior
+    right row keep NULL payloads).  ``seq`` is a unique ordering
+    column on both sides so ties at identical timestamps are
+    deterministic; a right row at exactly ``left.ts`` matches.
+
+    Spark has no ASOF JOIN operator (the reference has no joins at
+    all — SURVEY.md §2.1).  The naive formulations don't scale: a
+    range join (``right.ts BETWEEN left.ts - band AND left.ts``)
+    explodes candidate pairs and needs a band-width parameter, and a
+    per-row correlated argmax is quadratic.  This is the
+    scale-correct reformulation: tag both sides, union them, and
+    forward-fill the right payload with ONE window over
+    ``(key, ts)`` — a single shuffle on ``key``, zero join nodes,
+    linear in ``|left| + |right|``, no tuning parameter.  Tested by
+    ``test_asof_join_no_join_single_shuffle`` (plan: no Join node,
+    exactly one Exchange).
+    """
+    rtypes = dict(right.dtypes)
+    l2 = left.select(
+        F.col(key).alias("_key"),
+        F.col(ts).alias("_ts"),
+        F.col(seq).alias("_seq"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(rtypes[v]).alias(f"_r_{v}")
+            for v in right_vals
+        ],
+        F.struct(*left.columns).alias("_l"),
+    )
+    r2 = right.select(
+        F.col(key).alias("_key"),
+        F.col(ts).alias("_ts"),
+        F.col(seq).alias("_seq"),
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+        F.lit(None).cast(left.schema).alias("_l"),
+    )
+    # right rows (side 0) sort BEFORE a left row at the same ts, so
+    # "at-or-before" includes same-instant matches on both engines.
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_ts", "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "_side",
+        "_l",
+        *[
+            F.last(
+                F.when(F.col("_side") == 0, F.col(f"_r_{v}")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias(f"{prefix}{v}")
+            for v in right_vals
+        ],
+    )
+    return filled.where(F.col("_side") == 1).select(
+        F.col("_l.*"), *[f"{prefix}{v}" for v in right_vals]
+    )
+
+
+# -- q_join_asof: point-in-time enrichment as declared surface ------------
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN value END AS click_value,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(click_value IGNORE NULLS) OVER w
+               AS last_click_value,
+             last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, last_click_value, last_click_ts
+    FROM f WHERE side = 1
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """Point-in-time enrichment: every purchase event gets the value
+    and time of the same user's most recent click at-or-before it —
+    the canonical feature-store / trades-vs-quotes as-of join, via
+    :func:`asof_join` (union + forward-fill window; no join node)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        seq="event_id",
+        right_vals=("value", "ts"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_value").alias("last_click_value"),
+        F.col("asof_ts").alias("last_click_ts"),
+    )
 
 
 # -- q_sql_tpch_q3: shipping-priority (3-table join + agg + top-k) --------

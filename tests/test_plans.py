@@ -42,6 +42,15 @@ def test_lang_id_lexicon_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_asof_join_no_join_single_shuffle(spark, sf_dir):
+    """The as-of join must plan as union + window — zero join nodes
+    (no candidate-pair blow-up to range-join) and exactly one
+    exchange (the window's hash partitioning on the key)."""
+    plan = _plan(spark, sf_dir, "q_join_asof")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_range_join_not_cartesian(spark, sf_dir):
     """The equi conjunct must drive the join — a nested-loop/cartesian
     fallback would be quadratic at scale."""
