@@ -84,6 +84,42 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+# -- q_dedup_exact_hash: content-hash-keyed dedup (the 100 TB shape) ------
+
+
+@query(
+    "q_dedup_exact_hash",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY lower(trim(text))
+    """,
+)
+def q_dedup_exact_hash(spark, sf_dir):
+    """Exact dedup keyed by a 128-bit content digest instead of the
+    text itself — the shape q_dedup_exact's comment promises at scale:
+    the exchange carries (16-byte key, doc_id) rows, never documents,
+    so shuffle volume is independent of document length.  The oracle
+    is the full-text dedup: results are identical unless two distinct
+    normalized texts collide in 128 bits (P ≈ n²/2¹²⁹ — at 10¹²
+    documents, ~1e-15)."""
+    norm = F.lower(F.trim(F.col("text")))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.md5(F.encode(norm, "UTF-8")).alias("_k"),
+            "doc_id",
+        )
+        .groupBy("_k")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .drop("_k")
+    )
+
+
 # -- q_dedup_minhash: MinHash-LSH candidate pairs (rows-only) -------------
 
 

@@ -1,0 +1,156 @@
+"""Part B — dataset profiling / operability diagnostics (driver
+mandate, SURVEY.md §2.4): the maintenance queries a 100 TB lakehouse
+runs continuously.  Absent from the reference (its only "profiling"
+is printing N, mean and variance to stdout — `Main.scala:46-47`).
+
+- ``q_profile_table``: ANALYZE-style column profile (rows, nulls,
+  exact distincts, min/max) for every numeric/temporal column of
+  ``orders`` in ONE aggregation pass — the stats that feed CBO
+  estimates and data-quality monitors.
+- ``q_skew_metrics``: key-distribution diagnostics for
+  ``events.user_id`` — the measurement that decides whether a join
+  needs salting (see ``salted_join``) and with what factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ema_bigdata_spark.registry import query
+from ema_bigdata_spark.sources.tables import load_table
+
+#: (profile column, Spark source expression) — o_orderdate profiles as
+#: exact epoch microseconds so min/max stay engine-exact BIGINT-in-DOUBLE.
+_PROFILE_COLS = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_totalprice", "o_totalprice"),
+    (
+        "o_orderdate_us",
+        "CAST(timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) AS BIGINT)",
+    ),
+]
+
+_PROFILE_ORACLE_COLS = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_totalprice", "o_totalprice"),
+    (
+        "o_orderdate_us",
+        "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',"
+        " o_orderdate) AS BIGINT)",
+    ),
+]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{name}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({expr}) AS BIGINT) AS n_notnull,
+               CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+               round(CAST(min({expr}) AS DOUBLE), 6) AS min_val,
+               round(CAST(max({expr}) AS DOUBLE), 6) AS max_val
+        FROM orders
+        """
+        for name, expr in _PROFILE_ORACLE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q_profile_table", oracle=_profile_oracle())
+def q_profile_table(spark, sf_dir):
+    """ANALYZE-style profile of ``orders`` — one row per profiled
+    column with row/null/exact-distinct counts and min/max.
+
+    All statistics for all columns come from a SINGLE aggregation
+    (one scan; the distinct counts share one Expand), then the 1-row
+    result is pivoted long with ``inline`` — no second pass, no
+    per-column jobs.  At 100 TB this is the profile pass a catalog
+    runs per partition and merges; swap ``count(DISTINCT)`` for
+    ``approx_count_distinct`` when exactness stops paying (that
+    trade-off is q_approx_distinct's subject)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for name, expr in _PROFILE_COLS:
+        c = F.expr(expr)
+        aggs += [
+            F.count(c).cast("long").alias(f"nn_{name}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{name}"),
+            F.round(F.min(c).cast("double"), 6).alias(f"mn_{name}"),
+            F.round(F.max(c).cast("double"), 6).alias(f"mx_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    return wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column_name"),
+                        F.col("n_rows"),
+                        F.col(f"nn_{name}").alias("n_notnull"),
+                        F.col(f"nd_{name}").alias("n_distinct"),
+                        F.col(f"mn_{name}").alias("min_val"),
+                        F.col(f"mx_{name}").alias("max_val"),
+                    )
+                    for name, _ in _PROFILE_COLS
+                ]
+            )
+        )
+    )
+
+
+@query(
+    "q_skew_metrics",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+               GROUP BY user_id),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(max(cnt) AS BIGINT) AS max_count FROM c),
+    h AS (SELECT user_id AS hottest_user FROM c
+          ORDER BY cnt DESC, user_id LIMIT 1)
+    SELECT h.hottest_user, t.max_count, t.n_keys, t.n_rows,
+           round(CAST(t.max_count AS DOUBLE) * t.n_keys / t.n_rows, 6)
+             AS skew_factor
+    FROM t, h
+    """,
+)
+def q_skew_metrics(spark, sf_dir):
+    """Key-skew diagnostics for ``events.user_id``: key count, total
+    rows, the hottest key and its count, and the skew factor
+    (hottest share × key count; 1.0 = perfectly uniform).
+
+    This is the measurement that sizes ``salted_join``'s salt factor
+    before a 100 TB join: one groupBy on the key (the same shuffle
+    the join would do), then scalar aggregates over the tiny per-key
+    counts.  Deterministic hottest key via (count DESC, key) order."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_count"),
+    )
+    hottest = (
+        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(1)
+        .select(F.col("user_id").alias("hottest_user"))
+    )
+    return hottest.crossJoin(totals).select(
+        "hottest_user",
+        "max_count",
+        "n_keys",
+        "n_rows",
+        F.round(
+            F.col("max_count").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_factor"),
+    )

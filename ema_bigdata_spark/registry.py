@@ -43,6 +43,7 @@ def load_all() -> None:
         analytics,
         dedup,
         joins,
+        profiling,
         reference,
         relational,
         scalars,
