@@ -146,15 +146,26 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 @query("q_dedup_minhash")  # rows-only: engine-specific hash functions
 def q_dedup_minhash(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return minhash_pairs(docs)
+    # sort only at the query boundary (stable declared output); the
+    # library function leaves pairs unordered so pipeline consumers
+    # (clustering, sketch-similarity) don't pay a global sort.
+    return minhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs for any DataFrame
-    with (``doc_id``, ``text_col``) — the library entry point; the
-    declared query binds it to the driver's ``documents`` table."""
-    docs = docs.withColumn("shingles", _shingles(text_col))
-    sigs = _minhash_signatures(docs)
+def minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (unordered) for any
+    DataFrame with (``doc_id``, ``text_col``) — the library entry
+    point; the declared query binds it to the driver's ``documents``
+    table.  Pass precomputed ``sigs`` (from
+    :func:`_minhash_signatures`) to reuse signatures already built
+    for banding/estimation instead of re-shingling the corpus."""
+    if sigs is None:
+        docs = docs.withColumn("shingles", _shingles(text_col))
+        sigs = _minhash_signatures(docs)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -188,7 +199,7 @@ def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    return pairs
 
 
 # -- q_dedup_simhash: SimHash near-dup pairs (rows-only) ------------------
@@ -469,7 +480,9 @@ def q_minhash_jaccard_est(spark, sf_dir):
         "shingles", _shingles()
     )
     sigs = _minhash_signatures(docs)
-    pairs = minhash_pairs(spread(load_table(spark, sf_dir, "documents")))
+    # reuse the signatures for both banding and estimation — one
+    # shingling/signature pass over the corpus instead of two
+    pairs = minhash_pairs(docs, sigs=sigs)
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = (
         "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
