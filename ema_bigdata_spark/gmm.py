@@ -231,6 +231,40 @@ def _distributed_em(
     return GMMModel(phi, mu, s2, lnp_prev, it)
 
 
+def value_histogram(df: DataFrame, x: str = "value") -> DataFrame:
+    """The ONE full scan a fit performs: exact ``(value, count)``
+    histogram via map-side-combined groupBy — shuffle volume is
+    distinct-values-per-partition, not rows."""
+    return (
+        df.select(F.col(x).alias("_x"))
+        .where(F.col("_x").isNotNull())
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def gmm_fit_hist(
+    hist: DataFrame,
+    k: int = 3,
+    tol: float = DEFAULT_TOL,
+    max_iter: int = DEFAULT_MAX_ITER,
+    head: list | None = None,
+) -> GMMModel:
+    """Fit from a precomputed ``(value, count)`` histogram.  ``head``
+    is an optional already-collected ``hist.limit(MAX_DRIVER_BINS+1)``
+    row list so multi-fit callers (model selection) collect it once."""
+    import numpy as np
+
+    if head is None:
+        head = hist.limit(MAX_DRIVER_BINS + 1).collect()
+    if len(head) > MAX_DRIVER_BINS:  # domain too wide: iterate on-cluster
+        return _distributed_em(hist, k, tol, max_iter)
+    vals = np.array([r._x for r in head], dtype=np.float64)
+    cnts = np.array([r.cnt for r in head], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    return _driver_em(vals[order], cnts[order], k, tol, max_iter)
+
+
 def gmm_fit(
     df: DataFrame,
     x: str = "value",
@@ -243,21 +277,7 @@ def gmm_fit(
     One distributed histogram pass over the data, then EM over the
     bounded-cardinality histogram (module docstring).  The cluster
     touches the full dataset exactly once per fit."""
-    import numpy as np
-
-    hist = (
-        df.select(F.col(x).alias("_x"))
-        .where(F.col("_x").isNotNull())
-        .groupBy("_x")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    head = hist.limit(MAX_DRIVER_BINS + 1).collect()
-    if len(head) > MAX_DRIVER_BINS:  # domain too wide: iterate on-cluster
-        return _distributed_em(hist, k, tol, max_iter)
-    vals = np.array([r._x for r in head], dtype=np.float64)
-    cnts = np.array([r.cnt for r in head], dtype=np.int64)
-    order = np.argsort(vals, kind="stable")
-    return _driver_em(vals[order], cnts[order], k, tol, max_iter)
+    return gmm_fit_hist(value_histogram(df, x), k, tol, max_iter)
 
 
 @query("gmm_fit")  # rows-only: iterative, not SQL-expressible (SURVEY §2.2)
@@ -285,21 +305,38 @@ def q_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model selection over K via BIC = p·ln(n) − 2·lnL with
     p = 3K−1 free parameters — fits K ∈ {2, 3, 4} with the same
     one-job-per-iteration EM and reports each fit, lowest BIC first.
-    The candidate fits share one cached column, so the marginal cost
-    per extra K is iterations, not I/O."""
+
+    ONE histogram scan total: the ``(value, count)`` histogram is built
+    and collected once (n = Σcnt comes from it for free — no separate
+    ``count()`` job), then all three candidate fits iterate over the
+    same arrays driver-side; the marginal cost per extra K is numpy
+    iterations, not I/O.  The wide-domain fallback caches the histogram
+    so the distributed path also scans events exactly once."""
     import math
 
     ev = load_table(spark, sf_dir, "events").select("value")
-    n = ev.count()
+    hist = value_histogram(ev, "value")
+    wide = False
+    head = hist.limit(MAX_DRIVER_BINS + 1).collect()
+    if len(head) > MAX_DRIVER_BINS:
+        wide = True
+        hist = hist.cache()  # one events scan shared by the K fits
+        n = hist.agg(F.sum("cnt")).collect()[0][0]
+    else:
+        n = sum(r.cnt for r in head)
     rows = []
-    for k in (2, 3, 4):
-        # equal 6-iteration budget per candidate: enough for the BIC
-        # ordering to stabilize on this data, and the selection query
-        # stays ~half the cost of the full flagship fit
-        m = gmm_fit(ev, "value", k=k, tol=0.0, max_iter=6)
-        p = 3 * k - 1
-        bic = p * math.log(n) - 2.0 * m.log_likelihood
-        rows.append((k, round(m.log_likelihood, 3), round(bic, 3)))
+    try:
+        for k in (2, 3, 4):
+            # equal 6-iteration budget per candidate: enough for the BIC
+            # ordering to stabilize on this data, and the selection query
+            # stays ~half the cost of the full flagship fit
+            m = gmm_fit_hist(hist, k=k, tol=0.0, max_iter=6, head=head)
+            p = 3 * k - 1
+            bic = p * math.log(n) - 2.0 * m.log_likelihood
+            rows.append((k, round(m.log_likelihood, 3), round(bic, 3)))
+    finally:
+        if wide:
+            hist.unpersist()
     rows.sort(key=lambda r: r[2])
     return spark.createDataFrame(
         rows, "k BIGINT, log_likelihood DOUBLE, bic DOUBLE"

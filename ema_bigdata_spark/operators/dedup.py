@@ -162,10 +162,19 @@ def minhash_pairs(
     point; the declared query binds it to the driver's ``documents``
     table.  Pass precomputed ``sigs`` (from
     :func:`_minhash_signatures`) to reuse signatures already built
-    for banding/estimation instead of re-shingling the corpus."""
+    for banding/estimation instead of re-shingling the corpus; in that
+    mode ``docs``/``text_col`` are unused, and supplying a non-default
+    ``text_col`` alongside ``sigs`` is rejected (the signatures were
+    necessarily built from some other column selection)."""
     if sigs is None:
         docs = docs.withColumn("shingles", _shingles(text_col))
         sigs = _minhash_signatures(docs)
+    elif text_col != "text":
+        raise ValueError(
+            "minhash_pairs: pass either precomputed `sigs` OR a "
+            "`text_col` to build them from, not both — `docs`/"
+            "`text_col` are ignored when `sigs` is given"
+        )
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -135,12 +135,21 @@ def q_join_semi(spark, sf_dir):
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def q_join_anti(spark, sf_dir):
+    # "customers with no urgent order" — every customer has *some*
+    # order in this data, so the unfiltered anti join is vacuously
+    # empty; the priority filter keeps the check non-trivial (18 rows
+    # at sf0.001, 203 at sf0.01) while the plan stays a pushed-filter
+    # scan feeding a left-anti hash join.
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -279,20 +288,22 @@ def q_sql_exists(spark, sf_dir):
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def q_sql_scalar_subquery(spark, sf_dir):
     """Scalar subquery via ``spark.sql``: the inner aggregate runs once
     and is broadcast into the filter (a subquery-reuse exchange, not a
-    per-row loop).  Threshold 3× keeps the float comparison far from
-    ties, so the double `avg` is hash-safe despite summation order."""
+    per-row loop).  Threshold 1.5× is non-vacuous at every testdata SF
+    (380 rows at sf0.001, ~2.5%% of orders at sf0.01/0.1 — 3× matched
+    nothing) while the nearest o_totalprice sits O(100) away from the
+    boundary, so the order-dependent double `avg` can't flip a row."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM v_orders
-        WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM v_orders)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM v_orders)
         """
     )
 

@@ -6,15 +6,18 @@ an sf dir.
 
 Timestamp handling
 ------------------
-``events.ts`` is stored as ``INT64 TIMESTAMP(NANOS)``, which Spark
-rejects outright (``PARQUET_TYPE_ILLEGAL``).  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it reads as nanoseconds
-since epoch; we convert ``ns div 1000`` to ``TIMESTAMP_NTZ`` —
-**truncation to microseconds matches DuckDB's parquet reader bit-for-bit**
-(verified on sf0.001).  ``orders.o_orderdate`` / ``lineitem.l_shipdate``
-are millisecond timestamps (isAdjustedToUTC=false) that Spark reads
-natively as TIMESTAMP_NTZ.  NTZ is timezone-free so results never
-depend on the session timezone (DuckDB's TIMESTAMP is likewise naive).
+``events.ts`` is parquet ``INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false)``
+(verified via pyarrow on sf0.001/0.01/0.1), which Spark reads natively as
+``TIMESTAMP_NTZ`` — no conversion needed.  The loader still *guards* for a
+raw-nanos physical type (``spark.sql.legacy.parquet.nanosAsLong=true``
+reads TIMESTAMP(NANOS) as a LONG of ns-since-epoch): if the loaded dtype
+is LongType we convert ``ns div 1000`` to TIMESTAMP_NTZ, a truncation
+that matches DuckDB's ns→µs parquet read bit-for-bit.  The guard means a
+testdata regeneration with either physical type loads identically.
+``orders.o_orderdate`` / ``lineitem.l_shipdate`` are millisecond
+timestamps (isAdjustedToUTC=false) read natively as TIMESTAMP_NTZ.  NTZ
+is timezone-free so results never depend on the session timezone
+(DuckDB's TIMESTAMP is likewise naive).
 
 Scale note: the conversion is a codegen'd per-row projection (no
 shuffle, no Python).  Filters on a *converted* column cannot be pushed
@@ -44,7 +47,8 @@ TABLES = (
     "embeddings",
 )
 
-# timestamp(NANOS) columns per table (everything else reads natively)
+# event-time columns per table that may arrive as raw nanos LONGs
+# (everything else reads natively)
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
@@ -72,11 +76,43 @@ def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a table with timestamp columns converted to TIMESTAMP_NTZ."""
+    """Read a table with event-time columns normalized to TIMESTAMP_NTZ.
+
+    Conversion only fires when the column actually loaded as a raw nanos
+    LONG (legacy nanosAsLong path); native TIMESTAMP(MICROS) columns —
+    the testdata's current physical type — pass through untouched so
+    time-range predicates on them still push into the parquet scan.
+    """
+    from pyspark.sql.types import LongType
+
     df = load_raw(spark, sf_dir, name)
     for c in NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(c, _ns_to_ntz(c))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, _ns_to_ntz(c))
     return df
+
+
+def event_epoch_us(df: DataFrame, col: str = "ts") -> F.Column:
+    """BIGINT µs-since-epoch expression for an event-time column,
+    whatever physical type it loaded as.
+
+    The ONE place that knows the events timestamp encoding: a raw nanos
+    LONG (legacy nanosAsLong read) truncates ``ns div 1000``; a native
+    TIMESTAMP_NTZ (the testdata's current type) diffs against the NTZ
+    epoch — both pure integer codegen, no session-timezone dependence.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.expr(f"{col} div 1000")
+    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+
+
+def event_instant(df: DataFrame, col: str = "ts") -> F.Column:
+    """Event time as a TIMESTAMP (LTZ) *instant* — what watermarks and
+    ``F.window`` require — derived via :func:`event_epoch_us` so the
+    UTC wall clock is preserved regardless of loaded dtype."""
+    return F.timestamp_micros(event_epoch_us(df, col))
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -90,7 +126,15 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     than cores, where shuffling a few MB to unlock every core is free.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    # cheap guard: a scan over >= n files already has >= n splits; only
+    # few-file inputs (the testdata's 1-file tables) need the exchange.
+    # (inputFiles() is a driver-side catalog lookup — no RDD translation,
+    # no job.)
+    try:
+        enough = len(df.inputFiles()) >= n
+    except Exception:
+        enough = False
+    return df if enough else df.repartition(n)
 
 
 def filter_ts_range(

@@ -9,10 +9,12 @@ a Kafka source with checkpointing; the watermark bounds state store
 size (late rows beyond 10 min are dropped instead of growing state).
 
 Watermarks require TIMESTAMP (LTZ), so event time is carried as the
-*instant* ``timestamp_micros(ns div 1000)`` — instants and 1-minute
-window boundaries are timezone-independent (all UTC offsets are whole
-minutes) — and window starts are converted to TIMESTAMP_NTZ via pure
-epoch-µs arithmetic only at the output edge.
+*instant* produced by ``tables.event_instant`` (dtype-agnostic: native
+TIMESTAMP_NTZ or legacy raw-nanos LONG both map to the same epoch-µs
+instant) — instants and 1-minute window boundaries are
+timezone-independent (all UTC offsets are whole minutes) — and window
+starts are converted to TIMESTAMP_NTZ via pure epoch-µs arithmetic only
+at the output edge.
 
 The result is batch-equivalent here (single file → single micro-batch,
 nothing is ever late), so it's SQL-oracled against the equivalent
@@ -28,7 +30,11 @@ import uuid
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_raw
+from ema_bigdata_spark.sources.tables import (
+    event_epoch_us,
+    event_instant,
+    load_raw,
+)
 
 _WATERMARK = "10 minutes"
 _WINDOW = "1 minute"
@@ -114,8 +120,10 @@ def s_stream_session(spark, sf_dir):
             open_start, open_end, open_n = state.get
         else:
             open_start = open_end = open_n = None
+        # ts_us arrives as BIGINT µs (event_epoch_us projects it before
+        # the groupBy), so the state fn never sees the physical encoding
         ts_us = sorted(
-            int(t) // 1_000 for pdf in pdfs for t in pdf["ts"].tolist()
+            int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
         )
         out = []
         for t in ts_us:
@@ -137,11 +145,11 @@ def s_stream_session(spark, sf_dir):
         )
 
     raw_schema = load_raw(spark, sf_dir, "events").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "ts")
+    stream = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    stream = stream.select(
+        "user_id", event_epoch_us(stream).alias("ts_us")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         sessionize,
@@ -184,12 +192,12 @@ def s_stream_session(spark, sf_dir):
 )
 def s_stream_tumbling(spark, sf_dir):
     # File streaming source needs an explicit schema; take it from a
-    # batch read of the same file (ts arrives as raw nanos BIGINT).
-    raw_schema = load_raw(spark, sf_dir, "events").schema
-    to_instant = F.expr("timestamp_micros(ts div 1000)")
+    # batch read of the same file.
+    batch = load_raw(spark, sf_dir, "events")
+    to_instant = event_instant(batch)
     # file source wants a directory: scan sf_dir with a glob filter
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", to_instant)
@@ -214,7 +222,7 @@ def s_stream_tumbling(spark, sf_dir):
     # exact distinct users per window from the batch side (stream keeps
     # counts) — demonstrates stream/batch unification on one API.
     exact_users = (
-        load_raw(spark, sf_dir, "events")
+        batch
         .withColumn("ts", to_instant)
         .groupBy(F.window("ts", _WINDOW).alias("w"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
@@ -245,13 +253,12 @@ def s_stream_sliding(spark, sf_dir):
     as ``s_stream_tumbling``; state size is bounded by
     (watermark / slide + length / slide) windows per key — the slide
     interval, not the data volume, controls state at 100 TB/day rates."""
-    raw_schema = load_raw(spark, sf_dir, "events").schema
-    to_instant = F.expr("timestamp_micros(ts div 1000)")
+    batch = load_raw(spark, sf_dir, "events")
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", to_instant)
+        .withColumn("ts", event_instant(batch))
     )
     agg = (
         stream.withWatermark("ts", _WATERMARK)
@@ -330,12 +337,12 @@ def s_stream_join(spark, sf_dir):
     older than watermark + range).  The equi key (user_id) drives the
     state lookup exactly like the batch range join (q_join_range).
     Single-batch run = the batch join, so it's SQL-oracled."""
-    raw_schema = load_raw(spark, sf_dir, "events").schema
-    to_instant = F.expr("timestamp_micros(ts div 1000)")
+    batch = load_raw(spark, sf_dir, "events")
+    to_instant = event_instant(batch)
 
     def side(alias):
         return (
-            spark.readStream.schema(raw_schema)
+            spark.readStream.schema(batch.schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .select("user_id", "event_id", to_instant.alias("ts"))

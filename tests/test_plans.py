@@ -11,17 +11,9 @@ from __future__ import annotations
 import pytest
 
 from ema_bigdata_spark import registry
+from ema_bigdata_spark.plans import query_plan as _plan
 
 registry.load_all()
-
-
-def _plan(spark, sf_dir, name: str, execute: bool = False) -> str:
-    df = registry.QUERIES[name](spark, sf_dir)
-    if execute:  # AQE only shows codegen markers in the final plan,
-        # and only on the SAME QueryExecution that ran (collect, not a
-        # separate noop write, which would plan its own execution)
-        df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_project_pushes_predicates(spark, sf_dir):
