@@ -24,9 +24,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # The driver testdata stores TIMESTAMP(NANOS) parquet columns which
-    # Spark cannot read natively; read them as long (ns since epoch) and
-    # convert to TIMESTAMP_NTZ in the loader (tables.py).
+    # Guard for TIMESTAMP(NANOS) parquet columns, which Spark cannot
+    # read natively: read them as long (ns since epoch); the loader
+    # (tables.py) converts to TIMESTAMP_NTZ only when a column actually
+    # arrives as a raw long.  The current testdata is TIMESTAMP(MICROS)
+    # (reads natively), so this is dormant — but harmless — there.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any pandas interchange (mapInPandas paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -71,6 +71,45 @@ def test_rows_only_queries_deterministic(spark, sf_dir):
         assert sorted(map(repr, a)) == sorted(map(repr, b)), name
 
 
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidate generation must cover the high-similarity pairs
+    the exact n-gram Jaccard pass finds: recall ≥ 0.9 at jaccard ≥ 0.7
+    (measured 1.0 on sf0.001 AND sf0.01 — this guards against a recall
+    regression in the banding/signature scheme, e.g. fewer bands or a
+    broken band hash)."""
+    exact = registry.QUERIES["q_ngram_jaccard"](spark, sf_dir).collect()
+    hi = [(r.doc_a, r.doc_b) for r in exact if r.jaccard >= 0.7]
+    assert hi, "fixture regression: no exact pairs with jaccard >= 0.7"
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["q_dedup_minhash"](spark, sf_dir).collect()
+    }
+    recall = sum(1 for p in hi if p in cand) / len(hi)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(hi)} pairs"
+
+
+def test_ann_topk_overlap_vs_exact(spark, sf_dir):
+    """ANN results must overlap the brute-force exact top-k: the
+    whole point of the approximate index is ranking quality, so 'ran'
+    is not enough.  Bounds sit below the deterministic measured values
+    (LSH 3/10, IVF 3-6/10 across sf0.001/0.01) so only a real recall
+    regression trips them."""
+    exact = {
+        r.vec_id
+        for r in registry.QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+    }
+    lsh = {
+        r.vec_id
+        for r in registry.QUERIES["q_ann_lsh"](spark, sf_dir).collect()
+    }
+    ivf = {
+        r.vec_id
+        for r in registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert len(exact & lsh) >= 2, f"LSH overlap {sorted(exact & lsh)}"
+    assert len(exact & ivf) >= 3, f"IVF overlap {sorted(exact & ivf)}"
+
+
 def test_minhash_finds_exact_duplicates(spark, sf_dir):
     """Identical texts must always be MinHash candidates: inject a
     duplicated doc pair and check the pair surfaces."""
@@ -100,9 +139,10 @@ def test_minhash_finds_exact_duplicates(spark, sf_dir):
 
 
 def test_embed_dup_finds_planted_near_dups(spark, tmp_path):
-    """q_embed_dup is empty on random testdata (no cosine ≥ 0.95 pairs
-    exist), so plant near-duplicates in a fixture corpus and require
-    the LSH blocking + exact rerank to surface them."""
+    """The thresholded operator (embed_dup_pairs) is empty on random
+    testdata (no cosine ≥ 0.95 pairs exist), so plant near-duplicates
+    in a fixture corpus and require the LSH blocking + exact rerank to
+    surface them."""
     import numpy as np
 
     rng = np.random.default_rng(11)
@@ -119,13 +159,24 @@ def test_embed_dup_finds_planted_near_dups(spark, tmp_path):
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
-    out = registry.QUERIES["q_embed_dup"](spark, str(tmp_path)).collect()
+    from ema_bigdata_spark.operators.similarity import embed_dup_pairs
+    from ema_bigdata_spark.sources.tables import load_table
+
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    out = embed_dup_pairs(emb).collect()
     pairs = {(r.vec_a, r.vec_b) for r in out}
     assert (1, 101) in pairs, pairs
     assert (1, 102) in pairs, pairs
     assert all(r.cosine >= 0.95 for r in out)
     # no false positives: every reported pair involves the planted trio
     assert all({a, b} <= {1, 101, 102} for a, b in pairs), pairs
+
+    # the declared query (top-10 blocked pairs) is non-vacuous and
+    # ranks the planted dups first
+    out_q = registry.QUERIES["q_embed_dup"](spark, str(tmp_path)).collect()
+    assert len(out_q) > 0
+    top = {(r.vec_a, r.vec_b) for r in out_q[:2]}
+    assert top == {(1, 101), (1, 102)}, out_q[:3]
 
 
 class TestGMM:
