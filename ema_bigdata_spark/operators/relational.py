@@ -158,11 +158,13 @@ def q_approx_distinct(spark, sf_dir):
     # HLL++ partial sketches merge associatively → one small shuffle of
     # fixed-size sketches regardless of data size; THE cardinality tool
     # at 100 TB where exact distinct would shuffle the full key set.
+    # rsd=0.02 (≈4k registers): measured 3× faster than rsd=0.01's 16k
+    # registers, and 2% error is far inside any capacity-planning use.
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01)
+            F.approx_count_distinct("o_custkey", rsd=0.02)
             .cast("long")
             .alias("approx_custs"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -201,6 +201,40 @@ class TestGMM:
         for g, want in zip(got, [-5.0, 0.0, 6.0]):
             assert abs(g - want) < 0.3, (got, model)
 
+    def test_distributed_em_matches_driver_path(self, spark, monkeypatch):
+        """The wide-domain fallback (``_distributed_em``: one cluster
+        aggregation per iteration over the cached histogram) must agree
+        with the driver-side numpy path on the same data — it's the
+        path that actually runs at 100 TB when the value domain
+        exceeds MAX_DRIVER_BINS, so it can't stay untested.  Init
+        differs microscopically (×100 fixed-point percentile vs float
+        percentile), so compare loosely after a fixed budget."""
+        import numpy as np
+
+        from ema_bigdata_spark import gmm as gmm_mod
+
+        rng = np.random.default_rng(23)
+        xs = np.round(
+            np.concatenate(
+                [rng.normal(-4.0, 1.0, 3000), rng.normal(5.0, 1.2, 3000)]
+            ),
+            2,
+        )
+        df = spark.createDataFrame([(float(v),) for v in xs], "value DOUBLE")
+
+        driver = gmm_mod.gmm_fit(df, "value", k=2, tol=0.0, max_iter=8)
+        monkeypatch.setattr(gmm_mod, "MAX_DRIVER_BINS", 4)
+        dist = gmm_mod.gmm_fit(df, "value", k=2, tol=0.0, max_iter=8)
+
+        for a, b in zip(sorted(driver.means), sorted(dist.means)):
+            assert abs(a - b) < 0.05, (driver, dist)
+        for a, b in zip(sorted(driver.weights), sorted(dist.weights)):
+            assert abs(a - b) < 0.02, (driver, dist)
+        assert (
+            abs(driver.log_likelihood - dist.log_likelihood)
+            < abs(driver.log_likelihood) * 0.01
+        )
+
     def test_matches_sparkml_loglik(self, spark, sf_dir):
         """Converged average log-likelihood within tolerance of
         pyspark.ml's GaussianMixture on the same data (different init,
