@@ -156,6 +156,59 @@ def test_funnel_filters_push_to_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
 
 
+def test_dedup_exact_hash_single_narrow_shuffle(spark, sf_dir):
+    """The 100 TB dedup shape: ONE hash exchange keyed by the 128-bit
+    digest, and the scan reads only (doc_id, text) — never the full
+    document row."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_dedup_exact_hash")
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) == 1
+    assert "FileScan parquet [doc_id" in plan  # pruned to 2 columns
+
+
+def test_minhash_band_join_never_cartesian(spark, sf_dir):
+    """Candidate generation must join on (band, band-signature) — a
+    cartesian/nested-loop fallback would be O(n²) at scale."""
+    plan = _plan(spark, sf_dir, "q_dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bsig" in plan
+
+
+def test_similarity_topk_is_takeordered_no_shuffle(spark, sf_dir):
+    """Brute-force cosine top-k: one narrow scan into TakeOrdered
+    (per-partition k + merge) — zero exchanges, no global sort."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_similarity_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert exchange_count(plan) == 0
+    assert scan_count(plan) == 1
+
+
+def test_embed_norm_no_shuffle(spark, sf_dir):
+    """Per-row vector math is a pure projection: no Exchange."""
+    from ema_bigdata_spark.plans import exchange_count
+
+    assert exchange_count(_plan(spark, sf_dir, "q_embed_norm")) == 0
+
+
+def test_ann_ivf_single_scan_broadcast_assignment(spark, sf_dir):
+    """IVF assignment is a narrow projection over one scan with the
+    centroids arriving as ONE broadcast row — no N×K row blow-up, no
+    per-vector shuffle, and the rerank is a TakeOrdered."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_ann_ivf")
+    assert scan_count(plan) == 1
+    assert "TakeOrderedAndProject" in plan
+    # the only exchange is the 1-row centroid broadcast
+    assert exchange_count(plan) <= 1
+    assert "BroadcastExchange" in plan
+
+
 def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     """The static dimension must broadcast: per-batch cost is the dim
     broadcast, not a stream-side shuffle."""
