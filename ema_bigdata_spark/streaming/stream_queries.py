@@ -48,13 +48,16 @@ def _state_partitions(spark, n: int | None = None):
     the checkpoint at query start, and every micro-batch pays a
     per-partition state-store open/commit/snapshot cost REGARDLESS of
     row volume — at 32 partitions that fixed cost dominates a local
-    run (measured: the stream-stream join drops 35 s → 4 s at 4-8
-    partitions).  State partitioning should track key cardinality and
-    throughput, not the batch-side shuffle width, so it gets its own
-    knob (``SPARK_GRAFT_STREAM_PARTITIONS``; a production deploy sizes
-    it to sustained keys/sec once — it cannot change after the
+    run (measured at sf0.1: the stream-stream join runs 5.9 s at 8
+    state partitions, 4.6 s at 4, 6.1 s at 2 — the per-partition
+    commit cost and the parallelism win cross between 2 and 8; every
+    other streaming query is equal-or-faster at 4).  State
+    partitioning should track key cardinality and throughput, not the
+    batch-side shuffle width, so it gets its own knob
+    (``SPARK_GRAFT_STREAM_PARTITIONS``; a production deploy sizes it
+    to sustained keys/sec once — it cannot change after the
     checkpoint is created)."""
-    n = n or int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    n = n or int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
