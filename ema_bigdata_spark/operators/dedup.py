@@ -412,9 +412,15 @@ def connected_components(
     4-round distributed loop's job overhead).  Above it, distributed
     min-label propagation: each round every node takes the minimum
     label among itself and its neighbors; converges in O(component
-    diameter) rounds (dup clusters are near-cliques, so 2-3 rounds);
-    at true graph scale checkpoint every few rounds to cut lineage.
-    Both paths return identical labels.
+    diameter) rounds (dup clusters are near-cliques, so 2-3 rounds).
+    Every 3rd round the label frame is checkpointed — caching alone
+    truncates COMPUTE but not the PLAN, so an iterative self-join
+    otherwise grows the lineage (and Catalyst re-analysis cost) per
+    round and recompute cascades on cache eviction.  Locally that's
+    ``localCheckpoint``; at true cluster scale point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and
+    swap in reliable ``checkpoint()``.  Both paths return identical
+    labels.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -435,23 +441,26 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .cache()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .cache()
+        new_labels = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
+        # periodic lineage cut (docstring); cache suffices in between
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
