@@ -280,19 +280,24 @@ def q_intersect(spark, sf_dir):
 @query(
     "q_except",
     oracle="""
-    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     EXCEPT
-    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
     """,
 )
 def q_except(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("long").alias("nationkey")
+    # customers with urgent but never low-priority orders: non-empty at
+    # every SF (17 / 188 / 1759 rows) — the earlier customer-vs-supplier
+    # nationkey EXCEPT was vacuously empty (both span all 25 nations),
+    # so the driver check hashed nothing.
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("long").alias("nationkey")
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
     )
-    return c.subtract(s)
+    return urgent.subtract(low)
 
 
 # -- q_corr_stats: exact Pearson correlation / covariance -----------------
