@@ -76,6 +76,22 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert spark.read.json(str(tmp_path / "r_json")).count() == src.count()
 
 
+def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
+    """ORC writes re-read losslessly AND keep predicate pushdown: the
+    point of a columnar sink is that the filter reaches the scan."""
+    from ema_bigdata_spark.sources.sinks import write_orc
+    from ema_bigdata_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders")
+    write_orc(src, str(tmp_path / "o_orc"))
+    back = spark.read.orc(str(tmp_path / "o_orc"))
+    assert back.count() == src.count()
+    filt = back.where(F.col("o_orderpriority") == "1-URGENT")
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority," in plan
+    assert filt.count() == src.where("o_orderpriority = '1-URGENT'").count()
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Bucketed tables joined on the bucket key need no exchange: the
     files are already hash-partitioned, so the sort-merge join reads
