@@ -530,3 +530,106 @@ def q_token_histogram(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# -- q_corpus_clean: the composed training-corpus cleaning pipeline -------
+
+#: corpus-clean gates: language, token-length band, quality floor.
+#: Chosen non-vacuous on the testdata (keeps 135/146/1433 docs at
+#: sf0.001/0.01/0.1) and representative of a real pretraining filter.
+_CLEAN_MIN_TOKENS = 30
+_CLEAN_MAX_TOKENS = 1000
+_CLEAN_MIN_QUALITY = 2.0
+
+
+@query(
+    "q_corpus_clean",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, source, text,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     x -> x IN ({_STOP_IN}))) AS BIGINT)
+               AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT *, {_QUALITY_EXPR} AS quality
+      FROM (
+        SELECT *,
+               (n_chars_calc - (n_tokens - 1)) AS length_wordchars,
+               CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens
+                 AS avg_word_len,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+        FROM m
+      )
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE lang = 'en'
+        AND n_tokens BETWEEN {_CLEAN_MIN_TOKENS} AND {_CLEAN_MAX_TOKENS}
+        AND quality >= {_CLEAN_MIN_QUALITY}
+    ),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM gated
+      GROUP BY lower(trim(text))
+    )
+    SELECT g.doc_id, g.source, g.n_tokens, g.quality
+    FROM gated g JOIN winners w ON g.doc_id = w.doc_id
+    """,
+)
+def q_corpus_clean(spark, sf_dir):
+    """The composed pretraining-corpus cleaning pipeline in ONE plan:
+    language gate → token-length band → quality floor → exact-dedup
+    winner per normalized text.  This is the end-to-end shape every
+    LLM data pipeline runs before tokenization; declaring it as one
+    query proves the individual operators (q_lang_id's gate,
+    q_token_count's counting, q_quality_score's scoring,
+    q_dedup_exact's keying) COMPOSE without materialization barriers.
+
+    Scale shape: everything before dedup is a pushed-filter scan plus
+    per-row expressions (no shuffle, no UDF); the only exchange is the
+    dedup groupBy, which runs on the ALREADY-GATED subset (here ~30%
+    of docs; the gates cut shuffle volume before the expensive step —
+    filter-then-shuffle ordering that matters at 100 TB).  The filter
+    on the ROUNDED quality keeps the float boundary engine-portable
+    (both sides compare identical 6-decimal values).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' ', -1), x -> x IN ({_STOP_IN})))"
+            " AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    scored = (
+        m.withColumn(
+            "length_wordchars", F.col("n_chars_calc") - (F.col("n_tokens") - 1)
+        )
+        .withColumn(
+            "avg_word_len",
+            F.col("length_wordchars").cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "stop_ratio", F.col("n_stop").cast("double") / F.col("n_tokens")
+        )
+        .withColumn("quality", F.expr(_QUALITY_EXPR))
+    )
+    gated = scored.where(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(_CLEAN_MIN_TOKENS, _CLEAN_MAX_TOKENS)
+        & (F.col("quality") >= _CLEAN_MIN_QUALITY)
+    )
+    winners = gated.groupBy(F.lower(F.trim(F.col("text"))).alias("_norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).drop("_norm")
+    return gated.join(winners, "doc_id").select(
+        "doc_id", "source", "n_tokens", "quality"
+    )
