@@ -331,20 +331,30 @@ _BUCKET_CAP = 100
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    # Per-doc work stays per-ROW as long as possible: shingle dedup is
-    # array_distinct (not an explode + DISTINCT exchange) and the doc
-    # size n = size(array_distinct) rides along from the projection
-    # (not a partitionBy(doc_id) window).  That leaves exactly two
-    # shuffles — the stop-shingle count over `sh` (whose exchange the
-    # self-join then REUSES) and the final pair groupBy — down from
-    # four.  At 100 TB join on a 128-bit content hash of the shingle
-    # instead of the string to shrink the exchange (64-bit birthday
-    # collisions get real at billions of shingles; strings here keep
-    # the DuckDB oracle exact).
+    return ngram_jaccard_pairs(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ ``_JACCARD_MIN`` for any
+    (``doc_id``, ``text``) DataFrame — the library entry point.
+
+    Per-doc work stays per-ROW as long as possible: shingle dedup is
+    array_distinct (not an explode + DISTINCT exchange) and the doc
+    size n = size(array_distinct) rides along from the projection
+    (not a partitionBy(doc_id) window).  That leaves exactly two
+    shuffles — the stop-shingle count over `sh` (whose exchange the
+    self-join then REUSES) and the final pair groupBy — down from
+    four.  At 100 TB join on a 128-bit content hash of the shingle
+    instead of the string to shrink the exchange (64-bit birthday
+    collisions get real at billions of shingles; strings here keep
+    the DuckDB oracle exact).
+    """
     from pyspark.sql import Window
 
     sh = (
-        spread(load_table(spark, sf_dir, "documents"))
+        docs
         .select("doc_id", F.array_distinct(_shingles()).alias("shs"))
         .select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
         .withColumn("bc", F.count(F.lit(1)).over(Window.partitionBy("sh")))
@@ -366,6 +376,87 @@ def q_ngram_jaccard(spark, sf_dir):
     return (
         common.where(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# -- q_dedup_fuzzy: edit-distance verification of candidate pairs ---------
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN length(string_split(text, ' ')) >= 3
+                 THEN list_transform(
+                        generate_series(1, length(string_split(text, ' ')) - 2),
+                        i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 2),
+                               ' '))
+                 ELSE [text] END) AS sh
+        FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_BUCKET_CAP}
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN keep k ON a.sh = k.sh
+                JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cand AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_MIN}
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           round(CAST(1 AS DOUBLE)
+                 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                   / greatest(length(da.text), length(db.text)), 6)
+             AS edit_sim
+    FROM cand
+    JOIN documents da ON da.doc_id = cand.doc_a
+    JOIN documents db ON db.doc_id = cand.doc_b
+    """,
+)
+def q_dedup_fuzzy(spark, sf_dir):
+    """Two-stage fuzzy dedup: cheap candidate generation (exact shingle
+    Jaccard, :func:`ngram_jaccard_pairs`) → expensive edit-distance
+    verification ONLY on candidates — the canonical
+    filter-then-verify shape: Levenshtein is O(len²) per pair, so at
+    100 TB it must never touch the O(n²) pair space, only the
+    candidate set (25 pairs here vs 125 k possible at sf0.01).
+
+    The verify join brings the texts back by doc_id with the CANDIDATE
+    side broadcast (it is orders of magnitude smaller than the corpus),
+    so the corpus is scanned, never shuffled.  Integer edit distance is
+    engine-exact; the normalized similarity is one rounded double
+    formula over identical integer inputs."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cand = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    texts = docs.select("doc_id", "text")
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    longest = F.greatest(
+        F.length(F.col("da.text")), F.length(F.col("db.text"))
+    )
+    return (
+        F.broadcast(cand)
+        .join(texts.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(texts.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            F.round(
+                F.lit(1.0) - lev.cast("double") / longest.cast("double"), 6
+            ).alias("edit_sim"),
+        )
     )
 
 
