@@ -633,3 +633,107 @@ def q_corpus_clean(spark, sf_dir):
     return gated.join(winners, "doc_id").select(
         "doc_id", "source", "n_tokens", "quality"
     )
+
+
+# -- q_contamination: benchmark n-gram decontamination check --------------
+
+#: contamination n-gram width and the deterministic "benchmark" subset
+#: (every 50th doc stands in for an eval suite; 4-grams are the widest
+#: that stay non-vacuous on this synthetic corpus — 7/19/1219 flagged
+#: docs at sf0.001/0.01/0.1).
+_CONTAM_K = 4
+_CONTAM_MOD = 50
+
+
+def _kgrams(col: str, k: int) -> F.Column:
+    """Linear-time k-word shingles: k zipped shifted slices of the
+    token array (the same trick as dedup._shingles — indexing inside a
+    HOF lambda re-evaluates the captured split per element, going
+    O(tokens²) per document).  Docs shorter than k tokens yield an
+    empty array."""
+    toks = f"split({col}, ' ', -1)"
+    width = f"size({toks}) - {k - 1}"
+    expr = f"slice({toks}, 1, {width})"
+    for j in range(2, k + 1):
+        expr = (
+            f"zip_with({expr}, slice({toks}, {j}, {width}),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN {expr}"
+        f" ELSE slice({toks}, 1, 0) END"
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - {_CONTAM_K - 1}, 0)),
+               i -> array_to_string(list_slice(t, i, i + {_CONTAM_K - 1}), ' ')))
+               AS s
+      FROM toks
+    ),
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
+    bench AS (
+      SELECT DISTINCT s FROM shd WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    hits AS (
+      SELECT shd.doc_id, count(*) AS n_hits
+      FROM shd JOIN bench USING (s)
+      WHERE shd.doc_id % {_CONTAM_MOD} <> 0
+      GROUP BY shd.doc_id
+    )
+    SELECT h.doc_id,
+           CAST(z.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           round(CAST(h.n_hits AS DOUBLE) / z.n_shingles, 6)
+             AS contamination
+    FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    {_CONTAM_K}-gram with the benchmark subset — the check every
+    pretraining pipeline runs so eval data doesn't leak into training.
+
+    Scale shape: the benchmark is a fixed-size eval suite, so its
+    distinct-shingle set is BROADCAST (no shuffle of the corpus to
+    meet it); per-doc shingling is linear per row, and the only
+    exchange is the per-doc hit count — proportional to matched
+    shingles, not corpus size.  Contaminated docs then feed q_except-
+    style removal or q_corpus_clean's gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_kgrams("text", _CONTAM_K))).alias("s"),
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(_kgrams("text", _CONTAM_K)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    bench = F.broadcast(
+        shd.where(F.col("doc_id") % _CONTAM_MOD == 0).select("s").distinct()
+    )
+    hits = (
+        shd.where(F.col("doc_id") % _CONTAM_MOD != 0)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
