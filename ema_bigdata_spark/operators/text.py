@@ -737,3 +737,80 @@ def q_contamination(spark, sf_dir):
             F.col("n_hits").cast("double") / F.col("n_shingles"), 6
         ).alias("contamination"),
     )
+
+
+# -- q_pack_sequences: token-budget packing for training batches ----------
+
+#: tokens per training sequence and shard fan-out.  Packing is
+#: per-shard so it parallelizes: a global greedy pack would serialize
+#: the corpus through one cumulative sum (single-partition window),
+#: which is exactly what cannot run at 100 TB.  Sharding by a doc_id
+#: hash keeps packs deterministic and the per-shard stream ordered.
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE lang = 'en'
+    ),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT shard,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY shard, pack_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: assign gated documents to
+    ~{_PACK_BUDGET}-token training packs — the step between corpus
+    cleaning and tokenization that decides batch shapes.
+
+    Greedy start-offset packing per SHARD: within each shard documents
+    stream in doc_id order and a running token total opens a new pack
+    each time it crosses the budget (pack = cumulative-start ÷
+    budget).  The window partitions by shard, so the only exchange is
+    the shard hash and every shard packs independently — the
+    embarrassingly-parallel layout real pipelines use (one packer per
+    worker), versus a global cumulative sum which would funnel 100 TB
+    through a single-partition window."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
