@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scaling probe: does per-row cost stay flat as data grows?
+
+Replicates ``events`` in memory by ``--factor`` (default 32, with
+shifted event_ids) and times representative operators at 1× and N× on
+the same cores, printing one JSON line.  A plan that is actually
+O(rows) shows time growth ≪ N at bench scale (fixed overhead
+amortizes); a plan hiding an O(n²) or a driver-side loop shows
+superlinear growth here long before it kills a 100 TB run.
+
+The range join's time is expected to track its OUTPUT (candidate
+pairs): replication multiplies per-user density, so pairs grow ~N²
+while time should grow far slower — that gap is the evidence the equi
+conjunct is doing its job.
+
+Usage: python bench_scaling.py [--factor N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(thunk) -> float:
+    best = float("inf")
+    for _ in range(2):  # min-of-2: drop one-time codegen (see bench.py)
+        t0 = time.monotonic()
+        thunk()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.session import get_spark
+
+    spark = get_spark(app_name="ema-bigdata-scaling")
+    ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mx = ev1.agg(F.max("event_id")).collect()[0][0] + 1
+    evn = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev1.withColumn("event_id", F.col("event_id") + F.lit(i * mx))
+            for i in range(args.factor)
+        ],
+    ).repartition(spark.sparkContext.defaultParallelism).cache()
+    n_rows = evn.count()  # materialize the cache outside the timings
+
+    def hist(df):
+        return lambda: _noop(df.groupBy("value").count())
+
+    def hourly(df):
+        return lambda: _noop(
+            df.groupBy(F.date_trunc("hour", "ts"), "event_type").count()
+        )
+
+    def rangejoin(df):
+        a, b = df.alias("a"), df.alias("b")
+        cond = (
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") > F.col("a.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE"))
+        )
+        return lambda: _noop(
+            a.join(b, cond).groupBy(F.col("a.user_id")).count()
+        )
+
+    out = {"factor": args.factor, "rows_1x": n_rows // args.factor,
+           "rows_nx": n_rows, "ops": {}}
+    for name, mk in (("hist", hist), ("hourly", hourly),
+                     ("range_join", rangejoin)):
+        t1 = _timed(mk(ev1))
+        tn = _timed(mk(evn))
+        out["ops"][name] = {
+            "sec_1x": t1,
+            "sec_nx": tn,
+            "time_growth": round(tn / t1, 2) if t1 > 0 else None,
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
