@@ -17,9 +17,6 @@ from pyspark.sql import functions as F
 
 from ema_bigdata_spark.functions.gaussian import (
     K,
-    MU,
-    PHI,
-    SIGMA2,
     gamma_k,
     log_density,
 )
