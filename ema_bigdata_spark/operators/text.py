@@ -589,13 +589,16 @@ def q_corpus_clean(spark, sf_dir):
     q_dedup_exact's keying) COMPOSE without materialization barriers.
 
     Scale shape: everything before dedup is a pushed-filter scan plus
-    per-row expressions (no shuffle, no UDF); the only exchange is the
-    dedup groupBy, which runs on the ALREADY-GATED subset (here ~30%
-    of docs; the gates cut shuffle volume before the expensive step —
-    filter-then-shuffle ordering that matters at 100 TB).  The filter
-    on the ROUNDED quality keeps the float boundary engine-portable
-    (both sides compare identical 6-decimal values).
+    per-row expressions (no shuffle, no UDF); the dedup winner is a
+    row_number-over-normalized-text window, so the whole pipeline is
+    ONE scan and ONE exchange (plan-tested) — and the exchange runs on
+    the ALREADY-GATED subset (here ~30% of docs; the gates cut shuffle
+    volume before the expensive step — filter-then-shuffle ordering
+    that matters at 100 TB).  The filter on the ROUNDED quality keeps
+    the float boundary engine-portable (both sides compare identical
+    6-decimal values).
     """
+    from pyspark.sql import Window
     docs = load_table(spark, sf_dir, "documents")
     m = docs.select(
         "doc_id",
@@ -627,11 +630,11 @@ def q_corpus_clean(spark, sf_dir):
         & F.col("n_tokens").between(_CLEAN_MIN_TOKENS, _CLEAN_MAX_TOKENS)
         & (F.col("quality") >= _CLEAN_MIN_QUALITY)
     )
-    winners = gated.groupBy(F.lower(F.trim(F.col("text"))).alias("_norm")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).drop("_norm")
-    return gated.join(winners, "doc_id").select(
-        "doc_id", "source", "n_tokens", "quality"
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)  # row 1 by doc_id == min doc_id
+        .select("doc_id", "source", "n_tokens", "quality")
     )
 
 

@@ -209,6 +209,39 @@ def test_ann_ivf_single_scan_broadcast_assignment(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_corpus_clean_single_scan_single_shuffle(spark, sf_dir):
+    """The composed cleaning pipeline must stay ONE scan + ONE
+    exchange: gates are pushed-filter projections and the dedup winner
+    is a window, not a groupBy + self-join (which would re-scan)."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_corpus_clean")
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) == 1
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Packing must shuffle once (the shard hash) — a global cumsum
+    would show a SinglePartition exchange, the 100 TB serialization
+    bug this query's sharding exists to avoid."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_fuzzy_and_contamination_never_cartesian(spark, sf_dir):
+    """Candidate-based reranks must never degrade to cartesian or
+    nested-loop joins, and text ops must stay UDF-free."""
+    for name in ("q_dedup_fuzzy", "q_contamination"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
 def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     """The static dimension must broadcast: per-batch cost is the dim
     broadcast, not a stream-side shuffle."""
