@@ -438,9 +438,13 @@ def q_dedup_fuzzy(spark, sf_dir):
     so the corpus is scanned, never shuffled.  Integer edit distance is
     engine-exact; the normalized similarity is one rounded double
     formula over identical integer inputs."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    cand = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    texts = docs.select("doc_id", "text")
+    cand = ngram_jaccard_pairs(
+        spread(load_table(spark, sf_dir, "documents"))
+    ).select("doc_a", "doc_b")
+    # text fetch does NOT spread(): the per-row work after this scan is
+    # one hash-probe against the broadcast candidates — widening it
+    # would just add a round-robin exchange of the whole corpus
+    texts = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
     longest = F.greatest(
         F.length(F.col("da.text")), F.length(F.col("db.text"))
