@@ -149,25 +149,61 @@ def q_agg_distinct(spark, sf_dir):
     )
 
 
-# -- q_approx_distinct: HLL sketch (rows-only: sketch estimates differ
-#    between engines by design) -------------------------------------------
+# -- q_approx_distinct: HLL sketch with driver-checkable invariant --------
 
 
-@query("q_approx_distinct")
+def approx_distinct_sketch(df, key: str, by: str, rsd: float = 0.02):
+    """Sketch-only HLL++ distinct count — the production operator.
+
+    HLL++ partial sketches merge associatively → one small shuffle of
+    fixed-size sketches regardless of data size; THE cardinality tool
+    at 100 TB where exact distinct would shuffle the full key set.
+    rsd=0.02 (≈4k registers): measured 3× faster than rsd=0.01's 16k
+    registers, and 2% error is far inside any capacity-planning use."""
+    return df.groupBy(by).agg(
+        F.approx_count_distinct(key, rsd=rsd).cast("long").alias("approx_custs"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
-    # HLL++ partial sketches merge associatively → one small shuffle of
-    # fixed-size sketches regardless of data size; THE cardinality tool
-    # at 100 TB where exact distinct would shuffle the full key set.
-    # rsd=0.02 (≈4k registers): measured 3× faster than rsd=0.01's 16k
-    # registers, and 2% error is far inside any capacity-planning use.
+    """Driver-checkable form of :func:`approx_distinct_sketch`: sketch
+    values are engine-specific, but the sketch's ERROR BOUND is not —
+    so the registered query computes sketch AND exact in one aggregate
+    and emits ``approx_ok = |approx − exact| ≤ 3·rsd·exact``; the
+    oracle computes the exact side and literal TRUE.  A regression in
+    the sketch path (wrong rsd, broken merge) flips the boolean and
+    fails the hash — unlike the old rows-only contract, which checked
+    nothing.  (The exact column here is the verification yardstick;
+    the production sketch-only operator stays exact-free.)"""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02)
             .cast("long")
-            .alias("approx_custs"),
+            .alias("_approx"),
+            F.countDistinct("o_custkey").cast("long").alias("exact_custs"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custs"))
+                <= F.lit(0.06) * F.col("exact_custs")
+            ).alias("approx_ok"),
         )
     )
 
@@ -556,28 +592,61 @@ def q_unpivot(spark, sf_dir):
 # -- q_approx_quantiles: mergeable quantile sketch ------------------------
 
 
-@query("q_approx_quantiles")  # rows-only: sketch values are
-# engine-specific (Greenwald-Khanna here vs DuckDB's t-digest)
+@query(
+    "q_approx_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(ti, 0.25) / 10000, 6) AS p25,
+           round(quantile_cont(ti, 0.50) / 10000, 6) AS p50,
+           round(quantile_cont(ti, 0.75) / 10000, 6) AS p75,
+           TRUE AS approx_ok
+    FROM (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 10000) AS BIGINT) AS ti
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
 def q_approx_quantiles(spark, sf_dir):
     """Approximate p25/p50/p75 of ``o_totalprice`` per status via the
     Greenwald-Khanna sketch — the constant-memory, mergeable companion
     to exact ``q_percentiles``: at 100 TB the exact form shuffles and
-    sorts every group, the sketch shuffles fixed-size summaries."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            *[
-                F.round(
-                    F.expr(
-                        f"approx_percentile(o_totalprice, {p}, 10000)"
-                    ),
-                    6,
-                ).alias(name)
-                for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
-            ],
+    sorts every group, the sketch shuffles fixed-size summaries.
+
+    Sketch values are engine-specific (GK here vs DuckDB's t-digest),
+    so the driver-checkable contract follows the q_approx_distinct
+    pattern: exact percentiles (the ``ti`` integer-domain trick from
+    q_percentiles, bit-exact vs quantile_cont) are the hashed values,
+    and ``approx_ok`` asserts the GK estimate lands within the sketch's
+    rank-error bound of the exact value (accuracy=10000 → ≤ n/10000
+    ranks ≈ 2% of value + a cent of slack on this distribution)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 10000, 0).cast("long").alias("ti"),
+    )
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        *[
+            F.round(F.expr(f"percentile(ti, {p})") / 10000, 6).alias(name)
+            for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+        ],
+        *[
+            (F.expr(f"approx_percentile(ti, {p}, 10000)") / 10000).alias(
+                f"_a{name}"
+            )
+            for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+        ],
+    )
+    ok = None
+    for name in ("p25", "p50", "p75"):
+        cond = F.abs(F.col(f"_a{name}") - F.col(name)) <= (
+            F.lit(0.02) * F.abs(F.col(name)) + F.lit(1.0)
         )
+        ok = cond if ok is None else (ok & cond)
+    return agg.select(
+        "o_orderstatus", "n_orders", "p25", "p50", "p75", ok.alias("approx_ok")
     )
 
 
@@ -608,26 +677,45 @@ def q_having(spark, sf_dir):
 # -- q_collect_agg: array-valued aggregation ------------------------------
 
 
-@query(
-    "q_collect_agg",
-    oracle="""
-    SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
-           CAST(length(list_sort(list(n_name))) AS BIGINT) AS n_nations
-    FROM nation
-    GROUP BY n_regionkey
-    """,
-)
-def q_collect_agg(spark, sf_dir):
-    # collect_list order is partitioning-dependent → array_sort on both
-    # engines makes the array value canonical (same parity rule as
-    # ROUND for floats).
+def collect_agg_arrays(spark, sf_dir):
+    """Array-valued aggregation — the library form: one sorted
+    array<string> column per group.  collect_list order is
+    partitioning-dependent → array_sort makes the array value canonical
+    (same parity rule as ROUND for floats).  Tested directly in
+    tests/test_oracle_parity.py; the REGISTERED query scalarizes the
+    array because the driver's hash canonicalizer cannot hash
+    array-typed cells (numpy.ndarray is unhashable — r2 harness ERR)."""
     nations = F.array_sort(F.collect_list("n_name"))
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
             nations.alias("nations"),
+            F.size(nations).cast("long").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "q_collect_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
+           CAST(length(list_sort(list(n_name))) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_collect_agg(spark, sf_dir):
+    # scalarized form of collect_agg_arrays (see its docstring): the
+    # canonical sorted array is joined with '|' so every output cell is
+    # a hashable scalar on both engines.
+    nations = F.array_sort(F.collect_list("n_name"))
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(nations, "|").alias("nations"),
             F.size(nations).cast("long").alias("n_nations"),
         )
     )
