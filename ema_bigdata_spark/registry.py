@@ -37,16 +37,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def load_all() -> None:
-    """Import every operator module so registrations run.
+#: Round-3 verification priority.  The external driver records a
+#: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order,
+#: so each round the head of the list must be the queries with no
+#: official green row yet (rotation demanded by VERDICT r2 §Next-1:
+#: r1 checked the registration order of that round, r2 a reshuffled
+#: one — cumulatively 63/99 had green rows entering r3).  Head = the
+#: 36 not-yet-green (cheap expression/window ones first so a driver
+#: time-budget cut-off costs least, streaming's fixed state-store
+#: spin-up cost last), then 14 r1-green-but-displaced refreshers fill
+#: the window; the long-green relational/scalar/text/reference
+#: families follow in module order.
+_R3_CHECK_WINDOW: tuple[str, ...] = (
+    # — no official green row yet (36) —
+    "q_collect_agg", "q_approx_distinct", "q_approx_quantiles",
+    "q_sessionize", "q_window_frames", "q_window_range_frame",
+    "q_compact_latest",
+    "q_retention", "q_funnel", "q_skew_metrics",
+    "q_join_range", "q_join_asof", "q_join_salted",
+    "q_embed_norm", "q_similarity_topk", "q_similarity_batch",
+    "q_multimodal_join", "q_mm_features", "q_mm_frames",
+    "q_ann_lsh", "q_ann_ivf", "q_embed_dup", "q_embed_quantize",
+    "q_dedup_minhash", "q_dedup_simhash", "q_minhash_jaccard_est",
+    "q_dedup_cluster", "q_dedup_fuzzy",
+    "gmm_fit", "q_gmm_bic",
+    "s_stream_tumbling", "s_stream_sliding", "s_stream_dedup",
+    "s_stream_session", "s_stream_join", "s_stream_static_join",
+    # — green in r1 only, displaced from the r2 window (14) —
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_join_anti", "q_join_full", "q_join_cross", "q_sql_exists",
+    "q_sql_scalar_subquery", "q_sql_tpch_q3", "q_sql_tpch_q5",
+    "q_profile_table", "q_dedup_exact", "q_dedup_exact_hash",
+)
 
-    ORDER MATTERS: the driver iterates ``queries()`` in registration
-    order under a time budget, so cheap families register first — the
-    reference surface (the flagship, all single-pass aggregates), then
-    scalar/relational/window/text expressions, then joins/analytics/
-    profiling/similarity, and the heavyweights (dedup pair joins, GMM
-    iteration, streaming with fixed per-query state cost) last.  A
-    budget cut-off then costs the least evidence.
+
+def load_all() -> None:
+    """Import every operator module so registrations run, then reorder
+    ``QUERIES`` so the driver's 50-row check window
+    (``_R3_CHECK_WINDOW``) comes first — see that constant's docstring.
+    Idempotent: imports are cached and the reorder is deterministic.
     """
     from ema_bigdata_spark.operators import reference  # noqa: F401
     from ema_bigdata_spark.operators import (  # noqa: F401
@@ -65,3 +94,11 @@ def load_all() -> None:
     from ema_bigdata_spark.operators import dedup  # noqa: F401
     from ema_bigdata_spark import gmm  # noqa: F401
     from ema_bigdata_spark.streaming import stream_queries  # noqa: F401
+
+    missing = [n for n in _R3_CHECK_WINDOW if n not in QUERIES]
+    if missing:  # typo guard: a misspelled window entry must fail loudly
+        raise RuntimeError(f"_R3_CHECK_WINDOW names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _R3_CHECK_WINDOW}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
