@@ -25,6 +25,61 @@ _MH_COEFFS = [(2 * j + 3, 104_729 * (j + 1) % _MH_PRIME) for j in range(16)]
 _MH_BANDS = 4
 _MH_ROWS = 4
 
+#: Cross-engine 60-bit string hash (first 15 hex digits of md5, so the
+#: value fits BIGINT with headroom for the affine minhash step).  md5
+#: is the one high-quality hash both engines expose bit-identically,
+#: which is what buys MinHash/SimHash a full-value DuckDB oracle (r2
+#: they were rows-only because xxhash64 is Spark-specific).  At 100 TB
+#: swap the template back to ``pmod(xxhash64({x}), …)`` — one line,
+#: ~2-3× cheaper per shingle — and drop the oracle; the LSH plan shape
+#: is identical either way.  Parity is pinned by
+#: tests/test_properties.py::test_hash60_cross_engine_parity.
+_SPARK_H60 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+#: DuckDB shingle expansion — the same 3-word shingles `_shingles()`
+#: builds Spark-side; shared by every minhash-family oracle below (the
+#: ngram/fuzzy oracles inline a DISTINCT variant of the same shape).
+_DUCK_SHINGLES = """
+      SELECT doc_id,
+             unnest(CASE WHEN length(string_split(text, ' ')) >= 3
+               THEN list_transform(
+                      generate_series(1, length(string_split(text, ' ')) - 2),
+                      i -> array_to_string(
+                             list_slice(string_split(text, ' '), i, i + 2),
+                             ' '))
+               ELSE [text] END) AS sh
+      FROM documents
+"""
+
+
+def _duck_minhash_cte() -> str:
+    """Shared oracle CTE chain ending in ``pairs(doc_a, doc_b)`` —
+    DuckDB's replica of `_minhash_signatures` + `minhash_pairs`."""
+    h = _DUCK_H60.format(x="sh")
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_MH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(_MH_COEFFS)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws(',', "
+        + ", ".join(f"mh{bi * _MH_ROWS + r}" for r in range(_MH_ROWS))
+        + ") AS bsig FROM sigs"
+        for bi in range(_MH_BANDS)
+    )
+    return f"""
+    sh AS ({_DUCK_SHINGLES}),
+    shh AS (SELECT doc_id, {h} % {_MH_PRIME} AS h FROM sh),
+    sigs AS (SELECT doc_id,
+             {mins}
+             FROM shh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )"""
+
 #: SimHash: 32-bit signature, near-dup = Hamming distance ≤ 3; bands of
 #: 8 bits guarantee any pair within distance 3 shares ≥1 exact band.
 _SH_BITS = 32
@@ -125,14 +180,16 @@ def q_dedup_exact_hash(spark, sf_dir):
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id + 16 minhash values, computed per-row with HOFs (no
-    shuffle, no Python).  xxhash64 shingle hashes are reduced mod p
-    before the affine step so products stay far from BIGINT overflow
-    (ANSI mode errors on wrap)."""
+    shuffle, no Python).  The 60-bit md5 shingle hashes (`_SPARK_H60`,
+    cross-engine — see its docstring for the xxhash64 scale swap) are
+    reduced mod p before the affine step so products stay far from
+    BIGINT overflow (ANSI mode errors on wrap)."""
+    h60 = _SPARK_H60.format(x="s")
     sig = docs.select(
         "doc_id",
-        F.expr("transform(shingles, s -> pmod(xxhash64(s), 1000000007))").alias(
-            "shash"
-        ),
+        F.expr(
+            f"transform(shingles, s -> pmod({h60}, {_MH_PRIME}))"
+        ).alias("shash"),
     )
     mh = [
         F.expr(
@@ -143,7 +200,13 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.array(*mh).alias("sig"))
 
 
-@query("q_dedup_minhash")  # rows-only: engine-specific hash functions
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_duck_minhash_cte()}
+    SELECT doc_a, doc_b FROM pairs
+    """,
+)
 def q_dedup_minhash(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
     # sort only at the query boundary (stable declared output); the
@@ -152,29 +215,21 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def minhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    sigs: DataFrame | None = None,
-) -> DataFrame:
+def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (unordered) for any
     DataFrame with (``doc_id``, ``text_col``) — the library entry
     point; the declared query binds it to the driver's ``documents``
-    table.  Pass precomputed ``sigs`` (from
-    :func:`_minhash_signatures`) to reuse signatures already built
-    for banding/estimation instead of re-shingling the corpus; in that
-    mode ``docs``/``text_col`` are unused, and supplying a non-default
-    ``text_col`` alongside ``sigs`` is rejected (the signatures were
-    necessarily built from some other column selection)."""
-    if sigs is None:
-        docs = docs.withColumn("shingles", _shingles(text_col))
-        sigs = _minhash_signatures(docs)
-    elif text_col != "text":
-        raise ValueError(
-            "minhash_pairs: pass either precomputed `sigs` OR a "
-            "`text_col` to build them from, not both — `docs`/"
-            "`text_col` are ignored when `sigs` is given"
-        )
+    table.  To reuse signatures already built for banding/estimation,
+    build them once with :func:`_minhash_signatures` and call
+    :func:`minhash_pairs_from_sigs` (separate function so a ``docs``
+    argument can never be silently ignored — ADVICE r1/r2)."""
+    docs = docs.withColumn("shingles", _shingles(text_col))
+    return minhash_pairs_from_sigs(_minhash_signatures(docs))
+
+
+def minhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from precomputed signatures
+    (``doc_id``, ``sig`` array from :func:`_minhash_signatures`)."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -214,7 +269,45 @@ def minhash_pairs(
 # -- q_dedup_simhash: SimHash near-dup pairs (rows-only) ------------------
 
 
-@query("q_dedup_simhash")
+def _duck_simhash_sql() -> str:
+    """DuckDB replica of the q_dedup_simhash pipeline (same md5-60bit
+    word hashes, same 32 majority folds, same 8-bit banding)."""
+    h = _DUCK_H60.format(x="w")
+    cbits = ",\n             ".join(
+        f"list_aggregate(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1"
+        f" = 1 THEN 1 ELSE -1 END), 'sum') AS c{b}"
+        for b in range(_SH_BITS)
+    )
+    simexpr = " + ".join(
+        f"CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SH_BITS)
+    )
+    width = _SH_BITS // _SH_BANDS
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * width}) & {(1 << width) - 1} AS bval FROM sim"
+        for i in range(_SH_BANDS)
+    )
+    return f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> {h}) AS hs
+      FROM documents
+    ),
+    cb AS (SELECT doc_id,
+             {cbits}
+           FROM hs),
+    sim AS (SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM cb),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("q_dedup_simhash", oracle=_duck_simhash_sql())
 def q_dedup_simhash(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
     # The 32-bit majority signature is computed per-ROW — no token
@@ -224,11 +317,16 @@ def q_dedup_simhash(spark, sf_dir):
     # each bit's ±1 majority count is an independent scalar fold over
     # it: 32 allocation-free long accumulations beat one fold that
     # rebuilds a 32-long array per token (measured ~25% faster).
+    # Word hashes are the cross-engine md5-60bit (see _SPARK_H60) so
+    # the signature — and therefore the pair set — has a full-value
+    # DuckDB oracle; swap xxhash64 back in at 100 TB.
     hs = docs.select(
         "doc_id",
-        F.expr("transform(split(text, ' ', -1), w -> xxhash64(w))").alias(
-            "hs"
-        ),
+        F.expr(
+            "transform(split(text, ' ', -1), w -> "
+            + _SPARK_H60.format(x="w")
+            + ")"
+        ).alias("hs"),
     )
     bit_counts = [
         F.expr(
@@ -278,9 +376,9 @@ def q_dedup_simhash(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
         .distinct()
@@ -571,7 +669,28 @@ def connected_components(
     return labels
 
 
-@query("q_dedup_cluster")  # rows-only: built on minhash candidate pairs
+@query(
+    "q_dedup_cluster",
+    # Oracle: same minhash pairs, then connected components as a
+    # recursive transitive closure with min-label roll-up.  Closure is
+    # O(|component|²) rows — fine for near-dup clusters (near-cliques
+    # of a few docs); the Spark side's union-find / label propagation
+    # is the scalable form, the SQL is only the truth check.
+    oracle=f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
 def q_dedup_cluster(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = minhash_pairs(docs)
@@ -582,7 +701,22 @@ def q_dedup_cluster(spark, sf_dir):
 # -- q_minhash_jaccard_est: sketch-based similarity estimation ------------
 
 
-@query("q_minhash_jaccard_est")  # rows-only: engine-specific hashes
+_EST_SIG_LIST = "[" + ", ".join(f"mh{j}" for j in range(16)) + "]"
+
+
+@query(
+    "q_minhash_jaccard_est",
+    oracle=f"""
+    WITH {_duck_minhash_cte()},
+    sigarr AS (SELECT doc_id, {_EST_SIG_LIST} AS sig FROM sigs)
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(length(list_filter(list_zip(sa.sig, sb.sig),
+                   t -> t[1] = t[2])) AS DOUBLE) / 16, 6) AS jaccard_est
+    FROM pairs p
+    JOIN sigarr sa ON sa.doc_id = p.doc_a
+    JOIN sigarr sb ON sb.doc_id = p.doc_b
+    """,
+)
 def q_minhash_jaccard_est(spark, sf_dir):
     """Jaccard ESTIMATED from signature agreement (fraction of the 16
     minhashes that collide) for every LSH candidate pair — the
@@ -595,7 +729,7 @@ def q_minhash_jaccard_est(spark, sf_dir):
     sigs = _minhash_signatures(docs)
     # reuse the signatures for both banding and estimation — one
     # shingling/signature pass over the corpus instead of two
-    pairs = minhash_pairs(docs, sigs=sigs)
+    pairs = minhash_pairs_from_sigs(sigs)
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = (
         "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"

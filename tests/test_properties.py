@@ -12,6 +12,33 @@ from ema_bigdata_spark.sources.tables import load_table
 registry.load_all()
 
 
+def test_hash60_cross_engine_parity(spark):
+    """The md5-60bit hash template that buys the MinHash/SimHash family
+    its full-value oracle must agree bit-for-bit between Spark and
+    DuckDB on representative strings (ascii, multi-word, empty,
+    non-ascii, long)."""
+    import duckdb
+
+    from ema_bigdata_spark.operators.dedup import _DUCK_H60, _SPARK_H60
+
+    words = ["hello", "world foo", "", "héllo wörld", "a b c", "x" * 500]
+    sdf = spark.createDataFrame([(w,) for w in words], "s STRING")
+    svals = [
+        r.h
+        for r in sdf.selectExpr(
+            _SPARK_H60.format(x="s") + " AS h"
+        ).collect()
+    ]
+    duck = duckdb.connect()
+    dvals = [
+        duck.execute(
+            "SELECT " + _DUCK_H60.format(x="?"), [w]
+        ).fetchone()[0]
+        for w in words
+    ]
+    assert svals == dvals
+
+
 def test_gamma_rows_sum_to_one(spark, sf_dir):
     """Textbook per-row normalization: γ_0+γ_1+γ_2 = 1 per row (the
     reference's global denominator breaks this — SURVEY.md §2.3 #3)."""
