@@ -45,7 +45,29 @@ def decode_media(payload: bytes, media_type: str):
     )
 
 
-@query("q_mm_features")  # rows-only: exercises the Arrow/pandas path
+@query(
+    "q_mm_features",
+    # full-value oracle: the stand-in "decode" is pure byte math, which
+    # DuckDB replicates from the hex dump of the same utf-8 payload
+    # (one ('0x'||hex-pair)::BIGINT per byte; empty payloads sum to a
+    # NULL list_aggregate → coalesce 0, matching Python's sum(b'')).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS bl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(bl AS BIGINT) AS byte_len,
+           CAST(CASE WHEN bl = 0 THEN -1
+                ELSE ('0x' || substr(hex(b), 1, 2))::BIGINT
+                END AS BIGINT) AS first_byte,
+           CAST(coalesce(list_aggregate(
+                  list_transform(generate_series(1, bl),
+                    i -> ('0x' || substr(hex(b), 2 * i - 1, 2))::BIGINT),
+                  'sum'), 0) % {_CHECKSUM_MOD} AS BIGINT) AS byte_checksum
+    FROM d
+    """,
+)
 def q_mm_features(spark, sf_dir):
     """Binary-column plumbing end-to-end: utf-8 payload bytes stand in
     for media blobs; mapInPandas extracts features batch-wise.
@@ -143,7 +165,36 @@ def sample_frames(payload: bytes, media_type: str):
     )
 
 
-@query("q_mm_frames")  # rows-only: exercises 1→N Arrow fan-out
+@query(
+    "q_mm_frames",
+    # full-value oracle for the 1→N fan-out: every sampled frame is a
+    # fixed 64-byte window (full windows only ⇒ frame_bytes ≡ 64), its
+    # "thumbnail" the 8 bytes at stride-8 offsets, checksummed from the
+    # payload's hex dump exactly like q_mm_features.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // {_FRAME_SIZE} AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(0, n_frames - 1, {_FRAME_STRIDE}))
+               AS frame_idx
+      FROM d WHERE n_frames >= 1
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST({_FRAME_SIZE} AS BIGINT) AS frame_bytes,
+           CAST(list_aggregate(
+                  list_transform(
+                    generate_series(0, {_FRAME_SIZE // _THUMB_FACTOR - 1}),
+                    j -> ('0x' || substr(hx,
+                           (frame_idx * {_FRAME_SIZE}
+                            + j * {_THUMB_FACTOR}) * 2 + 1, 2))::BIGINT),
+                  'sum') % {_CHECKSUM_MOD} AS BIGINT) AS thumb_checksum
+    FROM f
+    """,
+)
 def q_mm_frames(spark, sf_dir):
     """Frame-sampling shape end-to-end: each document payload expands
     to every ``_FRAME_STRIDE``-th fixed-size byte window ("frame"),

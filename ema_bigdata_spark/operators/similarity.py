@@ -129,7 +129,7 @@ def cosine_topk(emb, probe: list[float], k: int = _TOPK):
     )
 
 
-# -- q_ann_lsh: random-hyperplane LSH ANN (rows-only) ---------------------
+# -- q_ann_lsh: random-hyperplane LSH ANN (SQL-oracled) -------------------
 
 _ANN_PLANES = 8
 
@@ -160,7 +160,53 @@ def _signature(col: str, planes: list[list[float]]) -> F.Column:
     return sum(bits, F.lit(0)).cast("long")
 
 
-@query("q_ann_lsh")  # rows-only: LSH recall is approximate by design
+def _duck_signature(col: str) -> str:
+    """DuckDB replica of `_signature`: the ±1 planes are shared
+    deterministic literals and the dot is the same sequential fold, so
+    the 8-bit signature — and therefore the candidate set — is
+    engine-identical.  This is what upgrades the LSH queries from
+    rows-only to full-value oracles."""
+    terms = []
+    for p, w in enumerate(_plane_weights()):
+        warr = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in w) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip({col}, {warr}),"
+            " t -> CAST(t[1] AS DOUBLE) * t[2]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_cosine(e: str, p: str) -> str:
+    """DuckDB cosine(e, p) with the same fold order as the Spark HOFs."""
+    return (
+        f"list_aggregate(list_transform(list_zip({e}, {p}),"
+        " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')"
+        f" / (sqrt({_SQL_DOT_SELF.replace('embedding', e)})"
+        f" * sqrt(list_aggregate(list_transform({p},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+    WITH p AS (SELECT embedding AS pe FROM embeddings
+               WHERE vec_id = {_PROBE_ID}),
+    ps AS (SELECT {_duck_signature('pe')} AS psig FROM p),
+    sigs AS (SELECT e.vec_id, e.label, e.embedding,
+                    {_duck_signature('e.embedding')} AS sig
+             FROM embeddings e),
+    cand AS (SELECT s.vec_id, s.label, s.embedding FROM sigs s, ps
+             WHERE bit_count(xor(s.sig, ps.psig)) <= 1)
+    SELECT c.vec_id, c.label,
+           round({_duck_cosine('c.embedding', 'p.pe')}, 6) AS cosine
+    FROM cand c, p
+    ORDER BY cosine DESC, vec_id
+    LIMIT {_TOPK}
+    """
+
+
+@query("q_ann_lsh", oracle=_ann_lsh_oracle())
 def q_ann_lsh(spark, sf_dir):
     """ANN top-k for the probe: candidates = vectors whose hyperplane
     signature is within Hamming distance 1 of the probe's, re-ranked by
@@ -289,8 +335,7 @@ def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
     return out
 
 
-@query("q_ann_ivf")  # rows-only: ANN recall is approximate by design
-def q_ann_ivf(spark, sf_dir):
+def ann_ivf_topk(spark, sf_dir):
     """IVF ANN top-k: assign every vector to its nearest of
     ``_IVF_LISTS`` centroids (per-row argmin over a broadcast centroid
     array — zero shuffle), search only the ``_IVF_NPROBE`` lists
@@ -323,6 +368,59 @@ def q_ann_ivf(spark, sf_dir):
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_TOPK)
+    )
+
+
+_IVF_RECALL_FLOOR = 3
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pe FROM embeddings
+               WHERE vec_id = {_PROBE_ID}),
+    scored AS (
+      SELECT e.vec_id,
+             round({_duck_cosine('e.embedding', 'p.pe')}, 6) AS cosine
+      FROM embeddings e, p
+    ),
+    topk AS (SELECT vec_id FROM scored
+             ORDER BY cosine DESC, vec_id LIMIT {_TOPK})
+    SELECT CAST({_PROBE_ID} AS BIGINT) AS probe_id,
+           CAST({_TOPK} AS BIGINT) AS k,
+           array_to_string(list_sort(list(vec_id)), '|') AS exact_topk,
+           TRUE AS ivf_recall_ok
+    FROM topk
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """Driver-checkable form of :func:`ann_ivf_topk` (that function is
+    the ANN operator itself).  The IVF result depends on numpy k-means
+    centroids trained driver-side on a bounded sample — deterministic,
+    but not SQL-expressible — so the registered query hashes what IS
+    cross-engine checkable: the exact brute-force top-k id set, plus
+    ``ivf_recall_ok`` asserting the IVF result finds ≥
+    ``_IVF_RECALL_FLOOR`` of those ids (measured 3-6/10 across SFs; a
+    broken quantizer or assignment drops it to ~0 and flips the bool).
+    The oracle recomputes the exact top-k and emits literal TRUE."""
+    exact = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _probe_vector(spark, sf_dir),
+    ).select("vec_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.join(ivf, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    exact_agg = exact.agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("vec_id"))).alias(
+            "exact_topk"
+        )
+    )
+    return exact_agg.crossJoin(overlap).select(
+        F.lit(_PROBE_ID).cast("long").alias("probe_id"),
+        F.lit(_TOPK).cast("long").alias("k"),
+        "exact_topk",
+        (F.col("n_overlap") >= _IVF_RECALL_FLOOR).alias("ivf_recall_ok"),
     )
 
 
@@ -368,7 +466,29 @@ def embed_dup_pairs(emb, threshold: float = _DUP_COS):
     return _blocked_pairs(emb).where(F.col("cosine") >= threshold)
 
 
-@query("q_embed_dup")
+@query(
+    "q_embed_dup",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt({_SQL_DOT_SELF}) AS nrm,
+             {_duck_signature('embedding')} AS sig
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                     t -> t[1] * t[2]), 'sum')
+                   / (a.nrm * b.nrm), 6) AS cosine
+      FROM sigs a JOIN sigs b
+        ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM scored
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 10
+    """,
+)
 def q_embed_dup(spark, sf_dir):
     """Top-10 closest LSH-blocked pairs by exact cosine.
 
@@ -390,17 +510,51 @@ def q_embed_dup(spark, sf_dir):
 # -- q_embed_quantize: int8 scalar quantization via pandas_udf ------------
 
 
-@query("q_embed_quantize")  # rows-only: exercises the Arrow scalar-UDF path
+@query(
+    "q_embed_quantize",
+    # full-value oracle: the quantization is deterministic per-row math
+    # (floor(x/scale·127 + 0.5) — floor+0.5 instead of round() because
+    # numpy rounds half-to-even while DuckDB rounds half-away; the
+    # explicit floor gives BOTH engines the identical rule).  The
+    # output `scale` is the RAW max|x| (un-guarded); the zero-vector
+    # guard applies only inside q8, mirroring the Spark plan.
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS scale0
+          FROM q),
+    qq AS (
+      SELECT vec_id, e, scale0,
+             list_transform(e, x -> least(greatest(floor(
+               x / (CASE WHEN scale0 = 0 THEN 1.0 ELSE scale0 END)
+               * 127.0 + 0.5), -127.0), 127.0)) AS q8
+      FROM s
+    )
+    SELECT vec_id, CAST(len(q8) AS BIGINT) AS dim,
+           round(scale0, 6) AS scale,
+           round(list_max(list_transform(list_zip(e, q8),
+                 t -> abs(t[1] - t[2] * scale0 / 127.0))), 6)
+             AS max_abs_err
+    FROM qq ORDER BY vec_id
+    """,
+)
 def q_embed_quantize(spark, sf_dir):
-    """Symmetric int8 quantization of each embedding (q = round(127·x /
-    max|x|)), the storage trick that cuts an ANN index 4× at 100 TB.
+    """Symmetric int8 quantization of each embedding (q = ⌊127·x /
+    max|x| + 0.5⌋, clipped), the storage trick that cuts an ANN index
+    4× at 100 TB.
 
     This is the engine's one *scalar* ``@pandas_udf``: numpy vectorizes
     over whole Arrow batches (never per-row Python), and the UDF is the
     right tool because the output is a transformed ARRAY column, which
     pure SQL HOFs could express but NOT with numpy's fused math.  The
     reconstruction error column is computed JVM-side to show the two
-    paths composing in one plan."""
+    paths composing in one plan.  floor(x+0.5) rather than np.round:
+    identical halfway-rounding on both engines (see oracle comment),
+    which is what makes the UDF output hash-checkable."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -417,7 +571,7 @@ def q_embed_quantize(spark, sf_dir):
         scale = np.abs(mat).max(axis=1)
         scale[scale == 0.0] = 1.0
         q = np.clip(
-            np.round(mat / scale[:, None] * 127.0), -127, 127
+            np.floor(mat / scale[:, None] * 127.0 + 0.5), -127, 127
         ).astype(np.int8)
         return pd.Series(list(q))
 

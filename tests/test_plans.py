@@ -198,10 +198,18 @@ def test_embed_norm_no_shuffle(spark, sf_dir):
 def test_ann_ivf_single_scan_broadcast_assignment(spark, sf_dir):
     """IVF assignment is a narrow projection over one scan with the
     centroids arriving as ONE broadcast row — no N×K row blow-up, no
-    per-vector shuffle, and the rerank is a TakeOrdered."""
-    from ema_bigdata_spark.plans import exchange_count, scan_count
+    per-vector shuffle, and the rerank is a TakeOrdered.  Targets the
+    ann_ivf_topk LIBRARY operator: the registered q_ann_ivf wraps it in
+    the exact+recall invariant (3 scans by design, for verification
+    only)."""
+    from ema_bigdata_spark.operators.similarity import ann_ivf_topk
+    from ema_bigdata_spark.plans import (
+        exchange_count,
+        executed_plan,
+        scan_count,
+    )
 
-    plan = _plan(spark, sf_dir, "q_ann_ivf")
+    plan = executed_plan(ann_ivf_topk(spark, sf_dir))
     assert scan_count(plan) == 1
     assert "TakeOrderedAndProject" in plan
     # the only exchange is the 1-row centroid broadcast

@@ -83,9 +83,15 @@ def test_ann_lsh_contains_self(spark, sf_dir):
 
 def test_ann_ivf_contains_self(spark, sf_dir):
     """IVF always finds the probe itself: its own list is by definition
-    among the nprobe nearest lists, and its cosine is 1."""
-    top = registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    among the nprobe nearest lists, and its cosine is 1.  (The
+    REGISTERED q_ann_ivf is the exact+recall invariant form; the ANN
+    operator itself is the ann_ivf_topk library function.)"""
+    from ema_bigdata_spark.operators.similarity import ann_ivf_topk
+
+    top = ann_ivf_topk(spark, sf_dir).collect()
     assert top and top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    inv = registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    assert len(inv) == 1 and inv[0].ivf_recall_ok
 
 
 def test_rows_only_queries_deterministic(spark, sf_dir):
@@ -125,14 +131,13 @@ def test_ann_topk_overlap_vs_exact(spark, sf_dir):
         r.vec_id
         for r in registry.QUERIES["q_similarity_topk"](spark, sf_dir).collect()
     }
+    from ema_bigdata_spark.operators.similarity import ann_ivf_topk
+
     lsh = {
         r.vec_id
         for r in registry.QUERIES["q_ann_lsh"](spark, sf_dir).collect()
     }
-    ivf = {
-        r.vec_id
-        for r in registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
-    }
+    ivf = {r.vec_id for r in ann_ivf_topk(spark, sf_dir).collect()}
     assert len(exact & lsh) >= 2, f"LSH overlap {sorted(exact & lsh)}"
     assert len(exact & ivf) >= 3, f"IVF overlap {sorted(exact & ivf)}"
 
