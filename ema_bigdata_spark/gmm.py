@@ -311,7 +311,13 @@ def q_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``count()`` job), then all three candidate fits iterate over the
     same arrays driver-side; the marginal cost per extra K is numpy
     iterations, not I/O.  The wide-domain fallback caches the histogram
-    so the distributed path also scans events exactly once."""
+    so the distributed path also scans events exactly once.
+
+    INTENTIONAL (r2): n here is the histogram total, i.e. the count of
+    non-NULL values — the likelihood's actual sample size — not
+    ``ev.count()``, which would also count NULL rows the lnL term never
+    sees.  On data with NULLs the two differ and BIC shifts; the
+    null-excluding n is the statistically correct one."""
     import math
 
     ev = load_table(spark, sf_dir, "events").select("value")

@@ -547,9 +547,17 @@ def q_dedup_fuzzy(spark, sf_dir):
     longest = F.greatest(
         F.length(F.col("da.text")), F.length(F.col("db.text"))
     )
+    # BOTH text fetches keep the candidate side broadcast (ADVICE r2):
+    # the first join's result is still candidate-sized (pairs + one
+    # text), so re-asserting the hint on it keeps the second join a
+    # broadcast-hash too — without it static planning may pick a
+    # sort-merge join and shuffle the corpus, the exact thing this
+    # operator exists to avoid.
+    with_a = F.broadcast(cand).join(
+        texts.alias("da"), F.col("doc_a") == F.col("da.doc_id")
+    )
     return (
-        F.broadcast(cand)
-        .join(texts.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        F.broadcast(with_a)
         .join(texts.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
         .select(
             "doc_a",

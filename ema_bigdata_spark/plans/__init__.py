@@ -53,5 +53,14 @@ def scan_count(plan: str) -> int:
 
 def exchange_count(plan: str) -> int:
     """Number of Exchange (shuffle/broadcast-distribute) nodes — THE
-    scale currency: each one materializes the stream at 100 TB."""
-    return plan.count("Exchange")
+    scale currency: each one materializes the stream at 100 TB.
+
+    Counts only real ``Exchange``/``BroadcastExchange`` nodes, not
+    ``ReusedExchange`` (ADVICE r2): a reuse node re-reads an existing
+    materialization rather than shuffling again, so counting it would
+    make exact-count assertions brittle against plan-reuse changes.
+    (``\\b`` keeps the bare-Exchange pattern from also matching inside
+    the Broadcast/Reused node names.)"""
+    import re
+
+    return len(re.findall(r"\b(?:Broadcast)?Exchange\b", plan))

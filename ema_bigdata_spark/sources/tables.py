@@ -126,12 +126,21 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     than cores, where shuffling a few MB to unlock every core is free.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    # cheap guard: a scan over >= n files already has >= n splits; only
-    # few-file inputs (the testdata's 1-file tables) need the exchange.
-    # (inputFiles() is a driver-side catalog lookup — no RDD translation,
-    # no job.)
+    # two-tier guard (ADVICE r2): file count is only a FAST POSITIVE
+    # signal — >= n files always means >= n splits, but the converse
+    # fails both ways (Spark packs many small files into few partitions
+    # via maxPartitionBytes/openCostInBytes; a few large files can hold
+    # many row-group splits).  When the file count is inconclusive,
+    # fall back to the real partition count from the RDD translation —
+    # a driver-side planning step, still no job — so a many-small-file
+    # input isn't left narrow and a multi-split input isn't re-shuffled.
     try:
-        enough = len(df.inputFiles()) >= n
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass
+    try:
+        enough = df.rdd.getNumPartitions() >= n
     except Exception:
         enough = False
     return df if enough else df.repartition(n)

@@ -250,6 +250,27 @@ def test_fuzzy_and_contamination_never_cartesian(spark, sf_dir):
         assert "EvalPython" not in plan, name
 
 
+def test_fuzzy_verify_joins_broadcast_candidates(spark, sf_dir):
+    """Both verify-stage text fetches must be broadcast-hash joins with
+    the candidate side broadcast — 'the corpus is scanned, never
+    shuffled' (ADVICE r2: the second join previously relied on AQE to
+    stay broadcast; now it must hold in the static plan).  The only
+    sort-merge machinery allowed is inside candidate GENERATION (the
+    shingle self-join), which never carries document text."""
+    plan = _plan(spark, sf_dir, "q_dedup_fuzzy")
+    # two text fetches -> two broadcast hash joins at the verify stage
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # no shuffle may partition by a text-fetch key alone — that would
+    # be the corpus being redistributed for a sort-merge/hash join.
+    # (The candidate-GENERATION pair aggregate legitimately exchanges
+    # on the multi-key (doc_id, doc_id, n, n) — count rows, no text —
+    # so only the single-key form is a violation.)
+    import re
+
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
+
+
 def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     """The static dimension must broadcast: per-batch cost is the dim
     broadcast, not a stream-side shuffle."""
