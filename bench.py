@@ -99,18 +99,30 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "runs_per_query": BENCH_RUNS,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+            "runs_per_query": BENCH_RUNS,
+        }
     )
+    print(payload)
+    # also persist the full map: the driver's record keeps only the TAIL
+    # of stdout, which truncated ~6 queries off BENCH_r02 (VERDICT r2) —
+    # the committed file is the durable per-query baseline.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # stdout line already carries the result
     spark.stop()
 
 

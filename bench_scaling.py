@@ -43,9 +43,51 @@ def _timed(thunk) -> float:
     return round(best, 3)
 
 
+#: dedup/similarity queries probed across sf0.01 → sf0.1 (10× docs):
+#: the banded self-joins are the only places superlinear behavior
+#: could hide (VERDICT r2 stretch item).  The reported exponent is
+#: log10(t_big/t_small) for a 10× input — ≤ ~1.2 means the candidate
+#: generation is tracking rows, not pairs.  Sub-second fixed overhead
+#: (session, codegen) deflates the exponent at this scale, so treat it
+#: as a superlinearity ALARM (exponent ≫ 1), not a precise slope.
+_FAMILY_QUERIES = (
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_minhash_jaccard_est",
+    "q_embed_dup",
+    "q_similarity_topk",
+)
+
+
+def family_scaling(spark) -> dict:
+    import math
+
+    from ema_bigdata_spark import registry
+
+    registry.load_all()
+    out = {}
+    for name in _FAMILY_QUERIES:
+        fn = registry.QUERIES[name]
+        t_small = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.01")))
+        t_big = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
+        out[name] = {
+            "sec_sf0.01": t_small,
+            "sec_sf0.1": t_big,
+            "exponent_10x": round(math.log10(max(t_big, 1e-3) /
+                                             max(t_small, 1e-3)), 2),
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=32)
+    ap.add_argument(
+        "--families",
+        action="store_true",
+        help="also probe the dedup/similarity family across sf0.01->sf0.1",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -95,6 +137,8 @@ def main() -> None:
             "sec_nx": tn,
             "time_growth": round(tn / t1, 2) if t1 > 0 else None,
         }
+    if args.families:
+        out["families_sf001_to_sf01"] = family_scaling(spark)
     print(json.dumps(out))
     spark.stop()
 

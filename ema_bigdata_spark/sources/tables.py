@@ -115,6 +115,10 @@ def event_instant(df: DataFrame, col: str = "ts") -> F.Column:
     return F.timestamp_micros(event_epoch_us(df, col))
 
 
+#: memoized spread() verdicts: (sorted input files, n) -> has >= n splits
+_SPREAD_CACHE: dict[tuple, bool] = {}
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Widen a narrow scan for CPU-heavy per-row operators.
 
@@ -132,18 +136,25 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     # via maxPartitionBytes/openCostInBytes; a few large files can hold
     # many row-group splits).  When the file count is inconclusive,
     # fall back to the real partition count from the RDD translation —
-    # a driver-side planning step, still no job — so a many-small-file
-    # input isn't left narrow and a multi-split input isn't re-shuffled.
+    # a driver-side planning step, no job, but NOT free (~0.1-0.3 s of
+    # analysis), so the verdict is memoized per (files, n): split count
+    # derives from the scan's files alone, not the projection above it.
     try:
-        if len(df.inputFiles()) >= n:
-            return df
+        files: tuple[str, ...] | None = tuple(sorted(df.inputFiles()))
     except Exception:
-        pass
-    try:
-        enough = df.rdd.getNumPartitions() >= n
-    except Exception:
-        enough = False
-    return df if enough else df.repartition(n)
+        files = None
+    if files is not None and len(files) >= n:
+        return df
+    key = (files, n)
+    if files is None or key not in _SPREAD_CACHE:
+        try:
+            enough = df.rdd.getNumPartitions() >= n
+        except Exception:
+            enough = False
+        if files is None:
+            return df if enough else df.repartition(n)
+        _SPREAD_CACHE[key] = enough
+    return df if _SPREAD_CACHE[key] else df.repartition(n)
 
 
 def filter_ts_range(
