@@ -185,16 +185,29 @@ def q_approx_distinct(spark, sf_dir):
     the sketch path (wrong rsd, broken merge) flips the boolean and
     fails the hash — unlike the old rows-only contract, which checked
     nothing.  (The exact column here is the verification yardstick;
-    the production sketch-only operator stays exact-free.)"""
-    return (
+    the production sketch-only operator stays exact-free.)
+
+    Plan note: sketch and exact are computed over a (priority,
+    custkey) PRE-AGGREGATE rather than one multi-distinct agg — the
+    latter plans an Expand that doubles every input row before the
+    shuffle (measured 1.4 s vs 0.8 s at sf0.1).  HLL is duplicate-
+    insensitive, so sketching the deduplicated keys gives the
+    identical estimate, exact_custs becomes a plain count, and the
+    map-side combine shrinks the exchange — strictly better at
+    100 TB too."""
+    pre = (
         load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        pre.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02)
             .cast("long")
             .alias("_approx"),
-            F.countDistinct("o_custkey").cast("long").alias("exact_custs"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("exact_custs"),
+            F.sum("_cnt").cast("long").alias("n_rows"),
         )
         .select(
             "o_orderpriority",
@@ -699,7 +712,7 @@ def collect_agg_arrays(spark, sf_dir):
 @query(
     "q_collect_agg",
     oracle="""
-    SELECT n_regionkey,
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
            array_to_string(list_sort(list(n_name)), '|') AS nations,
            CAST(length(list_sort(list(n_name))) AS BIGINT) AS n_nations
     FROM nation
@@ -709,11 +722,12 @@ def collect_agg_arrays(spark, sf_dir):
 def q_collect_agg(spark, sf_dir):
     # scalarized form of collect_agg_arrays (see its docstring): the
     # canonical sorted array is joined with '|' so every output cell is
-    # a hashable scalar on both engines.
+    # a hashable scalar on both engines; the int32 group key is cast
+    # BIGINT per the registry parity convention.
     nations = F.array_sort(F.collect_list("n_name"))
     return (
         load_table(spark, sf_dir, "nation")
-        .groupBy("n_regionkey")
+        .groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
         .agg(
             F.array_join(nations, "|").alias("nations"),
             F.size(nations).cast("long").alias("n_nations"),

@@ -58,7 +58,15 @@ def q_embed_norm(spark, sf_dir):
 # -- q_similarity_topk: brute-force cosine top-k (SQL-oracled) ------------
 
 
+_PROBE_CACHE: dict[str, list[float]] = {}
+
+
 def _probe_vector(spark, sf_dir) -> list[float]:
+    # memoized per sf_dir (like the IVF centroids): the probe is a
+    # fixture constant, and without the cache every similarity query —
+    # and q_ann_ivf twice — pays a filter-scan job just to re-read it
+    if sf_dir in _PROBE_CACHE:
+        return _PROBE_CACHE[sf_dir]
     rows = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") == _PROBE_ID)
@@ -69,7 +77,9 @@ def _probe_vector(spark, sf_dir) -> list[float]:
         raise ValueError(
             f"probe vec_id={_PROBE_ID} not found in {sf_dir}/embeddings"
         )
-    return [float(x) for x in rows[0].embedding]
+    out = [float(x) for x in rows[0].embedding]
+    _PROBE_CACHE[sf_dir] = out
+    return out
 
 
 def _cosine_to_probe(probe: list[float]) -> F.Column:
@@ -92,7 +102,7 @@ def _cosine_to_probe(probe: list[float]) -> F.Column:
     oracle=f"""
     WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = {_PROBE_ID}),
     scored AS (
-      SELECT e.vec_id, e.label,
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
              round(
                list_aggregate(list_transform(list_zip(e.embedding, p.pe),
                  t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
@@ -121,7 +131,7 @@ def cosine_topk(emb, probe: list[float], k: int = _TOPK):
     return (
         emb.select(
             "vec_id",
-            "label",
+            F.col("label").cast("long").alias("label"),
             F.round(_cosine_to_probe(probe), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -198,7 +208,7 @@ def _ann_lsh_oracle() -> str:
              FROM embeddings e),
     cand AS (SELECT s.vec_id, s.label, s.embedding FROM sigs s, ps
              WHERE bit_count(xor(s.sig, ps.psig)) <= 1)
-    SELECT c.vec_id, c.label,
+    SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
            round({_duck_cosine('c.embedding', 'p.pe')}, 6) AS cosine
     FROM cand c, p
     ORDER BY cosine DESC, vec_id
@@ -227,7 +237,7 @@ def q_ann_lsh(spark, sf_dir):
     return (
         cand.select(
             "vec_id",
-            "label",
+            F.col("label").cast("long").alias("label"),
             F.round(_cosine_to_probe(probe), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -363,7 +373,7 @@ def ann_ivf_topk(spark, sf_dir):
     return (
         cand.select(
             "vec_id",
-            "label",
+            F.col("label").cast("long").alias("label"),
             F.round(_cosine_to_probe(probe), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
