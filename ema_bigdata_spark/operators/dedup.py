@@ -230,8 +230,33 @@ def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs from precomputed signatures
     (``doc_id``, ``sig`` array from :func:`_minhash_signatures`)."""
-    bands = sigs.select(
+    extra = []
+    bands = _banded(sigs, extra)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _banded(sigs: DataFrame, carry: list[str]) -> DataFrame:
+    """Explode signatures into (doc_id, *carry, band, bsig) band rows.
+
+    ``carry`` columns ride along through the explode so a consumer can
+    use them directly off the band self-join (q_minhash_jaccard_est
+    carries ``sig`` itself, saving two signature re-joins)."""
+    return sigs.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -249,24 +274,10 @@ def minhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bsig")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    return pairs
+    ).select("doc_id", *carry, "bb.band", "bb.bsig")
 
 
-# -- q_dedup_simhash: SimHash near-dup pairs (rows-only) ------------------
+# -- q_dedup_simhash: SimHash near-dup pairs (SQL-oracled) ----------------
 
 
 def _duck_simhash_sql() -> str:
@@ -730,26 +741,35 @@ def q_minhash_jaccard_est(spark, sf_dir):
     minhashes that collide) for every LSH candidate pair — the
     sketch-only similarity join: at 100 TB the exact-shingle verify
     pass (q_ngram_jaccard) touches documents again, while this needs
-    only the 128-byte signatures already shuffled for banding."""
+    only the 128-byte signatures already shuffled for banding.
+
+    The signature RIDES THROUGH the band explode (r3 rework, via
+    ``_banded(..., ["sig"])``), so the estimate is computed directly
+    on the band self-join's output — the previous form re-joined the
+    signature table onto each side of every pair, costing two extra
+    scans and four extra exchanges for data the join already had."""
     docs = spread(load_table(spark, sf_dir, "documents")).withColumn(
         "shingles", _shingles()
     )
-    sigs = _minhash_signatures(docs)
-    # reuse the signatures for both banding and estimation — one
-    # shingling/signature pass over the corpus instead of two
-    pairs = minhash_pairs_from_sigs(sigs)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    bands = _banded(_minhash_signatures(docs), ["sig"])
+    a, b = bands.alias("a"), bands.alias("b")
     agree = (
         "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
         " v -> v)) AS DOUBLE) / CAST(16 AS DOUBLE)"
     )
     return (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "doc_a", "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.round(F.expr(agree), 6).alias("jaccard_est"),
         )
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

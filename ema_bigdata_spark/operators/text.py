@@ -94,10 +94,52 @@ def _lexicon_sql_values() -> str:
     """,
 )
 def q_lang_id(spark, sf_dir):
+    """Marker-lexicon language ID as a PURE PROJECTION (r3 rework): the
+    lexicon is 16 literal words, so per-lang hit counts are per-row
+    array folds and the argmax is a when-cascade — one scan, zero
+    exchanges, zero joins.  The previous explode → broadcast-join →
+    groupBy → rejoin shape shuffled (doc_id, lang) hit rows and then
+    sort-merge-joined the corpus back to itself per run; at 100 TB
+    that is two corpus-sized exchanges for something each row can
+    answer alone.  For REAL lexicons (100k+ words, too big to inline)
+    use :func:`lang_id_join`, which keeps the broadcast-join shape."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ', -1)"
+    langs = sorted(LEXICON)
+    hit_cols = []
+    for lang in langs:
+        arr = "array(" + ", ".join(f"'{w}'" for w in LEXICON[lang]) + ")"
+        hit_cols.append(
+            F.expr(f"size(filter({toks}, t -> array_contains({arr}, t)))")
+            .cast("long")
+            .alias(f"_h_{lang}")
+        )
+    df = docs.select("doc_id", "lang", *hit_cols)
+    max_hits = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
+    # when-cascade in ascending lang order = min-lang tie-break, the
+    # same (n_hits DESC, lex_lang ASC) rule as the oracle's row_number
+    pred = F.when(max_hits == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"_h_{lang}") == max_hits, F.lit(lang))
+    return df.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        max_hits.alias("n_hits"),
+    )
+
+
+def lang_id_join(docs, lexicon: dict[str, tuple[str, ...]]):
+    """Language ID for lexicons too large to inline as literals: token
+    explode → broadcast lexicon join → per-doc argmax → rejoin.  The
+    broadcast keeps token matching shuffle-free; the groupBy and the
+    corpus rejoin each shuffle by doc_id (AQE reuses the
+    partitioning).  This is the 100 TB shape when the lexicon is a
+    real dictionary; the registered q_lang_id uses the literal-fold
+    projection instead."""
     lex = F.broadcast(
         docs.sparkSession.createDataFrame(
-            [(w, lang) for lang, words in LEXICON.items() for w in words],
+            [(w, lang) for lang, words in lexicon.items() for w in words],
             "word STRING, lex_lang STRING",
         )
     )

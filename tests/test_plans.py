@@ -29,9 +29,27 @@ def test_dim_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_lang_id_lexicon_broadcasts(spark, sf_dir):
+def test_lang_id_pure_projection(spark, sf_dir):
+    """The literal-lexicon language ID must be a single scan with no
+    join and no exchange at all (r3 rework); the broadcast-join shape
+    lives in lang_id_join for big-lexicon use."""
+    from ema_bigdata_spark.operators.text import LEXICON, lang_id_join
+    from ema_bigdata_spark.plans import (
+        exchange_count,
+        executed_plan,
+        scan_count,
+    )
+    from ema_bigdata_spark.sources.tables import load_table
+
     plan = _plan(spark, sf_dir, "q_lang_id")
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert exchange_count(plan) == 0
+    assert scan_count(plan) == 1
+    # the big-lexicon library variant still broadcasts the lexicon
+    jplan = executed_plan(
+        lang_id_join(load_table(spark, sf_dir, "documents"), LEXICON)
+    )
+    assert "BroadcastHashJoin" in jplan
 
 
 def test_asof_join_no_join_single_shuffle(spark, sf_dir):
@@ -150,10 +168,17 @@ def test_retention_single_data_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 3
 
 
-def test_funnel_filters_push_to_scan(spark, sf_dir):
-    """Every funnel stage filters by event_type at the parquet scan."""
+def test_funnel_single_pass(spark, sf_dir):
+    """The funnel is ONE scan (event_type IN-filter pushed to parquet)
+    and one user-keyed exchange plus the 1-row gather — the r3 rework
+    replaced the 6-scan stage-join chain with chained per-user window
+    minimums."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
     plan = _plan(spark, sf_dir, "q_funnel")
-    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+    assert "In(event_type, [click,purchase,view])" in plan
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) <= 2
 
 
 def test_dedup_exact_hash_single_narrow_shuffle(spark, sf_dir):
