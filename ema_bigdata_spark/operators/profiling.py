@@ -125,25 +125,26 @@ def q_skew_metrics(spark, sf_dir):
 
     This is the measurement that sizes ``salted_join``'s salt factor
     before a 100 TB join: one groupBy on the key (the same shuffle
-    the join would do), then scalar aggregates over the tiny per-key
-    counts.  Deterministic hottest key via (count DESC, key) order."""
+    the join would do), then ONE scalar aggregate over the tiny
+    per-key counts (r3 rework: the hottest key comes from the same
+    aggregate via max over (cnt, −key) structs — lexicographic max =
+    highest count, lowest key on ties, identical to the oracle's
+    (count DESC, key) order — where the previous top-1 sort branch
+    re-evaluated the whole per-key aggregate: 2 scans → 1)."""
     counts = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = counts.agg(
+    return counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
         F.max("cnt").cast("long").alias("max_count"),
-    )
-    hottest = (
-        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
-        .limit(1)
-        .select(F.col("user_id").alias("hottest_user"))
-    )
-    return hottest.crossJoin(totals).select(
-        "hottest_user",
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("user_id")).alias("nid"))
+        ).alias("_h"),
+    ).select(
+        (-F.col("_h.nid")).cast("long").alias("hottest_user"),
         "max_count",
         "n_keys",
         "n_rows",

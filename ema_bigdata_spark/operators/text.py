@@ -755,32 +755,32 @@ def q_contamination(spark, sf_dir):
     shingles, not corpus size.  Contaminated docs then feed q_except-
     style removal or q_corpus_clean's gates."""
     docs = load_table(spark, sf_dir, "documents")
+    # n_shingles rides the projection through the explode (same trick
+    # as ngram_jaccard's doc size), so no separate sizes scan + join:
+    # the per-doc denominator arrives with every shingle row for free
     shd = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_kgrams("text", _CONTAM_K))).alias("s"),
-    )
-    sizes = docs.select(
         "doc_id",
         F.size(F.array_distinct(_kgrams("text", _CONTAM_K)))
         .cast("long")
         .alias("n_shingles"),
+        F.explode(F.array_distinct(_kgrams("text", _CONTAM_K))).alias("s"),
     )
     bench = F.broadcast(
         shd.where(F.col("doc_id") % _CONTAM_MOD == 0).select("s").distinct()
     )
-    hits = (
+    return (
         shd.where(F.col("doc_id") % _CONTAM_MOD != 0)
         .join(bench, "s")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "n_shingles")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_shingles",
-        "n_hits",
-        F.round(
-            F.col("n_hits").cast("double") / F.col("n_shingles"), 6
-        ).alias("contamination"),
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
     )
 
 
