@@ -755,32 +755,39 @@ def q_contamination(spark, sf_dir):
     shingles, not corpus size.  Contaminated docs then feed q_except-
     style removal or q_corpus_clean's gates."""
     docs = load_table(spark, sf_dir, "documents")
-    # n_shingles rides the projection through the explode (same trick
-    # as ngram_jaccard's doc size), so no separate sizes scan + join:
-    # the per-doc denominator arrives with every shingle row for free
+    # Shape note (r3, measured): carrying n_shingles through the
+    # explode (the ngram_jaccard trick) removes the sizes scan + join
+    # below but interleaves the kgram HOF chain with Generate in a way
+    # that benched consistently ~1.6× SLOWER at sf0.1 (interleaved
+    # min-of-4 A/B), so the 3-scan form stays.  The sizes join is
+    # cheap at any scale: its shuffle carries (doc_id, count) — 16
+    # bytes per document, not shingles.
     shd = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_kgrams("text", _CONTAM_K))).alias("s"),
+    )
+    sizes = docs.select(
         "doc_id",
         F.size(F.array_distinct(_kgrams("text", _CONTAM_K)))
         .cast("long")
         .alias("n_shingles"),
-        F.explode(F.array_distinct(_kgrams("text", _CONTAM_K))).alias("s"),
     )
     bench = F.broadcast(
         shd.where(F.col("doc_id") % _CONTAM_MOD == 0).select("s").distinct()
     )
-    return (
+    hits = (
         shd.where(F.col("doc_id") % _CONTAM_MOD != 0)
         .join(bench, "s")
-        .groupBy("doc_id", "n_shingles")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_hits",
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_shingles"), 6
-            ).alias("contamination"),
-        )
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination"),
     )
 
 
