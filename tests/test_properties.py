@@ -495,6 +495,47 @@ def test_funnel_monotone(spark, sf_dir):
     assert row.n_view >= row.n_click >= row.n_purchase >= 0
 
 
+def test_funnel_strict_ordering_semantics(spark, tmp_path):
+    """Pin the first-touch strict-ordering rules on a handcrafted
+    fixture (the corpus oracle can't isolate these cases):
+    - u1 converts fully in order.
+    - u2's only click precedes their view → counts at view only.
+    - u3 clicks before AND after their first view → the later click
+      counts (first-touch = first view, not any view).
+    - u4's purchase lands between view and click → no purchase credit.
+    - u5 has no view at all → appears in no stage."""
+    import pandas as pd
+
+    from ema_bigdata_spark.operators.analytics import q_funnel
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        (3, "click", "2024-01-02 07:00:00"),
+        (3, "view", "2024-01-02 08:00:00"),
+        (3, "click", "2024-01-02 09:00:00"),
+        (4, "view", "2024-01-03 10:00:00"),
+        (4, "purchase", "2024-01-03 10:30:00"),
+        (4, "click", "2024-01-03 11:00:00"),
+        (5, "click", "2024-01-04 10:00:00"),
+        (5, "purchase", "2024-01-04 11:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    path = str(tmp_path / "funnel_fixture")
+    ev = spark.createDataFrame(pdf).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    ev.write.parquet(f"{path}/events.parquet")
+    row = q_funnel(spark, path).collect()[0]
+    # views: u1 u2 u3 u4; clicks after first view: u1 u3 u4;
+    # purchases after that click: u1 only
+    assert (row.n_view, row.n_click, row.n_purchase) == (4, 3, 1)
+
+
 def test_retention_day0_is_cohort_size(spark, sf_dir):
     """Every user is active on their own cohort day, so day_offset=0
     rows must sum to the total distinct-user count."""
