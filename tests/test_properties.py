@@ -536,6 +536,80 @@ def test_funnel_strict_ordering_semantics(spark, tmp_path):
     assert (row.n_view, row.n_click, row.n_purchase) == (4, 3, 1)
 
 
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark must actually DROP late rows — the property the
+    registered streaming oracles cannot see (their single-file replay
+    has nothing late).  Files process as separate micro-batches
+    (maxFilesPerTrigger=1, mtime order), and Spark applies the
+    watermark with a ONE-BATCH lag (batch N filters with the watermark
+    derived from batch N−1's max event time — measured here, and why
+    the spacer file exists): by the time the 10:00:45 straggler
+    arrives, [10:00,10:01) has been emitted and evicted, so the
+    straggler must be discarded — neither updating the count nor
+    emitting a duplicate window row."""
+    import time
+    import uuid as _uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        table = pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [("user_id", pa.int64()),
+                 ("ts", pa.timestamp("us", tz="UTC"))]
+            )
+        )  # µs physical type: Spark reads TIMESTAMP natively (ns would
+        # hit the session's nanosAsLong guard and load as LONG)
+        pq.write_table(table, str(d / name))
+
+    files = [
+        ("a.parquet", [(1, "2024-01-01 10:00:30")]),
+        ("b.parquet", [(1, "2024-01-01 10:20:00")]),  # wm → 10:10
+        ("c.parquet", [(1, "2024-01-01 10:21:00")]),  # spacer: batch
+        # runs with wm 10:10 → [10:00] emitted (n=1) and evicted
+        ("d.parquet", [(2, "2024-01-01 10:00:45"),    # straggler
+                       (1, "2024-01-01 10:40:00")]),
+        ("e.parquet", [(1, "2024-01-01 11:00:00")]),  # close the rest
+    ]
+    for name, rows in files:
+        write(name, rows)
+        time.sleep(1.1)  # distinct mtime → distinct micro-batch
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sink = f"wmtest_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(sink).collect()
+    rows = {(r.w.start.hour, r.w.start.minute): r.n for r in out}
+    assert len(out) == len(rows) == 4, out  # no duplicate window rows
+    # the straggler neither bumped the count nor re-emitted the window
+    assert rows == {(10, 0): 1, (10, 20): 1, (10, 21): 1, (10, 40): 1}
+
+
 def test_retention_day0_is_cohort_size(spark, sf_dir):
     """Every user is active on their own cohort day, so day_offset=0
     rows must sum to the total distinct-user count."""
