@@ -717,6 +717,87 @@ def q_dedup_cluster(spark, sf_dir):
     return comp.orderBy("doc_id").select("doc_id", "cluster_id")
 
 
+# -- q_dedup_keep_best: survivor selection per near-dup cluster -----------
+
+
+def keep_best(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Pick ONE survivor per near-dup cluster — the step that turns
+    cluster assignments into an actual deduplicated corpus.  Rule:
+    keep the LONGEST document (near-dups are usually truncations or
+    boilerplate-stripped variants of the fullest copy), doc_id as the
+    deterministic tiebreak.
+
+    Scale shape: ``clusters`` is (doc_id, cluster_id) — 16 bytes/doc,
+    orders smaller than the corpus — so the metadata join broadcasts
+    nothing heavier than ids+lengths, and the per-cluster argmax is a
+    window over cluster_id (clusters are near-cliques of a few docs,
+    so no skew)."""
+    from pyspark.sql import Window
+
+    meta = docs.select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(meta, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("doc_id")))
+            .alias("keep_doc_id"),
+            F.min(F.when(F.col("_rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    # oracle = the cluster query's recursive closure + the same
+    # longest-doc argmax, expressed with row_number over the joined
+    # metadata (identical (n_chars DESC, doc_id) tiebreak).
+    oracle=f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    ),
+    clusters AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS keep_doc_id,
+           CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS kept_chars,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """End of the dedup pipeline: minhash pairs → connected components
+    → one survivor per cluster (:func:`keep_best`).  A user deletes
+    every clustered doc except ``keep_doc_id`` — the other queries
+    stop at pairs or cluster labels."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    comp = connected_components(minhash_pairs(docs))
+    return keep_best(docs, comp).orderBy("cluster_id")
+
+
 # -- q_minhash_jaccard_est: sketch-based similarity estimation ------------
 
 

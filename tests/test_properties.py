@@ -536,6 +536,33 @@ def test_funnel_strict_ordering_semantics(spark, tmp_path):
     assert (row.n_view, row.n_click, row.n_purchase) == (4, 3, 1)
 
 
+def test_keep_best_survivor_properties(spark, sf_dir):
+    """Survivor selection invariants: exactly one survivor per cluster,
+    the survivor IS a member, no member is longer (ties broken toward
+    the smaller doc_id), and member counts sum to the clustered-doc
+    count."""
+    from ema_bigdata_spark.operators import dedup as dd
+    from ema_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dd.connected_components(dd.minhash_pairs(docs))
+    members = {}
+    for r in comp.collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    chars = {
+        r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()
+    }
+    rows = registry.QUERIES["q_dedup_keep_best"](spark, sf_dir).collect()
+    assert {r.cluster_id for r in rows} == set(members)
+    assert sum(r.n_members for r in rows) == sum(map(len, members.values()))
+    for r in rows:
+        ms = members[r.cluster_id]
+        assert r.keep_doc_id in ms
+        best = sorted(ms, key=lambda d: (-chars[d], d))[0]
+        assert r.keep_doc_id == best
+        assert r.kept_chars == chars[best]
+
+
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     """The watermark must actually DROP late rows — the property the
     registered streaming oracles cannot see (their single-file replay
