@@ -14,11 +14,17 @@ Library entry points (each also backs a declared ``queries()`` entry):
 from __future__ import annotations
 
 __all__ = [
+    "ann_ivf_topk",
     "connected_components",
     "cosine_topk",
+    "embed_dup_pairs",
     "get_spark",
     "gmm_fit",
+    "keep_best",
+    "lang_id_join",
     "minhash_pairs",
+    "minhash_pairs_from_sigs",
+    "ngram_jaccard_pairs",
     "read_doubles_text",
     "salted_join",
     "sessionize",
@@ -32,6 +38,17 @@ def __getattr__(name: str):
         "gmm_fit": ("ema_bigdata_spark.gmm", "gmm_fit"),
         "sessionize": ("ema_bigdata_spark.operators.windows", "sessionize"),
         "minhash_pairs": ("ema_bigdata_spark.operators.dedup", "minhash_pairs"),
+        "minhash_pairs_from_sigs": (
+            "ema_bigdata_spark.operators.dedup", "minhash_pairs_from_sigs"),
+        "ngram_jaccard_pairs": (
+            "ema_bigdata_spark.operators.dedup", "ngram_jaccard_pairs"),
+        "keep_best": ("ema_bigdata_spark.operators.dedup", "keep_best"),
+        "ann_ivf_topk": (
+            "ema_bigdata_spark.operators.similarity", "ann_ivf_topk"),
+        "embed_dup_pairs": (
+            "ema_bigdata_spark.operators.similarity", "embed_dup_pairs"),
+        "lang_id_join": (
+            "ema_bigdata_spark.operators.text", "lang_id_join"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

@@ -637,6 +637,54 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert rows == {(10, 0): 1, (10, 20): 1, (10, 21): 1, (10, 40): 1}
 
 
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpointed restart must not duplicate or drop rows: stop a
+    file-source → parquet-sink stream after two micro-batches, add a
+    third input file, restart a NEW query object on the SAME checkpoint
+    and output — the sink must hold every input row exactly once (the
+    checkpoint's offset log + the sink's transaction log together give
+    end-to-end exactly-once for file sinks)."""
+    import uuid as _uuid
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write(name, ids):
+        spark.createDataFrame(
+            [(int(i),) for i in ids], "event_id BIGINT"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"ckpt_{_uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("f1", range(0, 10))
+    write("f2", range(10, 20))
+    run_once()
+    write("f3", range(20, 30))
+    run_once()  # restart from the same checkpoint
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == list(range(30)), got  # each row exactly once
+
+
 def test_retention_day0_is_cohort_size(spark, sf_dir):
     """Every user is active on their own cohort day, so day_offset=0
     rows must sum to the total distinct-user count."""
