@@ -609,6 +609,72 @@ def q_embed_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+# -- q_embed_centroid: per-label mean embedding (SQL-oracled) -------------
+
+#: fixed-point scale for exact centroid sums (same rationale as
+#: _IVF_FP): float32 elements scaled to BIGINTs so per-label sums are
+#: partition-order-independent and bit-identical across engines.
+_CENTROID_FP = 10_000_000
+
+
+def _duck_centroid_sql() -> str:
+    # DECIMAL(12,6) string form on BOTH engines: double→string casts
+    # disagree on small values (Spark "−5.29E-4" vs DuckDB
+    # "-0.000529"); decimals render fixed-width everywhere.
+    comps = ", ".join(
+        f"CAST(round(CAST(sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * {_CENTROID_FP}) AS BIGINT)) AS DOUBLE)"
+        f" / count(*) / {_CENTROID_FP}, 6) AS DECIMAL(12,6))"
+        for i in range(_DIM)
+    )
+    return f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           concat_ws('|', {comps}) AS centroid
+    FROM embeddings GROUP BY label
+    """
+
+
+@query("q_embed_centroid", oracle=_duck_centroid_sql())
+def q_embed_centroid(spark, sf_dir):
+    """Per-label mean embedding — the class centroid every clustering /
+    semantic-dedup / nearest-class-baseline pipeline needs.
+
+    Scale shape: 64 per-element sums as AGGREGATE COLUMNS over one
+    scan — map-side partial aggregation means the exchange carries
+    (labels × 64) longs, not vectors.  (The explode-to-(label, pos)
+    alternative shuffles 64·N rows — never do that at 100 TB.)  Sums
+    are exact ×1e7 fixed-point (float sums would be partition-order-
+    dependent); the output centroid is scalarized '|'-joined rounded
+    components, hashable by the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(
+            F.round(
+                F.element_at("embedding", i + 1).cast("double")
+                * _CENTROID_FP,
+                0,
+            ).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(_DIM)
+    ]
+    agg = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums
+    )
+    comps = [
+        F.round(
+            F.col(f"_s{i}").cast("double")
+            / F.col("n_vecs")
+            / _CENTROID_FP,
+            6,
+        ).cast("decimal(12,6)")  # fixed-width string form (see oracle)
+        for i in range(_DIM)
+    ]
+    return agg.select(
+        "label", "n_vecs", F.concat_ws("|", *comps).alias("centroid")
+    )
+
+
 # -- q_similarity_batch: top-k for a batch of probes (SQL-oracled) --------
 
 _BATCH_PROBE_IDS = (0, 1, 2)
