@@ -155,3 +155,47 @@ def test_sorted_write_clusters_row_groups(spark, sf_dir, tmp_path):
             assert stats.has_min_max and stats.min <= stats.max
     back = spark.read.parquet(out)
     assert back.count() == src.count()
+
+
+def test_ivf_partitioned_index_prunes_unprobed_lists(spark, sf_dir, tmp_path):
+    """Substantiates the q_ann_ivf docstring's scale claim: writing the
+    corpus partitioned by ivf_list turns the nprobe filter into
+    PARTITION PRUNING — the plan reads only the probed lists'
+    directories, zero I/O for the rest."""
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.operators.similarity import (
+        _IVF_LISTS,
+        _ivf_centroids,
+        _with_assignment,
+    )
+    from ema_bigdata_spark.plans import executed_plan
+    from ema_bigdata_spark.sources.tables import load_table
+
+    out = str(tmp_path / "ivf_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    _with_assignment(spark, emb, cents).write.partitionBy("ivf_list").parquet(
+        out
+    )
+    indexed = spark.read.parquet(out)
+    probe_lists = [1, 2]
+    plan = executed_plan(
+        indexed.where(F.col("ivf_list").isin(probe_lists)).select("vec_id")
+    )
+    # pruning happened at PLAN time: the partition filter is present and
+    # the file index selected only the probed directories
+    assert "PartitionFilters: [ivf_list" in plan
+    import glob
+
+    n_dirs = len(glob.glob(f"{out}/ivf_list=*"))
+    assert n_dirs >= _IVF_LISTS // 2  # the index actually fanned out
+    # count files the scan selected: Spark reports selected partitions
+    # in the FileIndex; cheapest check is the row count equivalence
+    got = indexed.where(F.col("ivf_list").isin(probe_lists)).count()
+    want = (
+        _with_assignment(spark, emb, cents)
+        .where(F.col("ivf_list").isin(probe_lists))
+        .count()
+    )
+    assert got == want > 0
