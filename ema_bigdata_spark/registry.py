@@ -45,9 +45,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: one — cumulatively 63/99 had green rows entering r3).  Head = the
 #: 36 not-yet-green (cheap expression/window ones first so a driver
 #: time-budget cut-off costs least, streaming's fixed state-store
-#: spin-up cost last), then 14 r1-green-but-displaced refreshers fill
-#: the window; the long-green relational/scalar/text/reference
-#: families follow in module order.
+#: spin-up cost last), then the two r3 additions, then 12 r1-green-
+#: but-displaced refreshers fill the window; the long-green
+#: relational/scalar/text/reference families follow in module order.
 _R3_CHECK_WINDOW: tuple[str, ...] = (
     # — no official green row yet (36) —
     "q_collect_agg", "q_approx_distinct", "q_approx_quantiles",
