@@ -199,3 +199,30 @@ def test_ivf_partitioned_index_prunes_unprobed_lists(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == want > 0
+
+
+def test_spread_fallback_and_memoization(spark, sf_dir, tmp_path):
+    """The r2-advice spread() guard: few-file inputs consult the real
+    split count (and widen when narrow), many-file inputs take the
+    fast path untouched, and the fallback verdict is memoized per
+    (files, n) so repeated spreads don't re-pay the RDD translation."""
+    from ema_bigdata_spark.sources import tables as T
+    from ema_bigdata_spark.sources.tables import load_table
+
+    # few files, narrow splits -> widened to n
+    src = load_table(spark, sf_dir, "nation")
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    df = spark.read.parquet(str(tmp_path / "one"))
+    assert T.spread(df, 4).rdd.getNumPartitions() == 4
+    key = (tuple(sorted(df.inputFiles())), 4)
+    assert T._SPREAD_CACHE.get(key) is False  # verdict memoized
+    # many tiny files (>= n) -> fast path, NO repartition exchange
+    src.repartition(6).write.mode("overwrite").parquet(str(tmp_path / "many"))
+    many = spark.read.parquet(str(tmp_path / "many"))
+    assert len(many.inputFiles()) >= 4
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    spread_plan = (
+        T.spread(many, 4)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" not in spread_plan
+    assert plan.splitlines()[0] == spread_plan.splitlines()[0]
