@@ -175,7 +175,7 @@ def q_dedup_exact_hash(spark, sf_dir):
     )
 
 
-# -- q_dedup_minhash: MinHash-LSH candidate pairs (rows-only) -------------
+# -- q_dedup_minhash: MinHash-LSH candidate pairs (SQL-oracled) -----------
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:

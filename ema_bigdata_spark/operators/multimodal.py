@@ -139,7 +139,7 @@ def q_multimodal_join(spark, sf_dir):
     )
 
 
-# -- q_mm_frames: frame sampling / resize plumbing (rows-only) ------------
+# -- q_mm_frames: frame sampling / resize plumbing (SQL-oracled) ----------
 
 _FRAME_SCHEMA = (
     "doc_id BIGINT, frame_idx BIGINT, frame_bytes BIGINT,"

@@ -245,7 +245,7 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
-# -- q_ann_ivf: inverted-file (IVF) ANN (rows-only) -----------------------
+# -- q_ann_ivf: inverted-file (IVF) ANN (exact+recall oracled) ------------
 
 _IVF_LISTS = 8
 _IVF_NPROBE = 2
@@ -434,7 +434,7 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
-# -- q_embed_dup: embedding-cosine near-duplicate pairs (rows-only) -------
+# -- q_embed_dup: embedding-cosine near-duplicate pairs (SQL-oracled) -----
 
 _DUP_COS = 0.95
 
