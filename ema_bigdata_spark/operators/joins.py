@@ -565,6 +565,40 @@ def q_sql_tpch_q5(spark, sf_dir):
     )
 
 
+# -- q_sql_tpch_q10: returned-item revenue loss (4-way join + top-k) ------
+
+_Q10_BODY = """
+    SELECT c_custkey, c_name,
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM {c}customer, {c}orders, {c}lineitem, {c}nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1993-10-01'
+      AND o_orderdate <  TIMESTAMP '1994-01-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q10", oracle=_Q10_BODY.format(c=""))
+def q_sql_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (top returned-revenue customers): selective
+    quarter + returnflag filters push to both fact scans, nation
+    broadcasts, the customer⋈orders⋈lineitem tree shuffles on its keys,
+    and the top-20 is a TakeOrdered over the aggregate.  Fixed-point
+    revenue sums; ties broken by c_custkey so the LIMIT is
+    deterministic.  The identical SQL text runs on both engines
+    (`_Q10_BODY`) — view-prefix substitution only."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q10_BODY.format(c="v_"))
+
+
 # -- q_join_salted: skew-safe equi join as declared surface ---------------
 
 

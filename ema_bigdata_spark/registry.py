@@ -63,13 +63,12 @@ _R3_CHECK_WINDOW: tuple[str, ...] = (
     "gmm_fit", "q_gmm_bic",
     "s_stream_tumbling", "s_stream_sliding", "s_stream_dedup",
     "s_stream_session", "s_stream_join", "s_stream_static_join",
-    # — new in r3, never checked (2) —
-    "q_dedup_keep_best", "q_embed_centroid",
-    # — green in r1 only, displaced from the r2 window (12) —
+    # — new in r3, never checked (3) —
+    "q_dedup_keep_best", "q_embed_centroid", "q_sql_tpch_q10",
+    # — green in r1 only, displaced from the r2 window (11) —
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_join_anti", "q_join_full", "q_join_cross", "q_sql_exists",
     "q_sql_scalar_subquery", "q_sql_tpch_q3", "q_sql_tpch_q5",
-    "q_profile_table",
 )
 
 
