@@ -345,3 +345,13 @@ def test_hash_pipelines_stay_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_tpch_q10_broadcasts_nation_topk(spark, sf_dir):
+    """Q10: the nation dim broadcasts, the top-20 is TakeOrdered over
+    the aggregate (never a global sort), and nothing degrades to
+    cartesian."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q10")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
