@@ -536,6 +536,41 @@ def test_funnel_strict_ordering_semantics(spark, tmp_path):
     assert (row.n_view, row.n_click, row.n_purchase) == (4, 3, 1)
 
 
+def test_minhash_oracle_parity_on_adversarial_texts(spark):
+    """The md5-60bit minhash pipeline must hash-match DuckDB on text
+    shapes the fixture corpus lacks: empty strings, consecutive spaces
+    (empty tokens), unicode, single tokens, and exact duplicates."""
+    import duckdb
+    import pandas as pd
+
+    from ema_bigdata_spark.operators import dedup as dd
+
+    texts = [
+        (1, ""),
+        (2, "one"),
+        (3, "a  b c"),          # double space -> empty token
+        (4, "héllo wörld naïve"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 5
+        (7, "the quick brown fox jumps over a sleepy dog"),  # near-dup
+        (8, " leading and trailing "),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+    spark_pairs = sorted(
+        (r.doc_a, r.doc_b) for r in dd.minhash_pairs(docs).collect()
+    )
+    duck = duckdb.connect()
+    duck.register("pdf", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    duck.execute("CREATE VIEW documents AS SELECT * FROM pdf")
+    duck_pairs = sorted(
+        duck.execute(
+            f"WITH {dd._duck_minhash_cte()} SELECT doc_a, doc_b FROM pairs"
+        ).fetchall()
+    )
+    assert spark_pairs == duck_pairs
+    assert (5, 6) in spark_pairs  # the exact duplicate must be found
+
+
 def test_keep_best_survivor_properties(spark, sf_dir):
     """Survivor selection invariants: exactly one survivor per cluster,
     the survivor IS a member, no member is longer (ties broken toward
