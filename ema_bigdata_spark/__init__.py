@@ -28,6 +28,7 @@ __all__ = [
     "read_doubles_text",
     "salted_join",
     "sessionize",
+    "simhash_pairs",
     "spread",
 ]
 
@@ -43,6 +44,8 @@ def __getattr__(name: str):
         "ngram_jaccard_pairs": (
             "ema_bigdata_spark.operators.dedup", "ngram_jaccard_pairs"),
         "keep_best": ("ema_bigdata_spark.operators.dedup", "keep_best"),
+        "simhash_pairs": (
+            "ema_bigdata_spark.operators.dedup", "simhash_pairs"),
         "ann_ivf_topk": (
             "ema_bigdata_spark.operators.similarity", "ann_ivf_topk"),
         "embed_dup_pairs": (

@@ -321,16 +321,24 @@ def _duck_simhash_sql() -> str:
 @query("q_dedup_simhash", oracle=_duck_simhash_sql())
 def q_dedup_simhash(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # The 32-bit majority signature is computed per-ROW — no token
-    # explode, no groupBy: at 100 TB signature computation is a pure
-    # map over the scan and only the tiny (doc_id, simhash, band) rows
-    # ever shuffle.  The token-hash array is materialized once, then
-    # each bit's ±1 majority count is an independent scalar fold over
-    # it: 32 allocation-free long accumulations beat one fold that
-    # rebuilds a 32-long array per token (measured ~25% faster).
-    # Word hashes are the cross-engine md5-60bit (see _SPARK_H60) so
-    # the signature — and therefore the pair set — has a full-value
-    # DuckDB oracle; swap xxhash64 back in at 100 TB.
+    return simhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup candidate pairs (unordered) for any
+    (``doc_id``, ``text``) DataFrame — the library entry point; the
+    declared query binds it to the driver's ``documents`` table.
+
+    The 32-bit majority signature is computed per-ROW — no token
+    explode, no groupBy: at 100 TB signature computation is a pure
+    map over the scan and only the tiny (doc_id, simhash, band) rows
+    ever shuffle.  The token-hash array is materialized once, then
+    each bit's ±1 majority count is an independent scalar fold over
+    it: 32 allocation-free long accumulations beat one fold that
+    rebuilds a 32-long array per token (measured ~25% faster).
+    Word hashes are the cross-engine md5-60bit (see _SPARK_H60) so
+    the signature — and therefore the pair set — has a full-value
+    DuckDB oracle; swap xxhash64 back in at 100 TB."""
     hs = docs.select(
         "doc_id",
         F.expr(
@@ -393,8 +401,7 @@ def q_dedup_simhash(spark, sf_dir):
         )
         .where(F.col("hamming") <= 3)
         .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    )  # unordered, like minhash_pairs: consumers don't pay a sort
 
 
 # -- q_ngram_jaccard: exact n-gram Jaccard similarity (SQL-oracled) -------

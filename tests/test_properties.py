@@ -569,6 +569,14 @@ def test_minhash_oracle_parity_on_adversarial_texts(spark):
     )
     assert spark_pairs == duck_pairs
     assert (5, 6) in spark_pairs  # the exact duplicate must be found
+    # simhash: same adversarial corpus, full pair+hamming parity
+    spark_sh = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.simhash_pairs(docs).collect()
+    )
+    duck_sh = sorted(duck.execute(dd._duck_simhash_sql()).fetchall())
+    assert spark_sh == duck_sh
+    assert any(a == 5 and b == 6 and h == 0 for a, b, h in spark_sh)
 
 
 def test_keep_best_survivor_properties(spark, sf_dir):
