@@ -178,13 +178,24 @@ def q_dedup_exact_hash(spark, sf_dir):
 # -- q_dedup_minhash: MinHash-LSH candidate pairs (SQL-oracled) -----------
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
+#: production hash template (see _SPARK_H60 docstring): xxhash64 is
+#: ~2-3× cheaper per shingle but Spark-specific, so the REGISTERED
+#: queries stay on the oracle-verifiable md5 form; pass this to the
+#: library functions' ``hash60`` parameter at true scale.  Exercised by
+#: tests/test_properties.py::test_minhash_production_hash_path.
+_SPARK_XXH60 = "pmod(xxhash64({x}), 1152921504606846976)"
+
+
+def _minhash_signatures(
+    docs: DataFrame, hash60: str = _SPARK_H60
+) -> DataFrame:
     """doc_id + 16 minhash values, computed per-row with HOFs (no
-    shuffle, no Python).  The 60-bit md5 shingle hashes (`_SPARK_H60`,
-    cross-engine — see its docstring for the xxhash64 scale swap) are
-    reduced mod p before the affine step so products stay far from
-    BIGINT overflow (ANSI mode errors on wrap)."""
-    h60 = _SPARK_H60.format(x="s")
+    shuffle, no Python).  The 60-bit shingle hashes (``hash60``
+    template; default md5 cross-engine — see `_SPARK_H60`; pass
+    `_SPARK_XXH60` at production scale) are reduced mod p before the
+    affine step so products stay far from BIGINT overflow (ANSI mode
+    errors on wrap)."""
+    h60 = hash60.format(x="s")
     sig = docs.select(
         "doc_id",
         F.expr(
@@ -215,16 +226,22 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def minhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    hash60: str = _SPARK_H60,
+) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (unordered) for any
     DataFrame with (``doc_id``, ``text_col``) — the library entry
     point; the declared query binds it to the driver's ``documents``
     table.  To reuse signatures already built for banding/estimation,
     build them once with :func:`_minhash_signatures` and call
     :func:`minhash_pairs_from_sigs` (separate function so a ``docs``
-    argument can never be silently ignored — ADVICE r1/r2)."""
+    argument can never be silently ignored — ADVICE r1/r2).  Pass
+    ``hash60=_SPARK_XXH60`` at production scale (cheaper, loses the
+    DuckDB oracle)."""
     docs = docs.withColumn("shingles", _shingles(text_col))
-    return minhash_pairs_from_sigs(_minhash_signatures(docs))
+    return minhash_pairs_from_sigs(_minhash_signatures(docs, hash60))
 
 
 def minhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:

@@ -579,6 +579,33 @@ def test_minhash_oracle_parity_on_adversarial_texts(spark):
     assert any(a == 5 and b == 6 and h == 0 for a, b, h in spark_sh)
 
 
+def test_minhash_production_hash_path(spark, sf_dir):
+    """The documented production swap (hash60=_SPARK_XXH60) must be a
+    working code path, not an editorial claim: xxhash64-based minhash
+    still finds injected exact duplicates and runs the identical LSH
+    plan shape (no Python eval, no cartesian)."""
+    from ema_bigdata_spark.operators import dedup as dd
+    from ema_bigdata_spark.plans import executed_plan
+    from ema_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(900_000_001, base.text, "en", "dup", len(base.text)),
+         (900_000_002, base.text, "en", "dup", len(base.text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    )
+    pairs_df = dd.minhash_pairs(
+        docs.unionByName(dup), hash60=dd._SPARK_XXH60
+    )
+    plan = executed_plan(pairs_df)
+    assert "xxhash64" in plan and "md5" not in plan
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    pairs = {(r.doc_a, r.doc_b) for r in pairs_df.collect()}
+    assert (900_000_001, 900_000_002) in pairs
+
+
 def test_keep_best_survivor_properties(spark, sf_dir):
     """Survivor selection invariants: exactly one survivor per cluster,
     the survivor IS a member, no member is longer (ties broken toward
