@@ -341,7 +341,7 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def simhash_pairs(docs: DataFrame) -> DataFrame:
+def simhash_pairs(docs: DataFrame, hash60: str = _SPARK_H60) -> DataFrame:
     """SimHash near-dup candidate pairs (unordered) for any
     (``doc_id``, ``text``) DataFrame — the library entry point; the
     declared query binds it to the driver's ``documents`` table.
@@ -353,14 +353,15 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     each bit's ±1 majority count is an independent scalar fold over
     it: 32 allocation-free long accumulations beat one fold that
     rebuilds a 32-long array per token (measured ~25% faster).
-    Word hashes are the cross-engine md5-60bit (see _SPARK_H60) so
-    the signature — and therefore the pair set — has a full-value
-    DuckDB oracle; swap xxhash64 back in at 100 TB."""
+    Word hashes default to the cross-engine md5-60bit (see
+    `_SPARK_H60`) so the signature — and therefore the pair set — has
+    a full-value DuckDB oracle; pass ``hash60=_SPARK_XXH60`` at
+    production scale (same shape, cheaper, no oracle)."""
     hs = docs.select(
         "doc_id",
         F.expr(
             "transform(split(text, ' ', -1), w -> "
-            + _SPARK_H60.format(x="w")
+            + hash60.format(x="w")
             + ")"
         ).alias("hs"),
     )
