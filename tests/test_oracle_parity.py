@@ -30,3 +30,16 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_check_window_is_exactly_driver_sized():
+    """The driver records correctness rows for exactly the first 50
+    registered queries; the explicit window must stay exactly that
+    size (a shorter one wastes evidence slots, a longer one silently
+    pushes entries past the cut-off)."""
+    from ema_bigdata_spark import registry
+
+    registry.load_all()
+    assert len(registry._R3_CHECK_WINDOW) == 50
+    assert len(set(registry._R3_CHECK_WINDOW)) == 50
+    assert list(registry.QUERIES)[:50] == list(registry._R3_CHECK_WINDOW)
