@@ -599,6 +599,79 @@ def q_sql_tpch_q10(spark, sf_dir):
     return spark.sql(_Q10_BODY.format(c="v_"))
 
 
+# -- q_sql_tpch_q6: forecasting revenue change (pure scan-agg) ------------
+
+_Q6_BODY = """
+    SELECT (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(10000 AS DOUBLE)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM {c}lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+"""
+
+
+@query("q_sql_tpch_q6", oracle=_Q6_BODY.format(c=""))
+def q_sql_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    pure scan-aggregate — every predicate (ship-year, discount band,
+    quantity cap) is a per-row comparison that pushes into the parquet
+    scan, the projection prunes to four columns, and the single global
+    aggregate map-side combines to one row per task.  Zero shuffles of
+    data (only the final 1-row-per-partition merge); at 100 TB this is
+    bounded by scan bandwidth alone, which is the point of the query.
+    Revenue is summed in exact integer cents×discount-percent units and
+    descaled once (`/10⁴`), so the result is partition-order-stable.
+    The identical SQL text runs on both engines (`_Q6_BODY`).
+    Driver-mandated surface (SURVEY §2.4); no Main.scala counterpart."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(_Q6_BODY.format(c="v_"))
+
+
+# -- q_sql_tpch_q18: large-volume customers (HAVING subquery + 3-way) -----
+
+_Q18_BODY = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM {c}customer, {c}orders, {c}lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM {c}lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+             round(o_totalprice, 2)
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q18", oracle=_Q18_BODY.format(c=""))
+def q_sql_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the aggregated IN
+    subquery is Catalyst-rewritten to a left-semi join against the
+    per-order quantity aggregate, which prunes orders BEFORE the
+    customer join — the expensive 3-way join runs only on the ~top
+    percentile of orders.  At 100 TB the semi-join side is a
+    (orderkey, sum) pair stream, never lineitem rows, and AQE
+    broadcasts it once the HAVING filter collapses it below the
+    threshold.  Quantities are integral by data contract; summed as
+    BIGINT (round() guards the double→int cast against engine
+    truncate-vs-round divergence).  Top-100 is a TakeOrdered with
+    unique o_orderkey tie-break.  Identical SQL text on both engines
+    (`_Q18_BODY`).  Driver-mandated surface (SURVEY §2.4)."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q18_BODY.format(c="v_"))
+
+
 # -- q_join_salted: skew-safe equi join as declared surface ---------------
 
 

@@ -355,3 +355,32 @@ def test_tpch_q10_broadcasts_nation_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pure_scan_agg(spark, sf_dir):
+    """Q6 is the scan-bandwidth benchmark: every predicate pushes to
+    the parquet scan, only the 4 referenced columns are read, and the
+    only exchange is the 1-row-per-partition final-merge — no data
+    shuffle, no join."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q6")
+    assert scan_count(plan) == 1
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+    assert exchange_count(plan) == 1 and "SinglePartition" in plan
+
+
+def test_tpch_q18_semi_join_rewrite_topk(spark, sf_dir):
+    """Q18's aggregated IN subquery must become a (broadcastable)
+    left-semi join that prunes orders before the customer join, and
+    the top-100 must be TakeOrdered — at 100 TB the semi side carries
+    (orderkey, sum) pairs, never lineitem rows."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q18")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
