@@ -30,6 +30,7 @@ __all__ = [
     "sessionize",
     "simhash_pairs",
     "spread",
+    "unigram_lm",
 ]
 
 
@@ -52,6 +53,8 @@ def __getattr__(name: str):
             "ema_bigdata_spark.operators.similarity", "embed_dup_pairs"),
         "lang_id_join": (
             "ema_bigdata_spark.operators.text", "lang_id_join"),
+        "unigram_lm": (
+            "ema_bigdata_spark.operators.text", "unigram_lm"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

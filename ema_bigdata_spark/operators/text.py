@@ -866,3 +866,92 @@ def q_pack_sequences(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# -- q_unigram_lm: corpus-LM quality score (CCNet-style) ------------------
+
+# Per-token information content in integer micro-nats.  Snapping
+# ln(total/cnt) to a 1e-6 grid BEFORE summing makes every downstream
+# sum a BIGINT — partition-order-independent and bit-identical across
+# engines (the same trick as q_corr_stats / q_percentiles); the grid
+# error (≤5e-7 nats/token) is far below any filtering threshold.
+_COST_U = (
+    "CAST(round(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+
+def unigram_lm(docs, text_col: str = "text"):
+    """Per-document mean self-information under the corpus's own
+    unigram LM (the CCNet/Wikipedia-LM quality-filter shape: train a
+    cheap LM on the corpus, flag documents whose tokens are
+    collectively too surprising — boilerplate scores low, gibberish
+    scores high).
+
+    Two corpus scans, which is the canonical shape: pass 1 aggregates
+    token counts (shuffle ∝ vocabulary, map-side combined) and
+    MATERIALIZES them (`localCheckpoint` — CCNet literally writes the
+    trained LM out; without the cut, Spark re-derives the vocab subtree
+    once for the cost table and once for the grand total = a third
+    full corpus scan).  Pass 2 re-tokenizes and scores.  The
+    vocabulary cost table re-joins by BROADCAST — at 100 TB the corpus
+    is never shuffled; only (doc_id, cost) partial sums move,
+    collapsing to ~1 row per document.  The grand-total attach is a
+    1-row broadcast cross join, not a window over the vocab.
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ", -1)).alias("token")
+    ).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    cost = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.expr(_COST_U).alias("cost_u")
+    )
+    return (
+        toks.join(F.broadcast(cost), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("cost_u").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+
+
+@query(
+    "q_unigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+    vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks2 GROUP BY token
+    ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    cost AS (
+      SELECT token, {_COST_U} AS cost_u FROM vocab, tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(c.cost_u) AS DOUBLE) / count(*) / 1000000, 6)
+               AS lm_score
+    FROM toks2 t JOIN cost c USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_lm(spark, sf_dir):
+    """See :func:`unigram_lm` — scores every document against the
+    corpus unigram LM.  The cost formula (`_COST_U`) is the identical
+    SQL text on both engines, so the only engine-specific code is the
+    dataflow around it."""
+    return unigram_lm(load_table(spark, sf_dir, "documents"))

@@ -375,6 +375,20 @@ def test_tpch_q6_pure_scan_agg(spark, sf_dir):
     assert exchange_count(plan) == 1 and "SinglePartition" in plan
 
 
+def test_unigram_lm_broadcast_score_pass(spark, sf_dir):
+    """The LM scoring pass must read the corpus ONCE (the vocab comes
+    from the pass-1 checkpoint, not a re-derived subtree — without the
+    cut Spark re-scans the corpus for the cost table AND the grand
+    total), join the cost table by broadcast, and never shuffle
+    documents."""
+    from ema_bigdata_spark.plans import scan_count
+
+    plan = _plan(spark, sf_dir, "q_unigram_lm")
+    assert scan_count(plan) == 1  # parquet: scoring scan only
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tpch_q18_semi_join_rewrite_topk(spark, sf_dir):
     """Q18's aggregated IN subquery must become a (broadcastable)
     left-semi join that prunes orders before the customer join, and

@@ -774,3 +774,27 @@ def test_retention_day0_is_cohort_size(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert day0 == users
+
+
+def test_unigram_lm_rarity_ordering(spark):
+    """On a handcrafted corpus the LM score must rank documents by
+    token rarity: a doc of the dominant token scores strictly below a
+    doc of hapaxes, and a one-token doc's score equals that token's
+    exact self-information ln(total/cnt)."""
+    import math
+
+    from ema_bigdata_spark.operators.text import unigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "qux zot"),
+            (3, "the"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in unigram_lm(docs).collect()}
+    assert out[1].n_tokens == 8 and out[2].n_tokens == 2
+    assert out[1].lm_score < out[2].lm_score
+    # total=11 tokens, 'the' appears 9 times
+    assert out[3].lm_score == pytest.approx(math.log(11 / 9), abs=1e-5)
