@@ -29,7 +29,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# 3 reps (was 2): measured same-day min-of-2 swings of 2-4 s on
+# multi-second queries under co-tenant load (e.g. q_dedup_keep_best
+# 1.26 s vs 4.37 s an hour apart, code unchanged); with one rep burned
+# on codegen warm-up, a single noisy second rep owns the "min".  A
+# third rep restores a steady-state floor for ~2-3 min extra wall.
 
 #: queries excluded from the timing sweep (not representative of
 #: engine throughput): none currently.

@@ -17,6 +17,7 @@ __all__ = [
     "ann_ivf_topk",
     "connected_components",
     "cosine_topk",
+    "dup_span_stats",
     "embed_dup_pairs",
     "get_spark",
     "gmm_fit",
@@ -55,6 +56,8 @@ def __getattr__(name: str):
             "ema_bigdata_spark.operators.text", "lang_id_join"),
         "unigram_lm": (
             "ema_bigdata_spark.operators.text", "unigram_lm"),
+        "dup_span_stats": (
+            "ema_bigdata_spark.operators.dedup", "dup_span_stats"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

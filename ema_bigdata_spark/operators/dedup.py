@@ -924,3 +924,83 @@ def q_dedup_incremental(spark, sf_dir):
     return batch.join(corpus, "norm", "left_anti").select(
         "doc_id", F.length("norm").cast("long").alias("norm_len")
     )
+
+
+# -- q_dup_spans: duplicated n-gram span statistics -----------------------
+
+
+def dup_span_stats(docs: DataFrame) -> DataFrame:
+    """Per-document duplicated-span rate: the fraction of a document's
+    3-gram occurrences that also appear in at least one OTHER document
+    (the per-document statistic behind exact-substring dedup — docs
+    with a high ``dup_frac`` are cut or trimmed before training).
+
+    Scale shape: occurrences collapse to a distinct (doc_id, shingle,
+    k) grid first (one shuffle, map-side combined), then per-shingle
+    document counts come from a groupBy — NOT a window over
+    ``partitionBy(shingle)``: partial aggregation collapses a hot
+    shingle inside each task before the exchange, where a window would
+    materialize the whole partition of a ubiquitous shingle in one
+    task.  The counts join back on the shingle key (AQE skew-join
+    splits any residual hot key) and the final per-doc rollup shuffles
+    one row per document.  At 100 TB key the grid by a 128-bit content
+    hash of the shingle instead of the string (same note as
+    :func:`ngram_jaccard_pairs`); strings here keep the DuckDB oracle
+    exact."""
+    occ = docs.select("doc_id", F.explode(_shingles()).alias("sh"))
+    # the grid is consumed twice (its own rollup + the per-shingle
+    # doc counts); materialize it once — real exact-substring-dedup
+    # pipelines persist exactly this index — or Spark re-derives the
+    # whole explode+aggregate subtree per consumer (second corpus
+    # scan + shuffle)
+    grid = (
+        occ.groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
+    ndocs = grid.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    dup_occ = F.when(F.col("d") >= 2, F.col("k")).otherwise(F.lit(0))
+    return (
+        grid.join(ndocs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_shingles"),
+            F.sum(dup_occ).cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    grid AS (
+      SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS k
+      FROM sh GROUP BY doc_id, sh
+    ),
+    nd AS (SELECT sh, CAST(count(*) AS BIGINT) AS d FROM grid GROUP BY sh)
+    SELECT g.doc_id,
+           CAST(sum(g.k) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN nd.d >= 2 THEN g.k ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           round(CAST(sum(CASE WHEN nd.d >= 2 THEN g.k ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(g.k) AS DOUBLE), 6) AS dup_frac
+    FROM grid g JOIN nd ON g.sh = nd.sh
+    GROUP BY g.doc_id
+    """,
+)
+def q_dup_spans(spark, sf_dir):
+    """See :func:`dup_span_stats`.  Driver-mandated surface (SURVEY
+    §2.4); no Main.scala counterpart."""
+    return dup_span_stats(spread(load_table(spark, sf_dir, "documents")))

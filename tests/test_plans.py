@@ -375,6 +375,20 @@ def test_tpch_q6_pure_scan_agg(spark, sf_dir):
     assert exchange_count(plan) == 1 and "SinglePartition" in plan
 
 
+def test_dup_spans_checkpointed_grid_no_window(spark, sf_dir):
+    """The duplicated-span statistic must (a) read everything from the
+    checkpointed shingle grid — zero parquet re-scans in the final
+    plan, the corpus was scanned exactly once materializing it — and
+    (b) count per-shingle docs via groupBy, never a partitionBy(sh)
+    window (a ubiquitous shingle would own one task at 100 TB)."""
+    from ema_bigdata_spark.plans import scan_count
+
+    plan = _plan(spark, sf_dir, "q_dup_spans")
+    assert scan_count(plan) == 0  # all inputs come from the checkpoint
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_unigram_lm_broadcast_score_pass(spark, sf_dir):
     """The LM scoring pass must read the corpus ONCE (the vocab comes
     from the pass-1 checkpoint, not a re-derived subtree — without the

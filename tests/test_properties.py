@@ -798,3 +798,26 @@ def test_unigram_lm_rarity_ordering(spark):
     assert out[1].lm_score < out[2].lm_score
     # total=11 tokens, 'the' appears 9 times
     assert out[3].lm_score == pytest.approx(math.log(11 / 9), abs=1e-5)
+
+
+def test_dup_spans_handcrafted(spark):
+    """Span-rate semantics on a corpus where the answer is computable
+    by hand: a doc fully duplicated elsewhere has dup_frac 1.0, a
+    unique doc 0.0, and a doc sharing exactly its leading 3-gram gets
+    the correct partial fraction."""
+    from ema_bigdata_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shingles: abc bcd cde
+            (2, "a b c d e"),       # exact dup of 1 → all shared
+            (3, "a b c x y z"),     # abc shared; bcx cxy xyz unique
+            (4, "p q r s"),         # pqr qrs unique
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].n_shingles == 4 and out[3].n_dup == 1
+    assert out[3].dup_frac == 0.25
+    assert out[4].dup_frac == 0.0
