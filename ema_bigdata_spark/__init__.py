@@ -25,6 +25,7 @@ __all__ = [
     "lang_id_join",
     "minhash_pairs",
     "minhash_pairs_from_sigs",
+    "mix_weights",
     "ngram_jaccard_pairs",
     "read_doubles_text",
     "salted_join",
@@ -58,6 +59,8 @@ def __getattr__(name: str):
             "ema_bigdata_spark.operators.text", "unigram_lm"),
         "dup_span_stats": (
             "ema_bigdata_spark.operators.dedup", "dup_span_stats"),
+        "mix_weights": (
+            "ema_bigdata_spark.operators.text", "mix_weights"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

@@ -955,3 +955,85 @@ def q_unigram_lm(spark, sf_dir):
     SQL text on both engines, so the only engine-specific code is the
     dataflow around it."""
     return unigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+# -- q_mix_weights: temperature-scaled source sampling weights ------------
+
+#: multinomial sampling temperature: weight_s ∝ share_s^alpha.
+#: alpha < 1 upsamples small sources (the XLM-R / multilingual-LM
+#: recipe); alpha = 1 is proportional, alpha = 0 uniform.
+_MIX_ALPHA = 0.7
+
+#: shared cross-engine expression text: powered share snapped to an
+#: integer 1e-9 grid BEFORE the normalizing sum, so the sum is BIGINT —
+#: partition-order-independent (power() itself is libm-adjacent; the
+#: snap absorbs any last-ulp engine difference far below round(6)).
+_POW_U = (
+    "CAST(round(power(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE),"
+    f" {_MIX_ALPHA}) * 1000000000, 0) AS BIGINT)"
+)
+
+
+def mix_weights(docs, alpha: float = _MIX_ALPHA):
+    """Per-source sampling weights for training-mix construction:
+    ``weight_s ∝ (token_share_s)^alpha``, normalized to 1 — the
+    temperature-scaled multinomial used to upsample low-resource
+    sources when drawing a training mixture.
+
+    One groupBy collapses the corpus to ≤|sources| rows; every window
+    below runs on that tiny aggregate (never on documents).  At 100 TB
+    the shuffle carries one row per source."""
+    from pyspark.sql import Window
+
+    pow_u = _POW_U if alpha == _MIX_ALPHA else _POW_U.replace(
+        str(_MIX_ALPHA), repr(float(alpha))
+    )
+    w = Window.partitionBy()
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ", -1)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn("tot", F.sum("n_tokens").over(w))
+        .withColumn("p_u", F.expr(pow_u))
+        .withColumn("sp", F.sum("p_u").over(w))
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("p_u").cast("double") / F.col("sp").cast("double"), 6
+        ).alias("mix_weight"),
+    )
+
+
+@query(
+    "q_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM per),
+    p AS (SELECT *, {_POW_U} AS p_u FROM t)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS token_share,
+           round(CAST(p_u AS DOUBLE)
+                 / CAST(sum(p_u) OVER () AS DOUBLE), 6) AS mix_weight
+    FROM p
+    """,
+)
+def q_mix_weights(spark, sf_dir):
+    """See :func:`mix_weights` (alpha = `_MIX_ALPHA`).  Driver-mandated
+    surface (SURVEY §2.4); no Main.scala counterpart."""
+    return mix_weights(load_table(spark, sf_dir, "documents"))

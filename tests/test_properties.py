@@ -821,3 +821,22 @@ def test_dup_spans_handcrafted(spark):
     assert out[3].n_shingles == 4 and out[3].n_dup == 1
     assert out[3].dup_frac == 0.25
     assert out[4].dup_frac == 0.0
+
+
+def test_mix_weights_temperature_semantics(spark):
+    """Temperature-scaled mixing invariants: weights sum to 1, and
+    alpha < 1 moves every source's weight from its raw share toward
+    uniform (small sources upsampled, large downsampled) — the reason
+    the recipe exists."""
+    docs = spark.createDataFrame(
+        [(i, "w " * (900 if i < 9 else 100), f"s{i % 2}") for i in range(10)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    from ema_bigdata_spark.operators.text import mix_weights
+
+    out = {r.source: r for r in mix_weights(docs).collect()}
+    assert abs(sum(r.mix_weight for r in out.values()) - 1.0) < 1e-5
+    big = max(out.values(), key=lambda r: r.token_share)
+    small = min(out.values(), key=lambda r: r.token_share)
+    assert big.mix_weight < big.token_share       # downsampled
+    assert small.mix_weight > small.token_share   # upsampled
