@@ -448,3 +448,74 @@ def s_stream_static_join(spark, sf_dir):
         .join(exact_users, "c_mktsegment")
         .select("c_mktsegment", "n_events", "n_users")
     )
+
+
+@query(
+    "s_stream_upsert",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s_stream_upsert(spark, sf_dir):
+    """Streaming CDC upsert — the incrementally-maintained
+    keep-latest-per-key table (the streaming mirror of
+    ``q_compact_latest``, the same pairing as q_sessionize /
+    s_stream_session): a streaming ``max_by`` aggregation keyed by the
+    logical key keeps exactly one (latest ts, unique event_id
+    tie-break) row per key in the state store, updated per micro-batch.
+
+    This is the declarative alternative to foreachBatch-MERGE: state is
+    one row per key regardless of input volume, the memory sink in
+    complete mode IS the compacted table, and at 100 TB/day rates the
+    same plan runs off Kafka with RocksDB state — key cardinality, not
+    event rate, bounds memory.  Recency ordering rides a (ts_us,
+    event_id) struct so ties are impossible and the result is
+    bit-stable.  Single-batch run equals the batch compaction, so it's
+    SQL-oracled."""
+    batch = load_raw(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            event_epoch_us(batch).alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.expr("max_by(value, struct(ts_us, event_id))").alias(
+            "last_value"
+        ),
+        F.max(F.struct("ts_us", "event_id")).alias("m"),
+    )
+    sink = f"stream_upsert_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    us_to_ntz = (
+        "timestampadd(MICROSECOND, m.ts_us,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return spark.table(sink).select(
+        "user_id",
+        "event_type",
+        F.expr(us_to_ntz).alias("last_ts"),
+        "last_value",
+    )

@@ -840,3 +840,67 @@ def test_mix_weights_temperature_semantics(spark):
     small = min(out.values(), key=lambda r: r.token_share)
     assert big.mix_weight < big.token_share       # downsampled
     assert small.mix_weight > small.token_share   # upsampled
+
+
+def test_stream_upsert_updates_across_batches(spark, tmp_path):
+    """The streaming upsert must genuinely UPDATE state across
+    micro-batches — the property the registered oracle's single-file
+    replay cannot see: a later batch's newer row for an existing key
+    replaces it, an older (late) row for that key does NOT, and new
+    keys appear."""
+    import time
+    import uuid as _uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "upsert_src"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["key", "event_id", "ts_us", "value"]
+        )
+        table = pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [("key", pa.int64()), ("event_id", pa.int64()),
+                 ("ts_us", pa.int64()), ("value", pa.float64())]
+            )
+        )
+        pq.write_table(table, str(d / name))
+
+    batches = [
+        ("a.parquet", [(1, 10, 1000, 1.0), (2, 11, 1000, 2.0)]),
+        ("b.parquet", [(1, 12, 2000, 9.0),   # newer → replaces key 1
+                       (2, 13, 500, 7.0),    # LATE → must not replace
+                       (3, 14, 1500, 3.0)]), # new key
+    ]
+    for name, rows in batches:
+        write(name, rows)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "key BIGINT, event_id BIGINT, ts_us BIGINT, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    agg = stream.groupBy("key").agg(
+        F.expr("max_by(value, struct(ts_us, event_id))").alias("v"),
+        F.max(F.struct("ts_us", "event_id")).alias("m"),
+    )
+    sink = f"upserttest_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.key: (r.v, r.m.ts_us) for r in spark.table(sink).collect()}
+    assert out == {1: (9.0, 2000), 2: (2.0, 1000), 3: (3.0, 1500)}
