@@ -57,6 +57,10 @@ _FAMILY_QUERIES = (
     "q_minhash_jaccard_est",
     "q_embed_dup",
     "q_similarity_topk",
+    # r3 additions with corpus-wide self-reference (checkpointed
+    # vocab/grid) — the two-pass structure must also track rows
+    "q_unigram_lm",
+    "q_dup_spans",
 )
 
 
