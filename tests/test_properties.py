@@ -904,3 +904,58 @@ def test_stream_upsert_updates_across_batches(spark, tmp_path):
         q.stop()
     out = {r.key: (r.v, r.m.ts_us) for r in spark.table(sink).collect()}
     assert out == {1: (9.0, 2000), 2: (2.0, 1000), 3: (3.0, 1500)}
+
+
+def test_r3_text_ops_oracle_parity_on_adversarial_texts(spark):
+    """unigram_lm / dup_span_stats / mix_weights must value-match their
+    registered DuckDB oracles on text shapes the fixture corpus lacks
+    (empty string, empty tokens from double spaces, unicode, exact
+    dups) — the same adversarial guard the minhash family has."""
+    import duckdb
+    import pandas as pd
+
+    from ema_bigdata_spark import registry
+    from ema_bigdata_spark.operators.dedup import dup_span_stats
+    from ema_bigdata_spark.operators.text import mix_weights, unigram_lm
+
+    texts = [
+        (1, "", "s0"),
+        (2, "one", "s0"),
+        (3, "a  b c", "s1"),  # double space -> empty token
+        (4, "héllo wörld naïve", "s1"),
+        (5, "the quick brown fox jumps over the lazy dog", "s2"),
+        (6, "the quick brown fox jumps over the lazy dog", "s2"),
+        (7, " leading and trailing ", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        texts, "doc_id BIGINT, text STRING, source STRING"
+    )
+    duck = duckdb.connect()
+    duck.register(
+        "pdf", pd.DataFrame(texts, columns=["doc_id", "text", "source"])
+    )
+    duck.execute("CREATE VIEW documents AS SELECT * FROM pdf")
+
+    for fn, name, key in (
+        (unigram_lm, "q_unigram_lm", lambda r: r[0]),
+        (dup_span_stats, "q_dup_spans", lambda r: r[0]),
+        (mix_weights, "q_mix_weights", lambda r: r[0]),
+    ):
+        sdf = fn(docs)
+        cols = sdf.columns
+        got = sorted((tuple(r) for r in sdf.collect()), key=key)
+        want = sorted(
+            (
+                tuple(r)
+                for r in duck.execute(
+                    f"SELECT {', '.join(cols)} FROM"
+                    f" ({registry.ORACLES[name]})"
+                ).fetchall()
+            ),
+            key=key,
+        )
+        assert got == want, name
+    # semantics spot-checks: the exact-dup pair is fully duplicated
+    spans = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert spans[5].dup_frac == 1.0 and spans[6].dup_frac == 1.0
+    assert spans[1].n_shingles == 1  # empty text -> whole-text shingle
