@@ -23,6 +23,7 @@ __all__ = [
     "gmm_fit",
     "keep_best",
     "lang_id_join",
+    "minhash_incremental",
     "minhash_pairs",
     "minhash_pairs_from_sigs",
     "mix_weights",
@@ -61,6 +62,8 @@ def __getattr__(name: str):
             "ema_bigdata_spark.operators.dedup", "dup_span_stats"),
         "mix_weights": (
             "ema_bigdata_spark.operators.text", "mix_weights"),
+        "minhash_incremental": (
+            "ema_bigdata_spark.operators.dedup", "minhash_incremental"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

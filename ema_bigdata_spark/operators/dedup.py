@@ -1004,3 +1004,88 @@ def q_dup_spans(spark, sf_dir):
     """See :func:`dup_span_stats`.  Driver-mandated surface (SURVEY
     §2.4); no Main.scala counterpart."""
     return dup_span_stats(spread(load_table(spark, sf_dir, "documents")))
+
+
+# -- q_dedup_incremental_near: new batch vs standing-corpus LSH index -----
+
+
+def minhash_incremental(
+    batch_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Per-batch-document near-dup report against a standing corpus
+    LSH index: (doc_id, n_matches, is_near_dup) for every batch doc,
+    where matches are distinct corpus documents sharing at least one
+    (band, band-signature) bucket.
+
+    Both inputs are band tables from :func:`_banded` — in production
+    the corpus side is the MATERIALIZED index table every
+    continuously-ingesting dedup pipeline maintains (appended per
+    batch), so the daily work is: signature the new batch (per-row
+    HOFs, no shuffle), hash-join its 4·|batch| band rows against the
+    index on (band, bsig), and count.  The corpus is never re-scanned
+    and never shuffled; only band rows move."""
+    cands = (
+        batch_bands.alias("b")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bsig") == F.col("c.bsig")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    counts = cands.groupBy("batch_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+    batch_ids = batch_bands.select("doc_id").distinct()
+    return batch_ids.join(
+        counts, batch_ids.doc_id == counts.batch_doc, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_near_dup"),
+    )
+
+
+@query(
+    "q_dedup_incremental_near",
+    oracle=f"""
+    WITH {_duck_minhash_cte()},
+    cands AS (
+      SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+      FROM bands b JOIN bands c
+        ON b.band = c.band AND b.bsig = c.bsig
+       AND b.doc_id % {_INC_MOD} = {_INC_NEW}
+       AND c.doc_id % {_INC_MOD} <> {_INC_NEW}
+    ),
+    cnt AS (
+      SELECT batch_doc, CAST(count(*) AS BIGINT) AS n_matches
+      FROM cands GROUP BY batch_doc
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(cnt.n_matches, 0) AS BIGINT) AS n_matches,
+           coalesce(cnt.n_matches, 0) > 0 AS is_near_dup
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {_INC_MOD} = {_INC_NEW}) d
+    LEFT JOIN cnt ON d.doc_id = cnt.batch_doc
+    """,
+)
+def q_dedup_incremental_near(spark, sf_dir):
+    """Incremental NEAR-dup ingestion gate (the LSH complement of
+    q_dedup_incremental's exact-key anti join): today's batch
+    (``doc_id % _INC_MOD == _INC_NEW``) is checked against the standing
+    corpus's MinHash band index; a batch doc matching any corpus doc's
+    band bucket is flagged.  The band table is built once from one
+    corpus scan and checkpointed — standing in for the materialized
+    index table a production pipeline maintains incrementally — and
+    the join moves only (band, bsig, doc_id) rows.  Driver-mandated
+    surface (SURVEY §2.4); no Main.scala counterpart."""
+    docs = spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "shingles", _shingles()
+    )
+    bands = _banded(_minhash_signatures(docs), []).localCheckpoint()
+    is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
+    return minhash_incremental(bands.where(is_new), bands.where(~is_new))

@@ -959,3 +959,39 @@ def test_r3_text_ops_oracle_parity_on_adversarial_texts(spark):
     spans = {r.doc_id: r for r in dup_span_stats(docs).collect()}
     assert spans[5].dup_frac == 1.0 and spans[6].dup_frac == 1.0
     assert spans[1].n_shingles == 1  # empty text -> whole-text shingle
+
+
+def test_minhash_incremental_flags_cross_set_dups(spark):
+    """The incremental near-dup gate must flag a batch doc duplicating
+    a CORPUS doc, not flag unique batch docs, and ignore duplicate
+    pairs entirely inside the corpus (the index side never gates
+    itself)."""
+    from ema_bigdata_spark.operators.dedup import (
+        _banded,
+        _minhash_signatures,
+        _shingles,
+        minhash_incremental,
+    )
+
+    rows = [
+        # corpus (doc_id 1-3): 2 and 3 duplicate each other
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "pack my box with five dozen liquor jugs"),
+        # batch (doc_id 11-12): 11 duplicates corpus doc 1, 12 unique
+        (11, "the quick brown fox jumps over the lazy dog"),
+        (12, "sphinx of black quartz judge my vow today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    bands = _banded(
+        _minhash_signatures(docs.withColumn("shingles", _shingles())), []
+    )
+    out = {
+        r.doc_id: r
+        for r in minhash_incremental(
+            bands.where("doc_id >= 10"), bands.where("doc_id < 10")
+        ).collect()
+    }
+    assert set(out) == {11, 12}  # report covers the batch, only it
+    assert out[11].is_near_dup and out[11].n_matches >= 1
+    assert not out[12].is_near_dup and out[12].n_matches == 0
