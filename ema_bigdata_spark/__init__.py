@@ -15,6 +15,7 @@ from __future__ import annotations
 
 __all__ = [
     "ann_ivf_topk",
+    "assign_splits",
     "connected_components",
     "cosine_topk",
     "dup_span_stats",
@@ -64,6 +65,8 @@ def __getattr__(name: str):
             "ema_bigdata_spark.operators.text", "mix_weights"),
         "minhash_incremental": (
             "ema_bigdata_spark.operators.dedup", "minhash_incremental"),
+        "assign_splits": (
+            "ema_bigdata_spark.operators.text", "assign_splits"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

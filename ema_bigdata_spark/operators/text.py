@@ -1037,3 +1037,59 @@ def q_mix_weights(spark, sf_dir):
     """See :func:`mix_weights` (alpha = `_MIX_ALPHA`).  Driver-mandated
     surface (SURVEY §2.4); no Main.scala counterpart."""
     return mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+# -- q_train_val_split: leakage-free content-hash split -------------------
+
+#: percent buckets: [0,90) train, [90,95) val, [95,100) test
+_SPLIT_TRAIN = 90
+_SPLIT_VAL = 95
+
+
+def assign_splits(docs, text_col: str = "text"):
+    """Deterministic train/val/test assignment keyed by a CONTENT hash
+    (md5-60bit of the normalized text, not doc_id): exact duplicates —
+    and re-ingested copies with different ids — always land in the
+    same split, so a duplicated document can never leak from train
+    into eval.  Pure per-row projection: zero shuffles, scales with
+    scan bandwidth; the same expression doubles as a partition column
+    for split-partitioned output.
+
+    At production scale swap the md5 template for xxhash64 exactly as
+    in the dedup family (`operators/dedup.py:_SPARK_H60` note); md5
+    keeps the DuckDB oracle exact here."""
+    from ema_bigdata_spark.operators.dedup import _SPARK_H60
+
+    h = _SPARK_H60.format(x=f"lower(trim({text_col}))")
+    bucket = f"pmod({h}, 100)"
+    return docs.select(
+        "doc_id",
+        F.expr(bucket).cast("long").alias("bucket"),
+        F.expr(
+            f"CASE WHEN {bucket} < {_SPLIT_TRAIN} THEN 'train'"
+            f" WHEN {bucket} < {_SPLIT_VAL} THEN 'val'"
+            " ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+def _train_val_split_oracle() -> str:
+    from ema_bigdata_spark.operators.dedup import _DUCK_H60
+
+    h = _DUCK_H60.format(x="lower(trim(text))")
+    bucket = f"({h}) % 100"  # h is a positive 60-bit value: % == pmod
+    return f"""
+    SELECT doc_id,
+           CAST({bucket} AS BIGINT) AS bucket,
+           CASE WHEN {bucket} < {_SPLIT_TRAIN} THEN 'train'
+                WHEN {bucket} < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@query("q_train_val_split", oracle=_train_val_split_oracle())
+def q_train_val_split(spark, sf_dir):
+    """See :func:`assign_splits`.  Driver-mandated surface (SURVEY
+    §2.4); no Main.scala counterpart."""
+    return assign_splits(load_table(spark, sf_dir, "documents"))

@@ -995,3 +995,42 @@ def test_minhash_incremental_flags_cross_set_dups(spark):
     assert set(out) == {11, 12}  # report covers the batch, only it
     assert out[11].is_near_dup and out[11].n_matches >= 1
     assert not out[12].is_near_dup and out[12].n_matches == 0
+
+
+def test_train_val_split_content_keyed(spark, sf_dir):
+    """Split assignment is keyed by CONTENT, not id: two docs with
+    identical text but different doc_ids must land in the same split,
+    fractions must be near 90/5/5 on the fixture corpus, and the op
+    must be a pure projection (one scan, zero exchanges)."""
+    from ema_bigdata_spark.operators.text import assign_splits
+    from ema_bigdata_spark.plans import (
+        exchange_count,
+        executed_plan,
+        query_plan,
+        scan_count,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"),
+         (3, "different text entirely")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.split for r in assign_splits(dup).collect()}
+    assert out[1] == out[2]
+
+    plan = query_plan(spark, sf_dir, "q_train_val_split")
+    assert scan_count(plan) == 1 and exchange_count(plan) == 0
+
+    from ema_bigdata_spark.sources.tables import load_table
+
+    frac = (
+        assign_splits(load_table(spark, sf_dir, "documents"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r.split: r["count"] for r in frac}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.8
+    assert 0 < counts.get("val", 0) / total < 0.15
+    assert 0 < counts.get("test", 0) / total < 0.15
