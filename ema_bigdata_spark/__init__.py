@@ -35,6 +35,7 @@ __all__ = [
     "simhash_pairs",
     "spread",
     "unigram_lm",
+    "value_outliers",
 ]
 
 
@@ -67,6 +68,8 @@ def __getattr__(name: str):
             "ema_bigdata_spark.operators.dedup", "minhash_incremental"),
         "assign_splits": (
             "ema_bigdata_spark.operators.text", "assign_splits"),
+        "value_outliers": (
+            "ema_bigdata_spark.operators.profiling", "value_outliers"),
         "connected_components": (
             "ema_bigdata_spark.operators.dedup", "connected_components"),
         "cosine_topk": (

@@ -155,3 +155,86 @@ def q_skew_metrics(spark, sf_dir):
             6,
         ).alias("skew_factor"),
     )
+
+
+# -- q_value_outliers: per-user z-score anomaly detection -----------------
+
+#: z is scale-invariant, so the ×10⁶ integer scaling cancels — no
+#: descale.  All inputs (vu, sx, sxx, n) are exact integers cast to
+#: DOUBLE, so the shared formula text runs the same IEEE-754 sequence
+#: on both engines (the q_corr_stats recipe).
+_Z_EXPR = (
+    "((CAST(vu AS DOUBLE) - sx / n)"
+    " / sqrt(sxx / n - (sx / n) * (sx / n)))"
+)
+_Z_GATE = (
+    f"n >= 10 AND (sxx / n - (sx / n) * (sx / n)) > 0"
+    f" AND abs({_Z_EXPR}) > 3"
+)
+
+
+def value_outliers(events) -> "DataFrame":
+    """Events whose value is > 3 population standard deviations from
+    the SAME user's mean — the per-entity anomaly flag a data-quality
+    monitor runs over every numeric ingest column (corrupt sensors,
+    unit mix-ups, fat-fingered backfills).
+
+    Scale shape: one groupBy collapses events to a per-user statistics
+    table (n, Σv, Σv² as exact DECIMAL(38,0) integer sums — map-side
+    combined, shuffle ∝ users), which joins back by BROADCAST (the
+    stats table is users-sized, orders below the event log; a
+    million-user table is ~24 MB and still broadcasts; beyond that
+    drop the hint and AQE picks the shuffle join).  The z computation
+    is a per-row projection; nothing but the stats table ever
+    shuffles."""
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vu"),
+    )
+    dec = "decimal(38,0)"
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("vu").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("vu") * F.col("vu")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .where(F.expr(_Z_GATE))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(F.expr(_Z_EXPR), 6).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "q_value_outliers",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(vu) AS DOUBLE) AS sx,
+             CAST(sum(vu * vu) AS DOUBLE) AS sxx
+      FROM ev GROUP BY user_id
+    )
+    SELECT event_id, ev.user_id, value,
+           round({_Z_EXPR}, 6) AS zscore
+    FROM ev JOIN stats ON ev.user_id = stats.user_id
+    WHERE {_Z_GATE}
+    """,
+)
+def q_value_outliers(spark, sf_dir):
+    """See :func:`value_outliers`.  Driver-mandated surface (SURVEY
+    §2.4); no Main.scala counterpart."""
+    return value_outliers(load_table(spark, sf_dir, "events"))

@@ -1034,3 +1034,27 @@ def test_train_val_split_content_keyed(spark, sf_dir):
     assert counts["train"] / total > 0.8
     assert 0 < counts.get("val", 0) / total < 0.15
     assert 0 < counts.get("test", 0) / total < 0.15
+
+
+def test_value_outliers_semantics(spark):
+    """Anomaly-flag invariants on a handcrafted stream: an injected
+    extreme value is flagged with the right sign, tight-cluster values
+    are not, a user below the n>=10 support floor is never flagged
+    (one wild value would dominate its own tiny sample), and a
+    constant-valued user can't divide by zero."""
+    from ema_bigdata_spark.operators.profiling import value_outliers
+
+    rows = []
+    # user 1: 19 values near 10, one at 1000 -> that one flags
+    rows += [(i, 1, 10.0 + (i % 5) * 0.1) for i in range(19)]
+    rows += [(19, 1, 1000.0)]
+    # user 2: only 5 events incl. a wild one -> support floor blocks it
+    rows += [(100 + i, 2, v) for i, v in enumerate([1.0, 1.0, 1.0, 1.0, 99.0])]
+    # user 3: 12 identical values -> sd = 0, gated, no div-by-zero
+    rows += [(200 + i, 3, 7.5) for i in range(12)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, value DOUBLE"
+    )
+    out = value_outliers(ev).collect()
+    assert [(r.event_id, r.user_id) for r in out] == [(19, 1)]
+    assert out[0].zscore > 3
