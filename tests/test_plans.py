@@ -412,3 +412,38 @@ def test_tpch_q18_semi_join_rewrite_topk(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_plan_invariants_every_batch_query(spark, sf_dir):
+    """Repo-wide sweep: EVERY registered batch query's executed plan
+    must be free of (a) cartesian products — except the queries whose
+    declared semantics ARE tiny-dim cross joins or 1-row scalar
+    attaches (those plan as BroadcastNestedLoopJoin on a 1-row/25-row
+    side, which is the intended shape) — and (b) row-at-a-time Python
+    UDF nodes (BatchEvalPython) anywhere; Arrow-vectorized Python
+    (ArrowEvalPython / mapInPandas) is allowed only in the two
+    declared Python-path queries.  Guards every FUTURE query too: a
+    new operator that accidentally plans a cartesian or a row-wise
+    Python UDF fails here, not at 100 TB."""
+    from ema_bigdata_spark import registry
+    from ema_bigdata_spark.plans import executed_plan
+
+    registry.load_all()
+    # semantically-cartesian by declaration (tiny dims / 1-row sides)
+    cartesian_ok = {"q_join_cross"}
+    arrow_ok = {"q_embed_quantize", "q_mm_features", "q_mm_frames"}
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if name.startswith("s_stream_") or name in ("gmm_fit", "q_gmm_bic"):
+            continue  # streams execute on call; EM runs driver-side
+        plan = executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython (row-wise UDF)"))
+        if (
+            ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+            and name not in arrow_ok
+        ):
+            offenders.append((name, "unexpected Python/Arrow node"))
+    assert not offenders, offenders
