@@ -672,6 +672,73 @@ def q_sql_tpch_q18(spark, sf_dir):
     return spark.sql(_Q18_BODY.format(c="v_"))
 
 
+# -- q_sql_tpch_q14: promotion revenue share (conditional aggregate) ------
+
+_Q14_BODY = """
+    SELECT round(CAST(100 AS DOUBLE) * CAST(promo AS DOUBLE)
+                 / CAST(total AS DOUBLE), 6) AS promo_share,
+           CAST(n_lines AS BIGINT) AS n_lines
+    FROM (
+      SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo,
+             sum(rev) AS total, count(*) AS n_lines
+      FROM (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+               p_type
+        FROM {c}lineitem, {c}part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate <  TIMESTAMP '1995-10-01'))
+"""
+
+
+@query("q_sql_tpch_q14", oracle=_Q14_BODY.format(c=""))
+def q_sql_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): the one-month filter
+    pushes to the lineitem scan, part broadcasts (AQE converts on the
+    filtered size), and the promo/total split is a CONDITIONAL
+    aggregate in one pass — never two scans or a self-join.  Revenue
+    sums are exact integer cents×discount units; the share is one
+    double division over identical integers on both engines.
+    Identical SQL text (`_Q14_BODY`).  Driver-mandated surface
+    (SURVEY §2.4)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q14_BODY.format(c="v_"))
+
+
+# -- q_sql_tpch_q17: small-quantity-order revenue (correlated agg) --------
+
+_Q17_BODY = """
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) / CAST(100 AS DOUBLE) / CAST(7.0 AS DOUBLE),
+                 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM {c}lineitem l, {c}part p
+    WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#9'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM {c}lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("q_sql_tpch_q17", oracle=_Q17_BODY.format(c=""))
+def q_sql_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    AGGREGATE subquery — each lineitem compares against its own part's
+    average quantity — which Catalyst de-correlates into a
+    per-partkey aggregate joined back on the key (never a re-executed
+    subquery per row: the plan has one extra aggregate + one join, and
+    the Brand filter prunes the probe side first).  Quantities are
+    integral by data contract so the 0.5·avg threshold derives from
+    exact integer sums identically on both engines; revenue is exact
+    cents descaled once.  Identical SQL text (`_Q17_BODY`).
+    Driver-mandated surface (SURVEY §2.4)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q17_BODY.format(c="v_"))
+
+
 # -- q_join_salted: skew-safe equi join as declared surface ---------------
 
 

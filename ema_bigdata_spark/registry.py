@@ -45,9 +45,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: one — cumulatively 63/99 had green rows entering r3).  Head = the
 #: 36 not-yet-green (cheap expression/window ones first so a driver
 #: time-budget cut-off costs least, streaming's fixed state-store
-#: spin-up cost last), then the twelve r3 additions, then 2 r1-green-
-#: but-displaced refreshers fill the window; the long-green
-#: relational/scalar/text/reference families follow in module order.
+#: spin-up cost last), then the fourteen r3 additions fill the window
+#: exactly; the long-green relational/scalar/text/reference families
+#: follow in module order.
 _R3_CHECK_WINDOW: tuple[str, ...] = (
     # — no official green row yet (36) —
     "q_collect_agg", "q_approx_distinct", "q_approx_quantiles",
@@ -63,15 +63,16 @@ _R3_CHECK_WINDOW: tuple[str, ...] = (
     "gmm_fit", "q_gmm_bic",
     "s_stream_tumbling", "s_stream_sliding", "s_stream_dedup",
     "s_stream_session", "s_stream_join", "s_stream_static_join",
-    # — new in r3, never checked (12) —
+    # — new in r3, never checked (14) —
     "q_dedup_keep_best", "q_embed_centroid", "q_sql_tpch_q10",
     "q_sql_tpch_q6", "q_sql_tpch_q18", "q_unigram_lm", "q_dup_spans",
     "q_mix_weights", "s_stream_upsert", "q_dedup_incremental_near",
-    "q_train_val_split", "q_value_outliers",
-    # — green in r1 only, displaced from the r2 window (2; the other
-    #   r1-green refreshers yielded their slots to never-checked r3
-    #   additions — never-green beats green-once) —
-    "q_join_inner", "q_join_broadcast",
+    "q_train_val_split", "q_value_outliers", "q_sql_tpch_q14",
+    "q_sql_tpch_q17",
+    # (every r1-green refresher has now yielded its slot to a
+    #  never-checked r3 addition — never-green beats green-once;
+    #  the r1-green families keep their r1 rows and re-enter the
+    #  window in r4 once the additions have official rows)
 )
 
 

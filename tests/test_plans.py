@@ -447,3 +447,26 @@ def test_global_plan_invariants_every_batch_query(spark, sf_dir):
         ):
             offenders.append((name, "unexpected Python/Arrow node"))
     assert not offenders, offenders
+
+
+def test_tpch_q14_single_pass_conditional_agg(spark, sf_dir):
+    """Q14: the promo/total split is ONE conditional aggregate over one
+    broadcast-joined scan of the filtered month — never two scans of
+    lineitem or a self-join."""
+    from ema_bigdata_spark.plans import scan_count
+
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q14")
+    assert scan_count(plan) == 2  # lineitem once + part once
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_tpch_q17_decorrelated(spark, sf_dir):
+    """Q17's correlated aggregate subquery must be de-correlated into a
+    per-partkey aggregate joined back on the key — a plan with one
+    extra aggregate and a (broadcastable) join, never a re-executed
+    subquery or a cartesian."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q17")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "avg(" in plan  # the de-correlated per-key average aggregate
