@@ -29,12 +29,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-# 3 reps (was 2): measured same-day min-of-2 swings of 2-4 s on
-# multi-second queries under co-tenant load (e.g. q_dedup_keep_best
-# 1.26 s vs 4.37 s an hour apart, code unchanged); with one rep burned
-# on codegen warm-up, a single noisy second rep owns the "min".  A
-# third rep restores a steady-state floor for ~2-3 min extra wall.
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# 2 fixed reps + an ADAPTIVE third (below): measured same-day
+# min-of-2 swings of 2-4 s on multi-second queries under co-tenant
+# load (e.g. q_dedup_keep_best 1.26 s vs 4.37 s an hour apart, code
+# unchanged) — with rep 1 burned on codegen warm-up, a single noisy
+# rep 2 owns the "min".  A fixed third rep fixes that but costs
+# ~+50% wall clock on EVERY query (113 queries ≈ +4 min), risking a
+# driver-side time budget; instead rep 3 runs only when reps 1-2
+# disagree by > BENCH_SPREAD (noise signature — steady-state pairs
+# agree within ~10%), so the typical sweep stays near min-of-2 time.
+BENCH_SPREAD = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "0.3"))
 
 #: queries excluded from the timing sweep (not representative of
 #: engine throughput): none currently.
@@ -71,12 +76,20 @@ def main() -> None:
     ).mode("overwrite").save()
 
     def timed(thunk) -> float:
-        best = float("inf")
+        ts = []
         for _ in range(BENCH_RUNS):
             t0 = time.monotonic()
             thunk()
-            best = min(best, time.monotonic() - t0)
-        return round(best, 3)
+            ts.append(time.monotonic() - t0)
+        # adaptive extra rep: two samples that disagree badly mean one
+        # of them was load noise (or all-warm-up) — buy a tiebreak
+        if len(ts) >= 2 and min(ts) > 0 and (
+            abs(ts[-1] - ts[-2]) / min(ts[-2:]) > BENCH_SPREAD
+        ):
+            t0 = time.monotonic()
+            thunk()
+            ts.append(time.monotonic() - t0)
+        return round(min(ts), 3)
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
