@@ -75,7 +75,10 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    adaptive_reps = 0
+
     def timed(thunk) -> float:
+        nonlocal adaptive_reps
         ts = []
         for _ in range(BENCH_RUNS):
             t0 = time.monotonic()
@@ -86,6 +89,7 @@ def main() -> None:
         if len(ts) >= 2 and min(ts) > 0 and (
             abs(ts[-1] - ts[-2]) / min(ts[-2:]) > BENCH_SPREAD
         ):
+            adaptive_reps += 1
             t0 = time.monotonic()
             thunk()
             ts.append(time.monotonic() - t0)
@@ -124,7 +128,10 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            # methodology record: fixed reps + how many queries took
+            # the adaptive noise-tiebreak rep (their min is min-of-3)
             "runs_per_query": BENCH_RUNS,
+            "adaptive_third_reps": adaptive_reps,
         }
     )
     print(payload)

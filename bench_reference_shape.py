@@ -26,7 +26,6 @@ writes BENCH_REFSHAPE.json.
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -87,10 +86,12 @@ def main() -> None:
     from ema_bigdata_spark.session import get_spark
     from ema_bigdata_spark.sources.tables import load_table
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app_name="ema-bigdata-refshape")
     ev = load_table(spark, SF_DIR, "events")
     vals = (
-        ev.select(F_col_x(ev))
+        ev.select(F.col("value").cast("double").alias("x"))
         .where("x IS NOT NULL")
         .cache()
     )
@@ -131,12 +132,6 @@ def main() -> None:
     except OSError:
         pass
     spark.stop()
-
-
-def F_col_x(ev):
-    from pyspark.sql import functions as F
-
-    return F.col("value").cast("double").alias("x")
 
 
 if __name__ == "__main__":

@@ -609,7 +609,7 @@ _Q6_BODY = """
     FROM {c}lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
       AND l_shipdate <  TIMESTAMP '1996-01-01'
-      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_discount BETWEEN 0.045 AND 0.075
       AND l_quantity < 24
 """
 

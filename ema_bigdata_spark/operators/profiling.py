@@ -194,10 +194,16 @@ def value_outliers(events) -> "DataFrame":
         F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vu"),
     )
     dec = "decimal(38,0)"
+    # the vu² product must leave BIGINT BEFORE multiplying: vu is
+    # value×10⁶, so vu·vu overflows int64 once |value| ≥ ~3037 (and
+    # without ANSI mode Spark would wrap silently, poisoning sxx and
+    # suppressing exactly the wild anomalies this query exists to
+    # flag).  decimal(38,0)·bigint keeps the product exact to 1e19×
+    # headroom; the DuckDB oracle widens to HUGEINT the same way.
     stats = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.col("vu").cast(dec)).cast("double").alias("sx"),
-        F.sum((F.col("vu") * F.col("vu")).cast(dec))
+        F.sum(F.col("vu").cast(dec) * F.col("vu"))
         .cast("double")
         .alias("sxx"),
     )
@@ -225,7 +231,7 @@ def value_outliers(events) -> "DataFrame":
       SELECT user_id,
              CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(vu) AS DOUBLE) AS sx,
-             CAST(sum(vu * vu) AS DOUBLE) AS sxx
+             CAST(sum(CAST(vu AS HUGEINT) * vu) AS DOUBLE) AS sxx
       FROM ev GROUP BY user_id
     )
     SELECT event_id, ev.user_id, value,

@@ -968,10 +968,14 @@ _MIX_ALPHA = 0.7
 #: integer 1e-9 grid BEFORE the normalizing sum, so the sum is BIGINT —
 #: partition-order-independent (power() itself is libm-adjacent; the
 #: snap absorbs any last-ulp engine difference far below round(6)).
-_POW_U = (
+#: ``{a}`` is the alpha placeholder (format-substituted, never
+#: string-replaced — a str.replace of the default could corrupt an
+#: unrelated literal if the default ever becomes a substring of one).
+_POW_U_T = (
     "CAST(round(power(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE),"
-    f" {_MIX_ALPHA}) * 1000000000, 0) AS BIGINT)"
+    " {a}) * 1000000000, 0) AS BIGINT)"
 )
+_POW_U = _POW_U_T.format(a=_MIX_ALPHA)
 
 
 def mix_weights(docs, alpha: float = _MIX_ALPHA):
@@ -985,9 +989,7 @@ def mix_weights(docs, alpha: float = _MIX_ALPHA):
     the shuffle carries one row per source."""
     from pyspark.sql import Window
 
-    pow_u = _POW_U if alpha == _MIX_ALPHA else _POW_U.replace(
-        str(_MIX_ALPHA), repr(float(alpha))
-    )
+    pow_u = _POW_U_T.format(a=repr(float(alpha)))
     w = Window.partitionBy()
     per = (
         docs.groupBy("source")

@@ -368,6 +368,11 @@ def test_tpch_q6_pure_scan_agg(spark, sf_dir):
     assert scan_count(plan) == 1
     assert "Join" not in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # the discount band is a PLAIN column range (not an expression over
+    # round(col*100)) precisely so it reaches the scan too; the plan
+    # string elides the filter list, so assert the column's presence
+    # in PushedFilters via its IsNotNull (only pushed columns get one)
+    assert "IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
     assert (
         "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
         "l_discount:double,l_shipdate:timestamp" in plan

@@ -1052,9 +1052,15 @@ def test_value_outliers_semantics(spark):
     rows += [(100 + i, 2, v) for i, v in enumerate([1.0, 1.0, 1.0, 1.0, 99.0])]
     # user 3: 12 identical values -> sd = 0, gated, no div-by-zero
     rows += [(200 + i, 3, 7.5) for i in range(12)]
+    # user 4: values around 50 000 — vu = value×10⁶ ≈ 5e10, so the
+    # vu² statistic is ~2.5e21, far beyond int64: guards the
+    # decimal-widened sum (a BIGINT product would wrap silently and
+    # poison the variance, suppressing the flag)
+    rows += [(300 + i, 4, 50_000.0 + (i % 7) * 3.0) for i in range(19)]
+    rows += [(319, 4, 90_000.0)]
     ev = spark.createDataFrame(
         rows, "event_id LONG, user_id LONG, value DOUBLE"
     )
-    out = value_outliers(ev).collect()
-    assert [(r.event_id, r.user_id) for r in out] == [(19, 1)]
-    assert out[0].zscore > 3
+    out = sorted(value_outliers(ev).collect(), key=lambda r: r.event_id)
+    assert [(r.event_id, r.user_id) for r in out] == [(19, 1), (319, 4)]
+    assert out[0].zscore > 3 and out[1].zscore > 3
