@@ -1064,3 +1064,53 @@ def test_value_outliers_semantics(spark):
     out = sorted(value_outliers(ev).collect(), key=lambda r: r.event_id)
     assert [(r.event_id, r.user_id) for r in out] == [(19, 1), (319, 4)]
     assert out[0].zscore > 3 and out[1].zscore > 3
+
+
+class TestDupSpansProperty:
+    """Hypothesis: the distributed duplicated-span statistic agrees
+    with a direct pure-Python reference on arbitrary small corpora — a
+    third independent implementation beyond Spark and the DuckDB
+    oracle."""
+
+    @staticmethod
+    def _shingles(text):
+        toks = text.split(" ")  # split(' ', -1) semantics: keeps empties
+        if len(toks) >= 3:
+            return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        return [text]
+
+    def _reference(self, docs):
+        from collections import Counter
+
+        per_doc = {d: Counter(self._shingles(t)) for d, t in docs}
+        doc_count = Counter(
+            sh for c in per_doc.values() for sh in c.keys()
+        )
+        out = {}
+        for d, c in per_doc.items():
+            n = sum(c.values())
+            dup = sum(k for sh, k in c.items() if doc_count[sh] >= 2)
+            out[d] = (n, dup)
+        return out
+
+    def test_dup_spans_matches_reference(self, spark):
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from ema_bigdata_spark.operators.dedup import dup_span_stats
+
+        word = st.sampled_from(["a", "b", "c", "dd", ""])
+        text = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(text, min_size=1, max_size=6))
+        def run(texts):
+            docs = list(enumerate(texts))
+            df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+            got = {
+                r.doc_id: (r.n_shingles, r.n_dup)
+                for r in dup_span_stats(df).collect()
+            }
+            assert got == self._reference(docs)
+
+        run()
