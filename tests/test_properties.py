@@ -1114,3 +1114,61 @@ class TestDupSpansProperty:
             assert got == self._reference(docs)
 
         run()
+
+
+class TestUnigramLMProperty:
+    """Hypothesis: the distributed corpus-LM score agrees with a
+    pure-Python reference (same micro-nat snapping) on arbitrary small
+    corpora."""
+
+    def _reference(self, docs):
+        import math
+        from collections import Counter
+
+        toks = {
+            d: [t for t in text.split(" ") if t != ""]
+            for d, text in docs
+        }
+        vocab = Counter(t for ts in toks.values() for t in ts)
+        total = sum(vocab.values())
+        cost = {
+            t: round(math.log(total / c) * 1_000_000)
+            for t, c in vocab.items()
+        }
+        out = {}
+        for d, ts in toks.items():
+            if not ts:
+                continue  # zero-token docs drop from the inner join
+            out[d] = (
+                len(ts),
+                round(sum(cost[t] for t in ts) / len(ts) / 1_000_000, 6),
+            )
+        return out
+
+    def test_unigram_lm_matches_reference(self, spark):
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from ema_bigdata_spark.operators.text import unigram_lm
+
+        word = st.sampled_from(["a", "b", "cc", "ddd", ""])
+        text = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(text, min_size=1, max_size=6))
+        def run(texts):
+            docs = list(enumerate(texts))
+            if not any(t.strip(" ") for _, t in docs):
+                return  # all-empty corpus: no tokens, empty output
+            df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+            got = {
+                r.doc_id: (r.n_tokens, r.lm_score)
+                for r in unigram_lm(df).collect()
+            }
+            want = self._reference(docs)
+            assert set(got) == set(want)
+            for d in want:
+                assert got[d][0] == want[d][0]
+                assert got[d][1] == pytest.approx(want[d][1], abs=2e-6)
+
+        run()
