@@ -58,9 +58,11 @@ _FAMILY_QUERIES = (
     "q_embed_dup",
     "q_similarity_topk",
     # r3 additions with corpus-wide self-reference (checkpointed
-    # vocab/grid) — the two-pass structure must also track rows
+    # vocab/grid/band-index) — the two-pass structure must also track
+    # rows
     "q_unigram_lm",
     "q_dup_spans",
+    "q_dedup_incremental_near",
 )
 
 
