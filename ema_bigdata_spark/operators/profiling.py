@@ -160,11 +160,17 @@ def q_skew_metrics(spark, sf_dir):
 # -- q_value_outliers: per-user z-score anomaly detection -----------------
 
 #: z is scale-invariant, so the ×10⁶ integer scaling cancels — no
-#: descale.  All inputs (vu, sx, sxx, n) are exact integers cast to
-#: DOUBLE, so the shared formula text runs the same IEEE-754 sequence
-#: on both engines (the q_corr_stats recipe).
+#: descale.  ``sx``/``sxx`` are the per-user MIN-SHIFTED sums
+#: Σ(vu−m) and Σ(vu−m)² (exact integer arithmetic, see
+#: :func:`value_outliers`), so the doubles here only ever hold
+#: spread-sized numbers — the r3 unshifted form lost the variance to
+#: catastrophic cancellation once |mean| ≫ sd (e.g. values ~1e9 with
+#: sd ~1: sxx/n and (sx/n)² were ~1e30-scale doubles whose true
+#: difference was ~1; ADVICE r3).  All inputs are exact integers cast
+#: to DOUBLE, so the shared formula text runs the same IEEE-754
+#: sequence on both engines (the q_corr_stats recipe).
 _Z_EXPR = (
-    "((CAST(vu AS DOUBLE) - sx / n)"
+    "((CAST(vu - m AS DOUBLE) - sx / n)"
     " / sqrt(sxx / n - (sx / n) * (sx / n)))"
 )
 _Z_GATE = (
@@ -180,13 +186,28 @@ def value_outliers(events) -> "DataFrame":
     unit mix-ups, fat-fingered backfills).
 
     Scale shape: one groupBy collapses events to a per-user statistics
-    table (n, Σv, Σv² as exact DECIMAL(38,0) integer sums — map-side
-    combined, shuffle ∝ users), which joins back by BROADCAST (the
-    stats table is users-sized, orders below the event log; a
+    table (n, min, Σv, Σv² as exact DECIMAL(38,0) integer sums —
+    map-side combined, shuffle ∝ users), which joins back by BROADCAST
+    (the stats table is users-sized, orders below the event log; a
     million-user table is ~24 MB and still broadcasts; beyond that
     drop the hint and AQE picks the shuffle join).  The z computation
     is a per-row projection; nothing but the stats table ever
-    shuffles."""
+    shuffles.
+
+    Numerical stability (ADVICE r3): the naive E[x²]−E[x]² in doubles
+    loses the variance to cancellation once |mean| ≫ sd.  Rather than
+    a second shifted-sum pass over the events (an extra shuffle), the
+    min-shift is applied ALGEBRAICALLY to the one-pass sums, still in
+    exact integer arithmetic:  with m = min(vu),
+        Σ(vu−m)  = Σvu  − n·m
+        Σ(vu−m)² = Σvu² − 2·m·Σvu + n·m²
+    Only these spread-sized shifted sums are ever cast to DOUBLE, so
+    the formula in ``_Z_EXPR`` never subtracts near-equal huge
+    numbers.  Exactness headroom: every intermediate is ≤ ~n·max|vu|²
+    ≈ n·(|value|×10⁶)², inside DECIMAL(38,0) / HUGEINT for
+    |value| ≤ 1e9 with up to ~1e7 events per user — far beyond the
+    |mean|/sd ≈ 1e8 point where the unshifted doubles had already
+    failed."""
     ev = events.where(F.col("value").isNotNull()).select(
         "event_id",
         "user_id",
@@ -200,10 +221,24 @@ def value_outliers(events) -> "DataFrame":
     # suppressing exactly the wild anomalies this query exists to
     # flag).  decimal(38,0)·bigint keeps the product exact to 1e19×
     # headroom; the DuckDB oracle widens to HUGEINT the same way.
-    stats = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("vu").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("vu").cast(dec) * F.col("vu"))
+    raw = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.min("vu").alias("m"),
+        F.sum(F.col("vu").cast(dec)).alias("sx0"),
+        F.sum(F.col("vu").cast(dec) * F.col("vu")).alias("sxx0"),
+    )
+    n_dec = F.col("nn").cast(dec)
+    m_dec = F.col("m").cast(dec)
+    stats = raw.select(
+        "user_id",
+        "m",
+        F.col("nn").cast("double").alias("n"),
+        (F.col("sx0") - n_dec * m_dec).cast("double").alias("sx"),
+        (
+            F.col("sxx0")
+            - F.lit(2).cast(dec) * m_dec * F.col("sx0")
+            + n_dec * m_dec * m_dec
+        )
         .cast("double")
         .alias("sxx"),
     )
@@ -227,12 +262,21 @@ def value_outliers(events) -> "DataFrame":
              CAST(round(value * 1000000) AS BIGINT) AS vu
       FROM events WHERE value IS NOT NULL
     ),
-    stats AS (
+    raw AS (
       SELECT user_id,
-             CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(vu) AS DOUBLE) AS sx,
-             CAST(sum(CAST(vu AS HUGEINT) * vu) AS DOUBLE) AS sxx
+             count(*) AS nn,
+             min(vu) AS m,
+             sum(CAST(vu AS HUGEINT)) AS sx0,
+             sum(CAST(vu AS HUGEINT) * vu) AS sxx0
       FROM ev GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, m,
+             CAST(nn AS DOUBLE) AS n,
+             CAST(sx0 - CAST(nn AS HUGEINT) * m AS DOUBLE) AS sx,
+             CAST(sxx0 - 2 * CAST(m AS HUGEINT) * sx0
+                  + CAST(nn AS HUGEINT) * m * m AS DOUBLE) AS sxx
+      FROM raw
     )
     SELECT event_id, ev.user_id, value,
            round({_Z_EXPR}, 6) AS zscore

@@ -881,6 +881,12 @@ _COST_U = (
 )
 
 
+#: broadcast the (token, cost) table only below this row count
+#: (~20 M rows ≈ hundreds of MB serialized — inside executor broadcast
+#: budgets; a web-scale vocab blows past it and must shuffle instead).
+_VOCAB_BROADCAST_MAX = 20_000_000
+
+
 def unigram_lm(docs, text_col: str = "text"):
     """Per-document mean self-information under the corpus's own
     unigram LM (the CCNet/Wikipedia-LM quality-filter shape: train a
@@ -894,12 +900,21 @@ def unigram_lm(docs, text_col: str = "text"):
     trained LM out; without the cut, Spark re-derives the vocab subtree
     once for the cost table and once for the grand total = a third
     full corpus scan).  Pass 2 re-tokenizes and scores.  The
-    vocabulary cost table re-joins by BROADCAST — at 100 TB the corpus
-    is never shuffled; only (doc_id, cost) partial sums move,
-    collapsing to ~1 row per document.  The grand-total attach is a
-    1-row broadcast cross join, not a window over the vocab.
-    Driver-mandated surface (SURVEY §2.4); no Main.scala
-    counterpart."""
+    vocabulary cost table re-joins by BROADCAST **only while it
+    provably fits** (ADVICE r3): a whitespace-token vocab over
+    web-scale text grows roughly with the corpus (URLs, hashes,
+    typos), so the hint is applied iff the materialized vocab has
+    ≤ ``_VOCAB_BROADCAST_MAX`` rows — counting the checkpoint is a
+    cheap scan of already-materialized blocks, not a third corpus
+    pass.  Beyond the cap the hint is dropped and AQE picks the join
+    (shuffle-hash on token), keeping semantics exact; the CCNet
+    min-count vocab floor is the lossy alternative and deliberately
+    NOT applied (it would change every rare-token score).  Either way,
+    at 100 TB the corpus text is never shuffled; only (doc_id, cost)
+    partial sums move, collapsing to ~1 row per document.  The
+    grand-total attach is a 1-row broadcast cross join, not a window
+    over the vocab.  Driver-mandated surface (SURVEY §2.4); no
+    Main.scala counterpart."""
     toks = docs.select(
         "doc_id", F.explode(F.split(text_col, " ", -1)).alias("token")
     ).where(F.col("token") != "")
@@ -912,8 +927,10 @@ def unigram_lm(docs, text_col: str = "text"):
     cost = vocab.crossJoin(F.broadcast(total)).select(
         "token", F.expr(_COST_U).alias("cost_u")
     )
+    if vocab.count() <= _VOCAB_BROADCAST_MAX:
+        cost = F.broadcast(cost)
     return (
-        toks.join(F.broadcast(cost), "token")
+        toks.join(cost, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

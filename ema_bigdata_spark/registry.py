@@ -37,49 +37,54 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-3 verification priority.  The external driver records a
-#: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order,
-#: so each round the head of the list must be the queries with no
-#: official green row yet (rotation demanded by VERDICT r2 §Next-1:
-#: r1 checked the registration order of that round, r2 a reshuffled
-#: one — cumulatively 63/99 had green rows entering r3).  Head = the
-#: 36 not-yet-green (cheap expression/window ones first so a driver
-#: time-budget cut-off costs least, streaming's fixed state-store
-#: spin-up cost last), then the fourteen r3 additions fill the window
-#: exactly; the long-green relational/scalar/text/reference families
-#: follow in module order.
-_R3_CHECK_WINDOW: tuple[str, ...] = (
-    # — no official green row yet (36) —
-    "q_collect_agg", "q_approx_distinct", "q_approx_quantiles",
-    "q_sessionize", "q_window_frames", "q_window_range_frame",
-    "q_compact_latest",
-    "q_retention", "q_funnel", "q_skew_metrics",
-    "q_join_range", "q_join_asof", "q_join_salted",
-    "q_embed_norm", "q_similarity_topk", "q_similarity_batch",
-    "q_multimodal_join", "q_mm_features", "q_mm_frames",
-    "q_ann_lsh", "q_ann_ivf", "q_embed_dup", "q_embed_quantize",
-    "q_dedup_minhash", "q_dedup_simhash", "q_minhash_jaccard_est",
-    "q_dedup_cluster", "q_dedup_fuzzy",
-    "gmm_fit", "q_gmm_bic",
-    "s_stream_tumbling", "s_stream_sliding", "s_stream_dedup",
-    "s_stream_session", "s_stream_join", "s_stream_static_join",
-    # — new in r3, never checked (14) —
-    "q_dedup_keep_best", "q_embed_centroid", "q_sql_tpch_q10",
-    "q_sql_tpch_q6", "q_sql_tpch_q18", "q_unigram_lm", "q_dup_spans",
-    "q_mix_weights", "s_stream_upsert", "q_dedup_incremental_near",
-    "q_train_val_split", "q_value_outliers", "q_sql_tpch_q14",
-    "q_sql_tpch_q17",
-    # (every r1-green refresher has now yielded its slot to a
-    #  never-checked r3 addition — never-green beats green-once;
-    #  the r1-green families keep their r1 rows and re-enter the
-    #  window in r4 once the additions have official rows)
+#: Round-4 verification priority.  The external driver records a
+#: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
+#: After r3, every one of the 113 queries has at least one official
+#: green row (r1∪r2∪r3), so the rotation goal shifts from
+#: "never-green first" to "stalest-official-row first" (VERDICT r3
+#: §Next-1) plus "changed-this-round first" (a refactored query's old
+#: green row no longer certifies today's code).  Head = the 16 queries
+#: whose newest green row is still r1 (joins + SQL subqueries +
+#: profile + exact-dedup trio + ngram_jaccard), then the 4 queries
+#: materially changed in r4 (real BMP/WAV decode in the mm pair,
+#: shifted-variance value_outliers, re-planned minhash_jaccard_est),
+#: then the 30 oldest r2 rows (reference Part A, relational, scalar
+#: families).  The remaining 17 r2-green text/window queries rotate in
+#: r5; after that every official row is ≤2 rounds old in steady state.
+_CHECK_WINDOW: tuple[str, ...] = (
+    # — newest official green row is r1 (16) —
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_join_anti", "q_join_full", "q_join_cross",
+    "q_sql_exists", "q_sql_scalar_subquery",
+    "q_sql_tpch_q3", "q_sql_tpch_q5",
+    "q_profile_table",
+    "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
+    "q_ngram_jaccard",
+    # — code materially changed in r4; re-certify on new code (4) —
+    "q_mm_features", "q_mm_frames", "q_value_outliers",
+    "q_minhash_jaccard_est",
+    # — oldest r2 rows: reference Part A (9) —
+    "q_scan_count", "q_mean", "q_variance_pop", "q_init_means",
+    "q_loglik_fixed", "q_gamma_fixed", "q_mstep_weight_fixed",
+    "q_mstep_mean_fixed", "q_mstep_var_fixed",
+    # — oldest r2 rows: relational family (16) —
+    "q_filter_project", "q_pricing_summary", "q_agg_distinct",
+    "q_rollup", "q_cube", "q_sort_limit", "q_union", "q_intersect",
+    "q_except", "q_corr_stats", "q_percentiles", "q_pivot",
+    "q_grouping_sets", "q_events_hourly", "q_unpivot", "q_having",
+    # — oldest r2 rows: scalar functions (5) —
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_case_null",
+    "q_json_extract",
 )
+
+#: kept as an alias for external docs that referenced the r3 name
+_R3_CHECK_WINDOW = _CHECK_WINDOW
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then reorder
     ``QUERIES`` so the driver's 50-row check window
-    (``_R3_CHECK_WINDOW``) comes first — see that constant's docstring.
+    (``_CHECK_WINDOW``) comes first — see that constant's docstring.
     Idempotent: imports are cached and the reorder is deterministic.
     """
     from ema_bigdata_spark.operators import reference  # noqa: F401
@@ -100,10 +105,10 @@ def load_all() -> None:
     from ema_bigdata_spark import gmm  # noqa: F401
     from ema_bigdata_spark.streaming import stream_queries  # noqa: F401
 
-    missing = [n for n in _R3_CHECK_WINDOW if n not in QUERIES]
+    missing = [n for n in _CHECK_WINDOW if n not in QUERIES]
     if missing:  # typo guard: a misspelled window entry must fail loudly
-        raise RuntimeError(f"_R3_CHECK_WINDOW names not registered: {missing}")
-    ordered = {n: QUERIES[n] for n in _R3_CHECK_WINDOW}
+        raise RuntimeError(f"_CHECK_WINDOW names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _CHECK_WINDOW}
     ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -40,6 +40,6 @@ def test_check_window_is_exactly_driver_sized():
     from ema_bigdata_spark import registry
 
     registry.load_all()
-    assert len(registry._R3_CHECK_WINDOW) == 50
-    assert len(set(registry._R3_CHECK_WINDOW)) == 50
-    assert list(registry.QUERIES)[:50] == list(registry._R3_CHECK_WINDOW)
+    assert len(registry._CHECK_WINDOW) == 50
+    assert len(set(registry._CHECK_WINDOW)) == 50
+    assert list(registry.QUERIES)[:50] == list(registry._CHECK_WINDOW)

@@ -408,6 +408,35 @@ def test_unigram_lm_broadcast_score_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_unigram_lm_vocab_cap_drops_broadcast(spark, sf_dir, monkeypatch):
+    """ADVICE r3: the vocab broadcast must be GATED, not hard-coded —
+    a web-scale whitespace vocab outgrows any broadcast budget.  With
+    the cap forced to 0 the hint disappears (AQE picks a shuffle
+    join on token) and the scores are identical to the broadcast
+    path."""
+    from ema_bigdata_spark.operators import text as text_mod
+    from ema_bigdata_spark.operators.text import unigram_lm
+    from ema_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hinted = unigram_lm(docs)
+    monkeypatch.setattr(text_mod, "_VOCAB_BROADCAST_MAX", 0)
+    capped = unigram_lm(docs)
+    # the vocab-join hint itself must be gone (AQE may still
+    # auto-broadcast at this tiny scale — that's the point: the
+    # PLANNER decides, not a hard-coded hint that would pin an
+    # over-budget broadcast).  One ResolvedHint always remains: the
+    # 1-row grand-total attach inside the cost table.
+    n_hints_hinted = (
+        hinted._jdf.queryExecution().analyzed().toString()
+    ).count("ResolvedHint")
+    n_hints_capped = (
+        capped._jdf.queryExecution().analyzed().toString()
+    ).count("ResolvedHint")
+    assert n_hints_capped == n_hints_hinted - 1
+    assert sorted(hinted.collect()) == sorted(capped.collect())
+
+
 def test_tpch_q18_semi_join_rewrite_topk(spark, sf_dir):
     """Q18's aggregated IN subquery must become a (broadcastable)
     left-semi join that prunes orders before the customer join, and

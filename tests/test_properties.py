@@ -1066,6 +1066,39 @@ def test_value_outliers_semantics(spark):
     assert out[0].zscore > 3 and out[1].zscore > 3
 
 
+def test_value_outliers_large_mean_small_sd(spark):
+    """ADVICE r3 regression: |mean| ≫ sd.  Values ~1e9 with sd ~1
+    made the unshifted E[x²]−E[x]² form compute variance from the
+    difference of two ~1e30 doubles — the true variance (~1) vanished
+    below double precision, z-scores were garbage, and the cross-engine
+    oracle couldn't see it (both engines agreed on the same wrong
+    number).  The min-shifted algebra must recover the exact z."""
+    import math
+
+    from ema_bigdata_spark.operators.profiling import value_outliers
+
+    base = 1_000_000_000.0
+    # 19 values at base + (0..4) µ-scale offsets, one at base + 50:
+    # sd ~ 10, mean offset ~ 2.6 → the spike is ~ +4.8 sd
+    offsets = [float((i % 5) * 4) for i in range(19)] + [50.0]
+    rows = [(i, 1, base + off) for i, off in enumerate(offsets)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, value DOUBLE"
+    )
+    out = value_outliers(ev).collect()
+    assert [(r.event_id, r.user_id) for r in out] == [(19, 1)]
+    # exact z from the same integer-shifted math in pure Python
+    vu = [round(v * 1e6) for _, _, v in rows]
+    m = min(vu)
+    n = len(vu)
+    sx = float(sum(u - m for u in vu))
+    sxx = float(sum((u - m) ** 2 for u in vu))
+    var = sxx / n - (sx / n) * (sx / n)
+    z_ref = (float(vu[19] - m) - sx / n) / math.sqrt(var)
+    assert z_ref > 3
+    assert abs(out[0].zscore - round(z_ref, 6)) < 1e-9
+
+
 class TestDupSpansProperty:
     """Hypothesis: the distributed duplicated-span statistic agrees
     with a direct pure-Python reference on arbitrary small corpora — a
@@ -1172,3 +1205,136 @@ class TestUnigramLMProperty:
                 assert got[d][1] == pytest.approx(want[d][1], abs=2e-6)
 
         run()
+
+
+class TestMediaCodecs:
+    """The r4 de-stubbed pure-Python codecs (multimodal.py): golden
+    fixtures built independently of the encoder, round-trip laws, the
+    spec corners (stride padding, bottom-up vs top-down rows, RIFF
+    chunk walking, odd-length sample pad), and the unsupported-format
+    branches."""
+
+    def test_bmp_golden_decode(self):
+        """Decode a hand-assembled 2×2 24-bit BMP (stride 8 = 6 pixel
+        bytes + 2 pad, bottom-up) — bytes written from the spec, not
+        via encode_bmp, so encoder and decoder can't share a bug."""
+        import struct
+
+        from ema_bigdata_spark.operators.multimodal import decode_bmp
+
+        # image rows (top-down): [(1,2,3),(4,5,6)] / [(7,8,9),(10,11,12)]
+        bottom_row = bytes([7, 8, 9, 10, 11, 12]) + b"\x00\x00"
+        top_row = bytes([1, 2, 3, 4, 5, 6]) + b"\x00\x00"
+        pix = bottom_row + top_row  # bottom-up storage order
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0
+        )
+        img = decode_bmp(hdr + info + pix)
+        assert img.shape == (2, 2, 3)
+        assert img.reshape(-1).tolist() == list(range(1, 13))
+
+    def test_bmp_top_down_negative_height(self):
+        import struct
+
+        from ema_bigdata_spark.operators.multimodal import decode_bmp
+
+        pix = bytes([1, 2, 3]) + b"\x00" + bytes([4, 5, 6]) + b"\x00"
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, len(pix), 0, 0, 0, 0
+        )
+        img = decode_bmp(hdr + info + pix)  # negative height = top-down
+        assert img.reshape(-1).tolist() == [1, 2, 3, 4, 5, 6]
+
+    def test_bmp_roundtrip_all_stride_phases(self):
+        """encode→decode is the identity on the data region for every
+        width mod-4 stride phase and ragged tail lengths."""
+        from ema_bigdata_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        for width in (8, 9, 10, 11):
+            for n in (0, 1, 3 * width - 1, 3 * width, 3 * width + 1, 100):
+                data = bytes((7 * i + n) % 256 for i in range(n))
+                img = decode_bmp(encode_bmp(data, width))
+                flat = bytes(img.reshape(-1).tolist())
+                assert flat[:n] == data
+                assert set(flat[n:]) <= {0}  # zero pad only
+                assert img.shape[1] == width
+                assert img.shape[0] == max(1, -(-n // (3 * width)))
+
+    def test_wav_golden_decode_with_extra_chunk(self):
+        """A WAV with a LIST chunk *between* fmt and data must still
+        decode (chunk walking, not fixed-offset slicing), including an
+        odd-sized chunk's alignment pad byte."""
+        import struct
+
+        from ema_bigdata_spark.operators.multimodal import decode_wav
+
+        samples = struct.pack("<3h", -32768, 0, 32767)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        info = b"INFOx"  # 5 bytes → odd, needs 1 alignment pad
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+            + b"data" + struct.pack("<I", len(samples)) + samples
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, out = decode_wav(payload)
+        assert rate == 8000
+        assert out.tolist() == [-32768, 0, 32767]
+
+    def test_wav_roundtrip_odd_length_pad(self):
+        from ema_bigdata_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rate, out = decode_wav(encode_wav(b"\x01\x02\x03", 44100))
+        assert rate == 44100
+        # 3 bytes → pad to 4 → samples: 0x0201, 0x0003
+        assert out.tolist() == [0x0201, 0x0003]
+
+    def test_media_codec_hypothesis_roundtrip(self):
+        """Hypothesis: arbitrary byte payloads survive BMP and WAV
+        encode→decode byte-exactly (data region)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ema_bigdata_spark.operators.multimodal import (
+            decode_bmp,
+            decode_wav,
+            encode_bmp,
+            encode_wav,
+        )
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.binary(min_size=0, max_size=300),
+               st.integers(min_value=1, max_value=20))
+        def run(data, width):
+            img = decode_bmp(encode_bmp(data, width))
+            assert bytes(img.reshape(-1).tolist())[:len(data)] == data
+            _, samples = decode_wav(encode_wav(data))
+            raw = samples.astype("<i2").tobytes()
+            assert raw[:len(data)] == data
+
+        run()
+
+    def test_unsupported_formats_raise(self):
+        import pytest as _pytest
+
+        from ema_bigdata_spark.operators.multimodal import (
+            decode_bmp,
+            decode_media,
+            decode_wav,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            decode_media(b"\xff\xd8\xff", "image/jpeg")
+        with _pytest.raises(ValueError):
+            decode_bmp(b"PNG" + b"\x00" * 60)
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFX" + b"\x00" * 60)
