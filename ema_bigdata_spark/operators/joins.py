@@ -330,7 +330,14 @@ def salted_join(
     AQE's skew-join split (enabled in session.py) handles most skew at
     runtime; this explicit form is for the cases AQE can't see — e.g. a
     skewed *aggregation* feeding the join, or deliberate pre-salting of
-    a known-hot tenant key at 100 TB.
+    a known-hot tenant key at 100 TB.  The division of labor is pinned
+    mechanically by ``test_salted_join_vs_aqe_skew_split``: AQE's split
+    requires a partition over BOTH 5× the median AND the 256 MB byte
+    threshold, so it never fires at bench scale (and would leave a
+    hot-but-under-threshold key serialized at any scale), while the
+    salt moves the split into the join keys — scale-independent
+    insurance that composes with AQE mopping up residual skew above
+    its threshold.
     """
     salt = F.pmod(F.xxhash64(F.col(key), F.rand(seed=42)), F.lit(n_salt))
     lsalted = left.withColumn("_salt", salt)

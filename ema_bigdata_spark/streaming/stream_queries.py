@@ -65,6 +65,74 @@ def _state_partitions(spark, n: int | None = None):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
+def _configure_kafka(reader, table: str):
+    """Apply the Kafka source configuration to a ``DataStreamReader``
+    (or any object with the same fluent ``format``/``option`` API —
+    which is what makes this testable without a broker).  Options come
+    from the environment so a deploy retargets the SAME query code at
+    a real cluster: ``SPARK_GRAFT_KAFKA_BOOTSTRAP`` (brokers) and
+    ``SPARK_GRAFT_KAFKA_TOPIC_<TABLE>`` / default topic = table name."""
+    bootstrap = os.environ.get(
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP", "localhost:9092"
+    )
+    topic = os.environ.get(
+        f"SPARK_GRAFT_KAFKA_TOPIC_{table.upper()}", table
+    )
+    return (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+    )
+
+
+#: JSON wire format contract: event timestamps carry MICROsecond
+#: precision (Spark's default to_json/from_json format truncates to
+#: millis — caught by the round-trip test; a mixed-precision pipeline
+#: would silently bucket events 1000× coarser than the batch path).
+_KAFKA_JSON_OPTS = {
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+}
+
+
+def _kafka_parse(df, schema):
+    """Decode a Kafka wire frame (``value`` bytes = one JSON record)
+    into the typed event columns — the same expression works on a
+    batch DataFrame, which is how the unit test round-trips it without
+    a broker.  ``_KAFKA_JSON_OPTS`` pins the µs-precision timestamp
+    format; producers must emit it."""
+    return df.select(
+        F.from_json(
+            F.col("value").cast("string"), schema, _KAFKA_JSON_OPTS
+        ).alias("r")
+    ).select("r.*")
+
+
+def stream_source(spark, sf_dir: str, table: str = "events"):
+    """The physical-source seam for every streaming query (VERDICT r3
+    §Next-5): queries declare WHAT they consume (a typed ``events``
+    stream); this function decides WHERE it comes from.
+
+    Default is the file source over the testdata parquet (one file →
+    one micro-batch, which is what makes the queries SQL-oracle-able).
+    Setting ``SPARK_GRAFT_STREAM_SOURCE=kafka`` rebuilds the reader as
+    a Kafka subscription with a JSON-decoded payload instead — format
+    and options only, zero query-code change, which is the whole point
+    of the seam.  (The kafka connector jar isn't in this container, so
+    the branch is exercised by unit tests against the fluent-API
+    contract and the batch-mode payload decoder, not end-to-end.)"""
+    schema = load_raw(spark, sf_dir, table).schema
+    if os.environ.get("SPARK_GRAFT_STREAM_SOURCE", "files") == "kafka":
+        raw = _configure_kafka(spark.readStream, table).load()
+        return _kafka_parse(raw, schema)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 #: LTZ instant → NTZ wall clock (UTC), session-timezone-independent
 _START_NTZ = (
     "timestampadd(MICROSECOND, unix_micros(w.start),"
@@ -147,10 +215,7 @@ def s_stream_session(spark, sf_dir):
             out, columns=["user_id", "start_us", "end_us", "n_events"]
         )
 
-    raw_schema = load_raw(spark, sf_dir, "events").schema
-    stream = spark.readStream.schema(raw_schema).option(
-        "pathGlobFilter", "events.parquet"
-    ).parquet(sf_dir)
+    stream = stream_source(spark, sf_dir)
     stream = stream.select(
         "user_id", event_epoch_us(stream).alias("ts_us")
     )
@@ -194,15 +259,10 @@ def s_stream_session(spark, sf_dir):
     """,
 )
 def s_stream_tumbling(spark, sf_dir):
-    # File streaming source needs an explicit schema; take it from a
-    # batch read of the same file.
     batch = load_raw(spark, sf_dir, "events")
     to_instant = event_instant(batch)
-    # file source wants a directory: scan sf_dir with a glob filter
     stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_source(spark, sf_dir)
         .withColumn("ts", to_instant)
     )
     agg = (
@@ -258,9 +318,7 @@ def s_stream_sliding(spark, sf_dir):
     interval, not the data volume, controls state at 100 TB/day rates."""
     batch = load_raw(spark, sf_dir, "events")
     stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_source(spark, sf_dir)
         .withColumn("ts", event_instant(batch))
     )
     agg = (
@@ -298,11 +356,8 @@ def s_stream_dedup(spark, sf_dir):
     ``dropDuplicatesWithinWatermark`` with an event-time watermark when
     keys are unbounded, e.g. event ids at 100 TB/day).  Single-batch
     run = batch DISTINCT, so it's SQL-oracled."""
-    raw_schema = load_raw(spark, sf_dir, "events").schema
     stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_source(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -345,9 +400,7 @@ def s_stream_join(spark, sf_dir):
 
     def side(alias):
         return (
-            spark.readStream.schema(batch.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            stream_source(spark, sf_dir)
             .select("user_id", "event_id", to_instant.alias("ts"))
             .withWatermark("ts", _WATERMARK)
             .alias(alias)
@@ -405,11 +458,8 @@ def s_stream_static_join(spark, sf_dir):
 
     from ema_bigdata_spark.sources.tables import load_table
 
-    raw_schema = load_raw(spark, sf_dir, "events").schema
     stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_source(spark, sf_dir)
         .select("user_id")
     )
     cust = F.broadcast(
@@ -480,9 +530,7 @@ def s_stream_upsert(spark, sf_dir):
     SQL-oracled."""
     batch = load_raw(spark, sf_dir, "events")
     stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_source(spark, sf_dir)
         .select(
             "user_id",
             "event_type",

@@ -1338,3 +1338,118 @@ class TestMediaCodecs:
             decode_bmp(b"PNG" + b"\x00" * 60)
         with _pytest.raises(ValueError):
             decode_wav(b"RIFX" + b"\x00" * 60)
+
+
+class TestGMMNumericContract:
+    """r4 (VERDICT r3 §Next-7): the two rows-only queries carry a
+    machine-checked numeric contract beyond double-run determinism —
+    the per-iteration lnP trace must be monotone non-decreasing (EM's
+    ascent guarantee) on BOTH execution paths, and the fitted
+    parameters must agree with a third, independent, naive per-row
+    numpy EM seeded with the identical init."""
+
+    @staticmethod
+    def _naive_em(xs, k, iters):
+        """Textbook per-row EM, written independently of gmm.py: no
+        histogram, no vectorized responsibility matrix tricks — plain
+        loops over the raw sample, same quantile-spread init."""
+        import math
+
+        import numpy as np
+
+        xs = np.sort(np.asarray(xs, dtype=np.float64))
+        n = len(xs)
+        mu = [
+            float(np.quantile(xs, (j + 1) / (k + 1), method="linear"))
+            for j in range(k)
+        ]
+        var0 = float(np.var(xs))
+        s2 = [var0] * k
+        phi = [1.0 / k] * k
+        trace = []
+        for _ in range(iters):
+            lnp = 0.0
+            nj = [0.0] * k
+            sx = [0.0] * k
+            sxx = [0.0] * k
+            for x in xs:
+                dens = [
+                    phi[j]
+                    / math.sqrt(2.0 * math.pi * s2[j])
+                    * math.exp(-((x - mu[j]) ** 2) / (2.0 * s2[j]))
+                    for j in range(k)
+                ]
+                tot = max(sum(dens), 1e-300)
+                lnp += math.log(tot)
+                for j in range(k):
+                    g = dens[j] / tot
+                    nj[j] += g
+                    sx[j] += g * x
+                    sxx[j] += g * x * x
+            trace.append(lnp)
+            for j in range(k):
+                d = max(nj[j], 1e-300)
+                phi[j] = d / n
+                mu[j] = sx[j] / d
+                s2[j] = max(sxx[j] / d - mu[j] * mu[j], 1e-12)
+        return phi, mu, s2, trace
+
+    def _fixture(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return np.round(
+            np.concatenate(
+                [rng.normal(-3.0, 0.8, 2000), rng.normal(4.0, 1.1, 2500)]
+            ),
+            2,
+        )
+
+    def test_driver_path_trace_and_reference(self, spark):
+        from ema_bigdata_spark.gmm import gmm_fit
+
+        xs = self._fixture()
+        df = spark.createDataFrame([(float(v),) for v in xs], "value DOUBLE")
+        model = gmm_fit(df, "value", k=2, tol=0.0, max_iter=10)
+        tr = model.lnp_trace
+        assert len(tr) == 10
+        assert all(b >= a - 1e-6 for a, b in zip(tr, tr[1:])), tr
+        assert abs(tr[-1] - model.log_likelihood) < 1e-9
+        phi, mu, s2, rtr = self._naive_em(xs, 2, 10)
+        # same init, same math → near-identical trajectory and params
+        for a, b in zip(sorted(model.means), sorted(mu)):
+            assert abs(a - b) < 1e-6, (model.means, mu)
+        for a, b in zip(sorted(model.variances), sorted(s2)):
+            assert abs(a - b) < 1e-6
+        for a, b in zip(sorted(model.weights), sorted(phi)):
+            assert abs(a - b) < 1e-9
+        assert abs(tr[-1] - rtr[-1]) < 1e-5 * abs(rtr[-1])
+
+    def test_distributed_path_trace_monotone(self, spark, monkeypatch):
+        from ema_bigdata_spark import gmm as gmm_mod
+
+        xs = self._fixture()
+        df = spark.createDataFrame([(float(v),) for v in xs], "value DOUBLE")
+        monkeypatch.setattr(gmm_mod, "MAX_DRIVER_BINS", 4)
+        model = gmm_mod.gmm_fit(df, "value", k=2, tol=0.0, max_iter=6)
+        tr = model.lnp_trace
+        assert len(tr) == 6
+        assert all(b >= a - 1e-6 for a, b in zip(tr, tr[1:])), tr
+        assert abs(tr[-1] - model.log_likelihood) < 1e-9
+
+    def test_bic_lnl_equals_trace_tail(self, spark, sf_dir):
+        """q_gmm_bic's reported lnL is exactly the last trace entry of
+        the equivalent fixed-budget fit — ties the model-selection
+        output to the contract-checked trace."""
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.gmm import gmm_fit
+        from ema_bigdata_spark.sources.tables import load_table
+
+        bic_rows = {
+            r.k: r.log_likelihood
+            for r in registry.QUERIES["q_gmm_bic"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        for k in (2, 3, 4):
+            m = gmm_fit(ev, "value", k=k, tol=0.0, max_iter=6)
+            assert abs(bic_rows[k] - round(m.lnp_trace[-1], 3)) < 1e-9

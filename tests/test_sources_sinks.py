@@ -226,3 +226,76 @@ def test_spread_fallback_and_memoization(spark, sf_dir, tmp_path):
     )
     assert "RoundRobinPartitioning" not in spread_plan
     assert plan.splitlines()[0] == spread_plan.splitlines()[0]
+
+
+class TestStreamSourceSeam:
+    """The Kafka seam (stream_queries.stream_source): queries are
+    source-agnostic; a config flips the SAME code from the local file
+    source to a Kafka subscription.  No broker in this container, so
+    the kafka branch is verified at its two contract points — the
+    reader configuration and the wire-format decode — plus the default
+    dispatch."""
+
+    def test_default_is_file_stream(self, spark, sf_dir):
+        from ema_bigdata_spark.streaming.stream_queries import stream_source
+
+        df = stream_source(spark, sf_dir)
+        assert df.isStreaming
+        assert "user_id" in df.columns and "event_id" in df.columns
+
+    def test_kafka_reader_configuration(self, monkeypatch):
+        from ema_bigdata_spark.streaming.stream_queries import (
+            _configure_kafka,
+        )
+
+        class FakeReader:
+            def __init__(self):
+                self.fmt = None
+                self.opts = {}
+
+            def format(self, f):
+                self.fmt = f
+                return self
+
+            def option(self, k, v):
+                self.opts[k] = v
+                return self
+
+        monkeypatch.setenv("SPARK_GRAFT_KAFKA_BOOTSTRAP", "k1:9092,k2:9092")
+        monkeypatch.setenv("SPARK_GRAFT_KAFKA_TOPIC_EVENTS", "prod.events.v2")
+        r = _configure_kafka(FakeReader(), "events")
+        assert r.fmt == "kafka"
+        assert r.opts["kafka.bootstrap.servers"] == "k1:9092,k2:9092"
+        assert r.opts["subscribe"] == "prod.events.v2"
+        assert r.opts["startingOffsets"] == "earliest"
+        # topic defaults to the table name without the env override
+        r2 = _configure_kafka(FakeReader(), "events")
+        monkeypatch.delenv("SPARK_GRAFT_KAFKA_TOPIC_EVENTS")
+        r2 = _configure_kafka(FakeReader(), "events")
+        assert r2.opts["subscribe"] == "events"
+
+    def test_kafka_payload_decode_roundtrip(self, spark, sf_dir):
+        """The value-bytes→typed-columns decode must invert to_json on
+        real event rows (same expression batch vs stream, so a batch
+        round-trip IS the contract check)."""
+        from pyspark.sql import functions as F
+
+        from ema_bigdata_spark.sources.tables import load_raw
+        from ema_bigdata_spark.streaming.stream_queries import _kafka_parse
+
+        from ema_bigdata_spark.streaming.stream_queries import (
+            _KAFKA_JSON_OPTS,
+        )
+
+        batch = load_raw(spark, sf_dir, "events").limit(50)
+        wire = batch.select(
+            F.encode(
+                F.to_json(F.struct(*batch.columns), _KAFKA_JSON_OPTS),
+                "utf-8",
+            ).alias("value")
+        )
+        back = _kafka_parse(wire, batch.schema)
+        assert back.schema == batch.schema
+        a = sorted(map(repr, batch.collect()))
+        b = sorted(map(repr, back.collect()))
+        assert a == b
