@@ -745,3 +745,194 @@ def q_similarity_batch(spark, sf_dir):
         .where(F.col("rn") <= _BATCH_K)
         .select("probe_id", "vec_id", "cosine")
     )
+
+
+# -- q_semdedup: cluster-blocked semantic dedup (r4 addition) -------------
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+# embedding space, find near-duplicate pairs WITHIN each cluster, and
+# among duplicates keep the item FARTHEST from the cluster centroid
+# (lowest centroid-cosine) — dropping the redundant interior points
+# preserves more semantic diversity than min-id survivorship.  Here
+# the clusters are the data's label groups; within a cluster, pairs
+# are additionally LSH-signature-blocked so the per-cluster O(n²)
+# never materializes (the same hyperplane literals as q_ann_lsh, so
+# the whole decision — blocking, pair cosine, centroid rule — replays
+# in the oracle).
+
+
+def _centroid_array(emb):
+    """Per-label exact mean embedding as an ARRAY column (same ×1e7
+    fixed-point integer sums as q_embed_centroid — partition-order-
+    independent, so the centroid-cosine tie-breaks are deterministic).
+    Output is labels-sized: always broadcastable."""
+    sums = [
+        F.sum(
+            F.round(
+                F.element_at("embedding", i + 1).cast("double")
+                * _CENTROID_FP,
+                0,
+            ).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(_DIM)
+    ]
+    agg = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums
+    )
+    comps = [
+        (F.col(f"_s{i}").cast("double") / F.col("n_vecs") / _CENTROID_FP)
+        for i in range(_DIM)
+    ]
+    return agg.select("label", F.array(*comps).alias("cent"))
+
+
+def semdedup_pairs(emb):
+    """Within-cluster near-dup candidate pairs with the SemDeDup drop
+    decision attached: for each (label, signature)-blocked pair, keep
+    the member with the LOWER centroid-cosine (ties keep the lower
+    vec_id, which is side `a` of the `<` join).  Comparisons use the
+    6-dp ROUNDED centroid-cosines so the decision is identical across
+    engines.
+
+    Scale shape: one scan → per-row signature/norm projection →
+    broadcast centroid join (labels-sized) → self-join on
+    (label, sig) — candidate volume is governed by the LSH match rate
+    exactly as in q_embed_dup, and vectors shuffle only within blocks."""
+    cent = _centroid_array(emb)
+    base = (
+        emb.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "e"
+            ),
+            F.sqrt(F.expr(_DOT_SELF)).alias("nrm"),
+            _signature("embedding", _plane_weights()).alias("sig"),
+        )
+        .join(F.broadcast(cent), "label")
+    )
+    cdot = (
+        "aggregate(zip_with(e, cent, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cself = (
+        "aggregate(transform(cent, x -> x * x),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    base = base.withColumn(
+        "cent_cos",
+        F.round(
+            F.expr(cdot) / (F.col("nrm") * F.expr(f"sqrt({cself})")), 6
+        ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot_ab = (
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pair_cos = F.round(F.expr(dot_ab) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    keep_is_a = F.col("a.cent_cos") <= F.col("b.cent_cos")
+
+    def pick(cond, x, y):
+        return F.when(cond, x).otherwise(y)
+
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            pick(keep_is_a, F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                "vec_keep"
+            ),
+            pick(keep_is_a, F.col("b.vec_id"), F.col("a.vec_id")).alias(
+                "vec_drop"
+            ),
+            pair_cos.alias("pair_cosine"),
+            pick(
+                keep_is_a, F.col("a.cent_cos"), F.col("b.cent_cos")
+            ).alias("keep_cent_cos"),
+            pick(
+                keep_is_a, F.col("b.cent_cos"), F.col("a.cent_cos")
+            ).alias("drop_cent_cos"),
+        )
+    )
+
+
+def semdedup_drops(emb, threshold: float = _DUP_COS):
+    """The thresholded delete-list: distinct vec_ids dropped by the
+    SemDeDup rule at ``cosine >= threshold`` — what a pipeline
+    anti-joins against the corpus."""
+    return (
+        semdedup_pairs(emb)
+        .where(F.col("pair_cosine") >= threshold)
+        .select("vec_drop")
+        .distinct()
+    )
+
+
+def _duck_semdedup_sql() -> str:
+    comps = ", ".join(
+        f"CAST(sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * {_CENTROID_FP}) AS BIGINT)) AS DOUBLE)"
+        f" / count(*) / {_CENTROID_FP}"
+        for i in range(_DIM)
+    )
+    return f"""
+    WITH cent AS (
+      SELECT CAST(label AS BIGINT) AS label, [{comps}] AS cent
+      FROM embeddings GROUP BY label
+    ),
+    base AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt({_SQL_DOT_SELF}) AS nrm,
+             {_duck_signature('embedding')} AS sig
+      FROM embeddings
+    ),
+    wc AS (
+      SELECT b.*,
+             round(list_aggregate(list_transform(list_zip(b.e, c.cent),
+                     t -> t[1] * t[2]), 'sum')
+                   / (b.nrm * sqrt(list_aggregate(list_transform(c.cent,
+                       x -> x * x), 'sum'))), 6) AS cent_cos
+      FROM base b JOIN cent c USING (label)
+    )
+    SELECT a.label,
+           CASE WHEN a.cent_cos <= b.cent_cos
+                THEN a.vec_id ELSE b.vec_id END AS vec_keep,
+           CASE WHEN a.cent_cos <= b.cent_cos
+                THEN b.vec_id ELSE a.vec_id END AS vec_drop,
+           round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                   t -> t[1] * t[2]), 'sum') / (a.nrm * b.nrm), 6)
+             AS pair_cosine,
+           CASE WHEN a.cent_cos <= b.cent_cos
+                THEN a.cent_cos ELSE b.cent_cos END AS keep_cent_cos,
+           CASE WHEN a.cent_cos <= b.cent_cos
+                THEN b.cent_cos ELSE a.cent_cos END AS drop_cent_cos
+    FROM wc a JOIN wc b
+      ON a.label = b.label AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ORDER BY pair_cosine DESC, vec_keep, vec_drop
+    LIMIT 10
+    """
+
+
+@query("q_semdedup", oracle=_duck_semdedup_sql())
+def q_semdedup(spark, sf_dir):
+    """Top-10 within-cluster candidate pairs with the SemDeDup drop
+    decision (see :func:`semdedup_pairs`; the thresholded delete-list
+    operator is :func:`semdedup_drops`).  As with q_embed_dup, the
+    declared query is the top-k form so the driver check has rows on
+    this corpus's near-orthogonal random embeddings; top-k over
+    blocked pairs is a TakeOrdered, never a global sort."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return (
+        semdedup_pairs(emb)
+        .orderBy(
+            F.desc("pair_cosine"), F.asc("vec_keep"), F.asc("vec_drop")
+        )
+        .limit(10)
+    )

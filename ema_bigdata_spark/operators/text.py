@@ -1112,3 +1112,125 @@ def q_train_val_split(spark, sf_dir):
     """See :func:`assign_splits`.  Driver-mandated surface (SURVEY
     §2.4); no Main.scala counterpart."""
     return assign_splits(load_table(spark, sf_dir, "documents"))
+
+
+# -- q_pii_scrub: PII detection + redaction (r4 addition) -----------------
+
+#: PII patterns shared verbatim by both engines (subset of regex syntax
+#: where Java regex and RE2 agree: char classes, bounded repeats,
+#: alternation-free).  Deliberately simple/auditable — production
+#: scrubbers layer many more patterns through the same plan shape.
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+#: replacement order matters (each pass sees the previous pass's
+#: output); fixed email → phone → ip on both engines
+_PII_PATTERNS = (_PII_EMAIL, _PII_PHONE, _PII_IP)
+
+
+def pii_scrub(docs, text_col: str = "text"):
+    """Redact emails / phone numbers / IPv4s to ``[PII]`` and count
+    hits per document — the compliance pass every training-data
+    pipeline runs before anything else sees the text.
+
+    Pure per-row projection: zero shuffles, composes onto any scan for
+    free at 100 TB (plan-tested), and the regexes stay in the dialect
+    intersection of Java regex and RE2 so the oracle replays them
+    bit-for-bit."""
+    scrubbed = F.col(text_col)
+    for pat in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, F.lit(pat), F.lit("[PII]"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text_col, F.lit(_PII_EMAIL))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(text_col, F.lit(_PII_PHONE))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_count(text_col, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.length(scrubbed).cast("long").alias("clean_len"),
+    )
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+             AS n_ips,
+           CAST(length(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '[PII]', 'g'),
+               '{_PII_PHONE}', '[PII]', 'g'),
+               '{_PII_IP}', '[PII]', 'g')) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """See :func:`pii_scrub`.  r4 addition to the LLM-pipeline surface
+    (SURVEY §2.4); no Main.scala counterpart."""
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+# -- q_topk_ngrams: corpus-wide frequent n-grams (r4 addition) ------------
+
+# shared shingle shapes with the dedup family: the SAME 3-gram
+# definition must drive boilerplate detection and dup-span statistics,
+# or the two reports disagree on what an "n-gram" is
+from ema_bigdata_spark.operators.dedup import _DUCK_SHINGLES  # noqa: E402
+
+_TOPK_NGRAMS = 20
+
+
+@query(
+    "q_topk_ngrams",
+    oracle=f"""
+    WITH grid AS (
+      SELECT doc_id, sh, count(*) AS c_in_doc FROM (
+        {_DUCK_SHINGLES}
+      ) GROUP BY doc_id, sh
+    )
+    SELECT sh AS ngram,
+           CAST(sum(c_in_doc) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM grid GROUP BY sh
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT {_TOPK_NGRAMS}
+    """,
+)
+def q_topk_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 3-grams by occurrence count with document
+    frequency — the boilerplate detector (headers, licence blurbs,
+    navigation strings surface here first; the usual next step feeds
+    the top list to a filter or to dup-span weighting).
+
+    Scale shape: shingle explode → (doc, ngram) pre-aggregate (map-side
+    combined, collapses within-doc repeats BEFORE the global shuffle,
+    and gives exact doc-frequency without a count-distinct Expand) →
+    ngram aggregate → TakeOrdered top-k (per-partition k + merge,
+    never a global sort).  Both shuffles carry (hash-sized key, two
+    longs); document text never moves."""
+    from ema_bigdata_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (
+        docs.select(
+            "doc_id", F.explode(_shingles()).alias("ngram")
+        )
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c_in_doc"))
+    )
+    return (
+        grid.groupBy("ngram")
+        .agg(
+            F.sum("c_in_doc").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(_TOPK_NGRAMS)
+    )

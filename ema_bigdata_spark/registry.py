@@ -48,10 +48,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: profile + exact-dedup trio + ngram_jaccard), then the 4 queries
 #: materially changed in r4 (real BMP/WAV decode in the mm pair,
 #: shifted-variance value_outliers, re-planned minhash_jaccard_est),
-#: then the 30 oldest r2 rows (reference Part A, relational, scalar
-#: families).  The remaining 17 r2-green text/window queries rotate in
-#: r5; after that every official row is ≤2 rounds old in steady state.
+#: then the oldest r2 rows (reference Part A, relational families).
+#: The remaining r2-green scalar/text/window queries rotate in r5;
+#: after that every official row is ≤2 rounds old in steady state.
+#: The three r4 ADDITIONS (pii_scrub / topk_ngrams / semdedup) lead:
+#: never-green beats green-once, same rule r3 applied.
 _CHECK_WINDOW: tuple[str, ...] = (
+    # — new in r4, never checked (3) —
+    "q_pii_scrub", "q_topk_ngrams", "q_semdedup",
     # — newest official green row is r1 (16) —
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_join_anti", "q_join_full", "q_join_cross",
@@ -72,9 +76,8 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_rollup", "q_cube", "q_sort_limit", "q_union", "q_intersect",
     "q_except", "q_corr_stats", "q_percentiles", "q_pivot",
     "q_grouping_sets", "q_events_hourly", "q_unpivot", "q_having",
-    # — oldest r2 rows: scalar functions (5) —
-    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_case_null",
-    "q_json_extract",
+    # — oldest r2 rows: scalar functions (2 of 5; rest r5) —
+    "q_string_funcs", "q_date_funcs",
 )
 
 #: kept as an alias for external docs that referenced the r3 name

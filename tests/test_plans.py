@@ -548,3 +548,39 @@ def test_salted_join_vs_aqe_skew_split(spark, sf_dir):
     a = plain.groupBy("user_id").count()
     b = salted.groupBy("user_id").count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pii_scrub_zero_shuffle(spark, sf_dir):
+    """PII redaction is a pure per-row projection: no Exchange, one
+    scan — it composes onto any pipeline scan for free at 100 TB."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_pii_scrub")
+    assert exchange_count(plan) == 0
+    assert scan_count(plan) == 1
+    assert "Join" not in plan
+
+
+def test_topk_ngrams_two_aggs_no_expand_topk(spark, sf_dir):
+    """The boilerplate detector pre-aggregates (doc, ngram) before the
+    global ngram aggregate — exact doc-frequency WITHOUT a
+    count-distinct Expand (which doubles shuffle volume) — and the
+    top-k is TakeOrdered, never a global sort."""
+    plan = _plan(spark, sf_dir, "q_topk_ngrams")
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) <= 2
+
+
+def test_semdedup_broadcast_centroids_topk(spark, sf_dir):
+    """SemDeDup joins the labels-sized centroid table by broadcast
+    (never shuffles vectors for it), blocks pairs on (label, sig) —
+    no cartesian anywhere — and the declared top-k is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "q_semdedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

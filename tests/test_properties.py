@@ -1453,3 +1453,95 @@ class TestGMMNumericContract:
         for k in (2, 3, 4):
             m = gmm_fit(ev, "value", k=k, tol=0.0, max_iter=6)
             assert abs(bic_rows[k] - round(m.lnp_trace[-1], 3)) < 1e-9
+
+
+class TestSemDedup:
+    """q_semdedup (r4): the SemDeDup drop rule on planted fixtures —
+    the kept member of a near-dup pair must be the one FARTHER from
+    the cluster centroid (diversity-preserving survivorship), and the
+    delete-list operator must surface planted within-cluster dups
+    while leaving cross-cluster near-dups alone (blocking is
+    cluster-scoped by design)."""
+
+    def _corpus(self, spark):
+        import numpy as np
+
+        from ema_bigdata_spark.operators.similarity import _plane_weights
+
+        planes = np.array(_plane_weights())
+
+        def sig(v):
+            return tuple(planes @ v > 0)
+
+        rng = np.random.default_rng(31)
+        rows = []
+        # cluster 0: 30 background vecs loosely around a direction
+        base0 = rng.normal(size=64)
+        for i in range(30):
+            v = base0 + 0.8 * rng.normal(size=64)
+            rows.append((i + 1, [float(x) for x in v], 0))
+        # planted near-dup pair in cluster 0: 201 on the centroid
+        # direction; 202 perturbed just enough to shift its
+        # centroid-cosine but — verified against the actual plane
+        # weights — not enough to flip any LSH bit (the perturbation
+        # shrinks deterministically until the signatures match)
+        interior = base0 * 1.05
+        noise = rng.normal(size=64)
+        eps = 0.05
+        outlier = interior + eps * noise
+        while sig(outlier) != sig(interior):
+            eps /= 2
+            outlier = interior + eps * noise
+        rows.append((201, [float(x) for x in interior], 0))
+        rows.append((202, [float(x) for x in outlier], 0))
+        # cluster 1: copy of vec 201's direction — near-dup ACROSS
+        # clusters; must NOT pair (blocking is per-cluster)
+        rows.append((301, [float(x) * 1.2 for x in interior], 1))
+        for i in range(10):
+            v = rng.normal(size=64)
+            rows.append((400 + i, [float(x) for x in v], 1))
+        return spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        )
+
+    def test_drop_rule_keeps_diverse_member(self, spark):
+        from ema_bigdata_spark.operators.similarity import semdedup_pairs
+
+        emb = self._corpus(spark)
+        pairs = {
+            (r.vec_keep, r.vec_drop): r
+            for r in semdedup_pairs(emb).collect()
+        }
+        hit = [
+            p for p in pairs
+            if {pairs[p].vec_keep, pairs[p].vec_drop} == {201, 202}
+        ]
+        assert hit, f"planted pair not blocked together: {sorted(pairs)}"
+        r = pairs[hit[0]]
+        assert r.pair_cosine > 0.9
+        # the kept member has the LOWER centroid-cosine of the two
+        assert r.keep_cent_cos <= r.drop_cent_cos
+        # nothing pairs across clusters despite 301 ≈ 201
+        assert all(
+            not ({a, b} & {301} and {a, b} & {201, 202})
+            for a, b in pairs
+        )
+
+    def test_delete_list_thresholded(self, spark):
+        from ema_bigdata_spark.operators.similarity import (
+            semdedup_drops,
+            semdedup_pairs,
+        )
+
+        emb = self._corpus(spark)
+        drops = {r.vec_drop for r in semdedup_drops(emb, 0.9).collect()}
+        keeps = {
+            r.vec_keep
+            for r in semdedup_pairs(emb).where("pair_cosine >= 0.9").collect()
+        }
+        assert drops, "planted dup not in delete list"
+        assert drops <= {201, 202, *range(1, 31)}
+        # survivors of qualifying pairs are never ALSO dropped unless
+        # they lost some other qualifying pair
+        for k in keeps - drops:
+            assert k not in drops
