@@ -75,6 +75,7 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    load_start = os.getloadavg()
     adaptive_reps = 0
 
     def timed(thunk) -> float:
@@ -162,18 +163,31 @@ def main() -> None:
             base_q = json.load(f).get("queries", {})
     except (OSError, ValueError):
         base_q = {}
-    for name, t in timings.items():
-        base = base_q.get(name)
-        if base and t > 1.25 * base:
-            fn = registry.QUERIES.get(name)
-            if fn is None:
-                continue
-            ts = []
-            for _ in range(3):
-                t0 = time.monotonic()
-                _force(fn(spark, SF_DIR))
-                ts.append(time.monotonic() - t0)
-            isolated[name] = round(min(ts), 3)
+    flagged = sorted(
+        (
+            (timings[n] / base_q[n], n)
+            for n in timings
+            if base_q.get(n) and timings[n] > 1.25 * base_q[n]
+        ),
+        reverse=True,
+    )
+    # a handful of flags = genuine suspects, retime them all; MOST of
+    # the surface flagged = the whole sweep ran under co-tenant load
+    # (a real code regression never slows 90 unrelated queries
+    # uniformly) — retiming everything would triple the poisoned
+    # sweep's wall clock, so keep the worst 15 ratios and mark the
+    # record load-poisoned for the reader.
+    load_poisoned = len(flagged) > 15
+    for _, name in flagged[: 15 if load_poisoned else len(flagged)]:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            ts.append(time.monotonic() - t0)
+        isolated[name] = round(min(ts), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -191,9 +205,15 @@ def main() -> None:
             # the adaptive noise-tiebreak rep (their min is min-of-3)
             "runs_per_query": BENCH_RUNS,
             "adaptive_third_reps": adaptive_reps,
-            # post-sweep min-of-3 for every query >1.25× its baseline
-            # (empty = nothing flagged); see comment above
+            # post-sweep min-of-3 for flagged queries (see comment
+            # above; capped at the worst 15 when the whole sweep is
+            # load-poisoned)
             "isolated_retimes": isolated,
+            "load_poisoned": load_poisoned,
+            # 1/5/15-min load averages at sweep start and end: the
+            # reader's first check when numbers look uniformly high
+            "loadavg_start": [round(v, 2) for v in load_start],
+            "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         }
     )
     print(payload)

@@ -794,10 +794,14 @@ def semdedup_pairs(emb):
     6-dp ROUNDED centroid-cosines so the decision is identical across
     engines.
 
-    Scale shape: one scan → per-row signature/norm projection →
-    broadcast centroid join (labels-sized) → self-join on
-    (label, sig) — candidate volume is governed by the LSH match rate
-    exactly as in q_embed_dup, and vectors shuffle only within blocks."""
+    Scale shape: one scan aggregates centroids, one scan builds the
+    per-row (signature, norm, centroid-cosine) projection, which is
+    MATERIALIZED (``localCheckpoint`` — without the cut the self-join
+    duplicates the whole scan ⋈ broadcast(centroid) subtree on each
+    side: measured 4 corpus scans instead of 2); the (label, sig)
+    self-join then reads only the checkpointed columns.  Candidate
+    volume is governed by the LSH match rate exactly as in
+    q_embed_dup, and vectors shuffle only within blocks."""
     cent = _centroid_array(emb)
     base = (
         emb.select(
@@ -819,12 +823,16 @@ def semdedup_pairs(emb):
         "aggregate(transform(cent, x -> x * x),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    base = base.withColumn(
-        "cent_cos",
+    base = base.select(
+        "vec_id",
+        "label",
+        "e",
+        "nrm",
+        "sig",
         F.round(
             F.expr(cdot) / (F.col("nrm") * F.expr(f"sqrt({cself})")), 6
-        ),
-    )
+        ).alias("cent_cos"),
+    ).localCheckpoint()
     a, b = base.alias("a"), base.alias("b")
     dot_ab = (
         "aggregate(zip_with(a.e, b.e, (x, y) -> x * y),"

@@ -575,12 +575,17 @@ def test_topk_ngrams_two_aggs_no_expand_topk(spark, sf_dir):
     assert exchange_count(plan) <= 2
 
 
-def test_semdedup_broadcast_centroids_topk(spark, sf_dir):
-    """SemDeDup joins the labels-sized centroid table by broadcast
-    (never shuffles vectors for it), blocks pairs on (label, sig) —
-    no cartesian anywhere — and the declared top-k is TakeOrdered."""
+def test_semdedup_checkpointed_no_rescan_topk(spark, sf_dir):
+    """SemDeDup's per-row projection (sig/norm/centroid-cosine) is
+    checkpointed, so the final plan reads NO parquet at all (without
+    the cut the self-join duplicated the scan ⋈ broadcast(centroid)
+    subtree — 4 corpus scans instead of the 2 precomputation scans);
+    the pair join blocks on (label, sig) — no cartesian — and the
+    declared top-k is TakeOrdered."""
+    from ema_bigdata_spark.plans import scan_count
+
     plan = _plan(spark, sf_dir, "q_semdedup")
-    assert "BroadcastHashJoin" in plan
+    assert scan_count(plan) == 0  # all inputs come from the checkpoint
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
