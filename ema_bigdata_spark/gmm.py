@@ -32,7 +32,7 @@ not reproduce them).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,10 +62,11 @@ class GMMModel:
     #: per-iteration lnP trace (r4, VERDICT r3 §Next-7): a SECOND
     #: deterministic output beyond the final parameters.  EM guarantees
     #: lnP is non-decreasing, so the trace is a machine-checkable
-    #: numeric contract (test_gmm_lnp_trace_monotone) — a math bug that
-    #: still converges to *some* fixed point breaks the trace even when
-    #: double-run determinism can't see it.
-    lnp_trace: list[float] = None
+    #: numeric contract (tests/test_properties.py
+    #: ::TestGMMNumericContract) — a math bug that still converges to
+    #: *some* fixed point breaks the trace even when double-run
+    #: determinism can't see it.
+    lnp_trace: list[float] = field(default_factory=list)
 
 
 def _weighted_percentiles(vals, cnts, probs) -> list[float]:

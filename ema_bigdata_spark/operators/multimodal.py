@@ -100,7 +100,15 @@ def _build_codecs():
             )
         top_down = height < 0
         h = abs(height)
+        if width <= 0 or h == 0:
+            raise ValueError(f"degenerate BMP geometry {width}x{height}")
         stride = (width * 3 + 3) // 4 * 4
+        if offset + h * stride > len(payload):
+            raise ValueError(
+                f"truncated BMP: header claims {width}x{h}"
+                f" ({offset + h * stride} bytes), payload has"
+                f" {len(payload)}"
+            )
         rows = [
             np.frombuffer(
                 payload, dtype=np.uint8, count=width * 3,
@@ -138,6 +146,11 @@ def _build_codecs():
         pos = 12
         while pos + 8 <= len(payload):
             cid, size = struct.unpack_from("<4sI", payload, pos)
+            if pos + 8 + size > len(payload):
+                raise ValueError(
+                    f"truncated WAV: chunk {cid!r} claims {size} bytes,"
+                    f" only {len(payload) - pos - 8} remain"
+                )
             body = payload[pos + 8:pos + 8 + size]
             if cid == b"fmt ":
                 audio_fmt, channels, rate, _brate, _align, bits = (
@@ -154,6 +167,10 @@ def _build_codecs():
             pos += 8 + size + (size % 2)  # chunks are word-aligned
         if rate is None or data is None:
             raise ValueError("WAV missing fmt /data chunk")
+        if len(data) % 2:
+            raise ValueError(
+                "malformed WAV: odd data-chunk length for 16-bit PCM"
+            )
         return rate, np.frombuffer(data, dtype="<i2")
 
     def decode_media(payload: bytes, media_type: str):

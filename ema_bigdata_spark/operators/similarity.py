@@ -617,6 +617,27 @@ def q_embed_quantize(spark, sf_dir):
 _CENTROID_FP = 10_000_000
 
 
+def _centroid_sums(emb):
+    """Per-label exact ×1e7 fixed-point component sums + count — the
+    ONE implementation of the centroid statistic, shared by
+    q_embed_centroid (scalarized report) and semdedup's
+    `_centroid_array` (array form); a fixed-point or rounding change
+    lands in both consumers or neither (review-r4 finding)."""
+    sums = [
+        F.sum(
+            F.round(
+                F.element_at("embedding", i + 1).cast("double")
+                * _CENTROID_FP,
+                0,
+            ).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(_DIM)
+    ]
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums
+    )
+
+
 def _duck_centroid_sql() -> str:
     # DECIMAL(12,6) string form on BOTH engines: double→string casts
     # disagree on small values (Spark "−5.29E-4" vs DuckDB
@@ -647,20 +668,7 @@ def q_embed_centroid(spark, sf_dir):
     are exact ×1e7 fixed-point (float sums would be partition-order-
     dependent); the output centroid is scalarized '|'-joined rounded
     components, hashable by the driver."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    sums = [
-        F.sum(
-            F.round(
-                F.element_at("embedding", i + 1).cast("double")
-                * _CENTROID_FP,
-                0,
-            ).cast("long")
-        ).alias(f"_s{i}")
-        for i in range(_DIM)
-    ]
-    agg = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums
-    )
+    agg = _centroid_sums(load_table(spark, sf_dir, "embeddings"))
     comps = [
         F.round(
             F.col(f"_s{i}").cast("double")
@@ -762,23 +770,11 @@ def q_similarity_batch(spark, sf_dir):
 
 
 def _centroid_array(emb):
-    """Per-label exact mean embedding as an ARRAY column (same ×1e7
-    fixed-point integer sums as q_embed_centroid — partition-order-
+    """Per-label exact mean embedding as an ARRAY column (the shared
+    `_centroid_sums` fixed-point statistic — partition-order-
     independent, so the centroid-cosine tie-breaks are deterministic).
     Output is labels-sized: always broadcastable."""
-    sums = [
-        F.sum(
-            F.round(
-                F.element_at("embedding", i + 1).cast("double")
-                * _CENTROID_FP,
-                0,
-            ).cast("long")
-        ).alias(f"_s{i}")
-        for i in range(_DIM)
-    ]
-    agg = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums
-    )
+    agg = _centroid_sums(emb)
     comps = [
         (F.col(f"_s{i}").cast("double") / F.col("n_vecs") / _CENTROID_FP)
         for i in range(_DIM)

@@ -1545,3 +1545,40 @@ class TestSemDedup:
         # they lost some other qualifying pair
         for k in keeps - drops:
             assert k not in drops
+
+
+def test_media_codecs_reject_malformed_supported_formats():
+    """r4 review finding: malformed inputs of SUPPORTED formats must
+    raise the module's clean ValueError, not a raw numpy buffer error
+    or a silent truncation — a quarantine sink routes on these."""
+    import struct
+
+    import pytest as _pytest
+
+    from ema_bigdata_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # BMP whose header claims more pixels than the payload carries
+    good = bytearray(encode_bmp(b"abcdef", 2))
+    struct.pack_into("<i", good, 22, 1000)  # height := 1000
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(bytes(good))
+    # degenerate zero-width geometry
+    zero_w = bytearray(encode_bmp(b"abc", 1))
+    struct.pack_into("<i", zero_w, 18, 0)  # width := 0
+    with _pytest.raises(ValueError, match="degenerate BMP"):
+        decode_bmp(bytes(zero_w))
+    # WAV data chunk with an odd byte length (legal RIFF, not 16-bit PCM)
+    wav = bytearray(encode_wav(b"abcd"))
+    struct.pack_into("<I", wav, 40, 3)  # data size := 3 (odd)
+    with _pytest.raises(ValueError, match="odd data-chunk length"):
+        decode_wav(bytes(wav))
+    # WAV chunk claiming more bytes than remain in the payload
+    wav2 = bytearray(encode_wav(b"abcd"))
+    struct.pack_into("<I", wav2, 40, 4096)
+    with _pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(wav2))

@@ -243,6 +243,24 @@ class TestStreamSourceSeam:
         assert df.isStreaming
         assert "user_id" in df.columns and "event_id" in df.columns
 
+    def test_wire_schema_matches_testdata(self, spark, sf_dir):
+        """The DECLARED Kafka wire schema (no local files needed on a
+        broker deploy — review-r4 fix) must not drift from the actual
+        events table shape the file source reads."""
+        from pyspark.sql.types import StructType
+
+        from ema_bigdata_spark.sources.tables import load_raw
+        from ema_bigdata_spark.streaming.stream_queries import (
+            _WIRE_SCHEMAS,
+        )
+
+        declared = StructType.fromDDL(_WIRE_SCHEMAS["events"])
+        actual = load_raw(spark, sf_dir, "events").schema
+        assert [f.name for f in declared] == [f.name for f in actual]
+        # dtypes match too on modern testdata (a legacy raw-nanos LONG
+        # ts file would differ — that variant is file-source-only)
+        assert declared == actual
+
     def test_kafka_reader_configuration(self, monkeypatch):
         from ema_bigdata_spark.streaming.stream_queries import (
             _configure_kafka,
@@ -269,7 +287,6 @@ class TestStreamSourceSeam:
         assert r.opts["subscribe"] == "prod.events.v2"
         assert r.opts["startingOffsets"] == "earliest"
         # topic defaults to the table name without the env override
-        r2 = _configure_kafka(FakeReader(), "events")
         monkeypatch.delenv("SPARK_GRAFT_KAFKA_TOPIC_EVENTS")
         r2 = _configure_kafka(FakeReader(), "events")
         assert r2.opts["subscribe"] == "events"
