@@ -1582,3 +1582,137 @@ def test_media_codecs_reject_malformed_supported_formats():
     struct.pack_into("<I", wav2, 40, 4096)
     with _pytest.raises(ValueError, match="truncated WAV"):
         decode_wav(bytes(wav2))
+
+
+class TestPiiScrubReference:
+    """q_pii_scrub vs Python's `re` module — a THIRD regex engine
+    beyond Java regex (Spark) and RE2 (DuckDB oracle).  The patterns
+    live in the three-dialect intersection, so all engines must count
+    identically on planted PII and on adversarial near-misses."""
+
+    def test_planted_and_near_miss_counts(self, spark):
+        import re
+
+        from ema_bigdata_spark.operators.text import (
+            _PII_EMAIL,
+            _PII_IP,
+            _PII_PHONE,
+            pii_scrub,
+        )
+
+        texts = [
+            "mail a.b+c@ex.co and d@e.io now",
+            "call 555-123-4567 or +44 123 456 7890",
+            "hosts 10.0.0.1 192.168.255.254 and 999.1.1.1",
+            "not-an-email a@@b.com trailing@dot. x@y.z",
+            "almost phone 12-34-5678 and 5551234567",
+            "",
+            "plain text with no pii whatsoever",
+            "edge: a@b.cd 1.2.3.4 111 222 3333",
+        ]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {r.doc_id: r for r in pii_scrub(df).collect()}
+        for i, t in rows:
+            want_e = len(re.findall(_PII_EMAIL, t))
+            want_p = len(re.findall(_PII_PHONE, t))
+            want_i = len(re.findall(_PII_IP, t))
+            assert got[i].n_emails == want_e, (t, got[i])
+            assert got[i].n_phones == want_p, (t, got[i])
+            assert got[i].n_ips == want_i, (t, got[i])
+            clean = t
+            for pat in (_PII_EMAIL, _PII_PHONE, _PII_IP):
+                clean = re.sub(pat, "[PII]", clean)
+            assert got[i].clean_len == len(clean), (t, clean)
+
+    def test_hypothesis_three_engine_agreement(self, spark):
+        """Random word soup with randomly planted PII tokens: Spark
+        counts equal Python re counts on every document."""
+        import re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ema_bigdata_spark.operators.text import (
+            _PII_EMAIL,
+            _PII_IP,
+            _PII_PHONE,
+            pii_scrub,
+        )
+
+        pii = st.sampled_from(
+            ["bob@site.org", "555-987-6543", "172.16.4.200",
+             "x.y@a.bc", "+1 212 555 0100"]
+        )
+        word = st.text(
+            alphabet="abcdefghijk.@-0123456789", min_size=0, max_size=8
+        )
+        doc = st.lists(st.one_of(word, pii), min_size=0, max_size=12).map(
+            " ".join
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=5))
+        def run(texts):
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id LONG, text STRING"
+            )
+            got = {r.doc_id: r for r in pii_scrub(df).collect()}
+            for i, t in enumerate(texts):
+                assert got[i].n_emails == len(re.findall(_PII_EMAIL, t))
+                assert got[i].n_phones == len(re.findall(_PII_PHONE, t))
+                assert got[i].n_ips == len(re.findall(_PII_IP, t))
+
+        run()
+
+
+def test_topk_ngrams_pure_python_reference(spark):
+    """q_topk_ngrams' counting semantics vs a direct pure-Python
+    reference on a handcrafted corpus with within-doc repeats (the
+    n_occurrences / n_docs distinction) and sub-3-token docs (whole-
+    text fallback shingles)."""
+    from collections import Counter
+
+    from ema_bigdata_spark.operators.dedup import _shingles
+    from pyspark.sql import functions as F
+
+    texts = [
+        "a b c a b c a b c",          # within-doc repeated trigrams
+        "a b c d",
+        "x y",                        # < 3 tokens -> whole text
+        "a b c",
+        "x y",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) >= 3:
+            return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        return [t]
+
+    occ = Counter()
+    docs = Counter()
+    for t in texts:
+        c = Counter(shingles(t))
+        occ.update(c)
+        docs.update(c.keys())
+
+    grid = (
+        df.select("doc_id", F.explode(_shingles()).alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        r.ngram: (r.n_occ, r.n_docs)
+        for r in grid.groupBy("ngram")
+        .agg(
+            F.sum("c").cast("long").alias("n_occ"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .collect()
+    }
+    want = {g: (occ[g], docs[g]) for g in occ}
+    assert got == want
