@@ -63,6 +63,12 @@ _FAMILY_QUERIES = (
     "q_unigram_lm",
     "q_dup_spans",
     "q_dedup_incremental_near",
+    # r4 additions: semdedup's (label, sig)-blocked self-join and the
+    # n-gram pre-aggregate are the two new places a pair blow-up could
+    # hide; pii_scrub pins the zero-shuffle projection's linearity
+    "q_semdedup",
+    "q_topk_ngrams",
+    "q_pii_scrub",
 )
 
 
