@@ -155,6 +155,66 @@ _START_NTZ = (
 )
 
 
+#: session gap: events further apart than this start a new session
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_stream(stream):
+    """Per-user stateful sessionizer over a ``(user_id, ts_us)``
+    streaming DataFrame — the ``applyInPandasWithState`` core of
+    ``s_stream_session``, factored out so a multi-batch test can drive
+    it directly (the registered query's single-file run never hits the
+    ``state.exists`` branch; the cross-batch merge is pinned by
+    ``test_session_stream_state_carries_across_batches``).
+
+    Each micro-batch merges the key's new events with the carried-over
+    open session (start/end/count — three scalars, never the events),
+    emits every session closed by a > gap, and both EMITS and STORES
+    the still-open tail (so a stream that ends now has emitted its
+    final state, and a stream that continues extends it next batch —
+    later emissions supersede earlier ones for the same session
+    start)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = _SESSION_GAP_US
+
+    def sessionize(key, pdfs, state):
+        if state.exists:
+            open_start, open_end, open_n = state.get
+        else:
+            open_start = open_end = open_n = None
+        # ts_us arrives as BIGINT µs (event_epoch_us projects it before
+        # the groupBy), so the state fn never sees the physical encoding
+        ts_us = sorted(
+            int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
+        )
+        out = []
+        for t in ts_us:
+            if open_start is None:
+                open_start, open_end, open_n = t, t, 1
+            elif t - open_end > gap_us:
+                out.append((key[0], open_start, open_end, open_n))
+                open_start, open_end, open_n = t, t, 1
+            else:
+                open_end, open_n = t, open_n + 1
+        if open_start is not None:
+            out.append((key[0], open_start, open_end, open_n))
+            state.update((open_start, open_end, open_n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id BIGINT, start_us BIGINT, end_us BIGINT,"
+        " n_events BIGINT",
+        stateStructType="start_us BIGINT, end_us BIGINT, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @query(
     "s_stream_session",
     oracle=f"""
@@ -180,68 +240,23 @@ _START_NTZ = (
 )
 def s_stream_session(spark, sf_dir):
     """Custom stateful streaming operator: per-user sessionization via
-    ``applyInPandasWithState`` — the pattern Structured Streaming's
+    :func:`session_stream` — the pattern Structured Streaming's
     built-in windows can't express (data-driven session boundaries with
-    arbitrary per-key state).
-
-    Each micro-batch the state function merges the user's new events
-    with the carried-over open session (start/end/count), emits every
-    session closed by a >30 min gap, and stores the still-open tail
-    session back into the state store.  Here the single file = single
-    batch and the stream end closes all sessions, so the result equals
-    the batch gaps-and-islands sessionization and is SQL-oracled — a
-    stronger check than rows-only.
+    arbitrary per-key state).  Here the single file = single batch and
+    the stream end closes all sessions, so the result equals the batch
+    gaps-and-islands sessionization and is SQL-oracled — a stronger
+    check than rows-only; the multi-batch state-merge path is pinned
+    by its own test.
 
     Scale: state per key is three scalars (not the events), the state
     store shuffles once on user_id, and the watermark-driven timeout
     (``GroupStateTimeout.EventTimeTimeout`` in production) bounds how
     long an open session can hold state."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    gap_us = 30 * 60 * 1_000_000
-
-    def sessionize(key, pdfs, state):
-        if state.exists:
-            open_start, open_end, open_n = state.get
-        else:
-            open_start = open_end = open_n = None
-        # ts_us arrives as BIGINT µs (event_epoch_us projects it before
-        # the groupBy), so the state fn never sees the physical encoding
-        ts_us = sorted(
-            int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
-        )
-        out = []
-        for t in ts_us:
-            if open_start is None:
-                open_start, open_end, open_n = t, t, 1
-            elif t - open_end > gap_us:
-                out.append((key[0], open_start, open_end, open_n))
-                open_start, open_end, open_n = t, t, 1
-            else:
-                open_end, open_n = t, open_n + 1
-        if open_start is not None:
-            # single-batch run: the stream ends here, so the open tail
-            # session is final too — emit it AND keep it in state (a
-            # longer-running stream would extend it next batch).
-            out.append((key[0], open_start, open_end, open_n))
-            state.update((open_start, open_end, open_n))
-        yield pd.DataFrame(
-            out, columns=["user_id", "start_us", "end_us", "n_events"]
-        )
-
     stream = stream_source(spark, sf_dir)
     stream = stream.select(
         "user_id", event_epoch_us(stream).alias("ts_us")
     )
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
-        sessionize,
-        outputStructType="user_id BIGINT, start_us BIGINT, end_us BIGINT,"
-        " n_events BIGINT",
-        stateStructType="start_us BIGINT, end_us BIGINT, n BIGINT",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    sessions = session_stream(stream)
     sink = f"stream_session_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
         q = (

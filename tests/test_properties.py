@@ -1716,3 +1716,74 @@ def test_topk_ngrams_pure_python_reference(spark):
     }
     want = {g: (occ[g], docs[g]) for g in occ}
     assert got == want
+
+
+def test_session_stream_state_carries_across_batches(spark, tmp_path):
+    """The stateful sessionizer's cross-batch merge (r4): the
+    registered query's single-file run never reaches the
+    ``state.exists`` branch, so drive session_stream with TWO
+    micro-batches directly.  A session spanning the batch boundary
+    must keep its batch-1 start and count (impossible without the
+    state store), and a cross-batch gap must close the old session
+    exactly once."""
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _SESSION_GAP_US,
+        _state_partitions,
+        session_stream,
+    )
+
+    minute = 60 * 1_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, ts_list):
+        spark.createDataFrame(
+            [(1, int(t)) for t in ts_list], "user_id BIGINT, ts_us BIGINT"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: two events 10 min apart -> one open session [0, 10], n=2
+    write("b1", [0 * minute, 10 * minute])
+    time.sleep(1.1)  # distinct mtime -> distinct micro-batch
+    # batch 2: +10 min extends it; +120 min is past the 30-min gap ->
+    # closes [0, 20] n=3, opens [120, 120] n=1
+    write("b2", [20 * minute, 120 * minute])
+    assert 100 * minute > _SESSION_GAP_US
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    sink = f"xbatch_{_uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            session_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = [
+        (r.start_us // minute, r.end_us // minute, r.n_events)
+        for r in spark.table(sink).collect()
+    ]
+    # the merged session [0, 20] with n=3 proves batch 2 extended
+    # batch 1's carried-over state (broken state -> (20, 20, 1))
+    assert (0, 20, 3) in rows, rows
+    assert (20, 20, 1) not in rows, rows
+    # the cross-gap close emitted the final [0,20] exactly once, and
+    # the new open tail session appeared
+    assert rows.count((0, 20, 3)) == 1, rows
+    assert (120, 120, 1) in rows, rows
+    # batch-1's provisional tail emission is the only other row
+    assert sorted(rows) == [(0, 10, 2), (0, 20, 3), (120, 120, 1)], rows
