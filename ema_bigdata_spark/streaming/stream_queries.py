@@ -222,7 +222,7 @@ def session_stream(stream):
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN date_diff('microsecond', lag(ts) OVER w, ts)
-                       > {30 * 60 * 1_000_000} THEN 1
+                       > {_SESSION_GAP_US} THEN 1
                   ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
