@@ -288,3 +288,79 @@ def q_value_outliers(spark, sf_dir):
     """See :func:`value_outliers`.  Driver-mandated surface (SURVEY
     §2.4); no Main.scala counterpart."""
     return value_outliers(load_table(spark, sf_dir, "events"))
+
+
+# -- q_winsorize: per-group percentile clipping (r4 addition) -------------
+
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+
+def winsorize(events, lo: float = _WINSOR_LO, hi: float = _WINSOR_HI):
+    """Clip ``events.value`` to its per-event-type [p_lo, p_hi] range —
+    winsorization, the standard numeric-cleaning step before training
+    statistics (caps fat-finger outliers without dropping rows, unlike
+    the flag-only :func:`value_outliers`).
+
+    Cross-engine exactness: percentiles run on ×10⁶ fixed-point BIGINTs
+    (the q_percentiles recipe — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically), and the bounds are
+    ROUNDED BACK TO INTEGER µ-units, so every clip comparison is pure
+    integer arithmetic — no float-boundary flip can differ between
+    engines.
+
+    Scale shape: one groupBy collapses events to a ≤|event_types|-row
+    bounds table (exact percentile needs the sort-based aggregate —
+    swap in ``approx_percentile`` at 100 TB if the groups are huge,
+    same plan otherwise), which joins back by BROADCAST; the clip is a
+    per-row projection.  Nothing but the bounds table ever shuffles."""
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vu"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"CAST(round(percentile(vu, {lo})) AS BIGINT)").alias("lo_u"),
+        F.expr(f"CAST(round(percentile(vu, {hi})) AS BIGINT)").alias("hi_u"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.expr("CAST(least(greatest(vu, lo_u), hi_u) AS DOUBLE)")
+            / F.lit(1000000),
+            6,
+        ).alias("value_w"),
+        (F.col("vu") < F.col("lo_u")).alias("clipped_low"),
+        (F.col("vu") > F.col("hi_u")).alias("clipped_high"),
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(vu, {_WINSOR_LO})) AS BIGINT) AS lo_u,
+             CAST(round(quantile_cont(vu, {_WINSOR_HI})) AS BIGINT) AS hi_u
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_id, ev.event_type, value,
+           round(CAST(least(greatest(vu, lo_u), hi_u) AS DOUBLE)
+                 / 1000000, 6) AS value_w,
+           vu < lo_u AS clipped_low,
+           vu > hi_u AS clipped_high
+    FROM ev JOIN b USING (event_type)
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """See :func:`winsorize`.  r4 addition to the data-quality surface
+    (SURVEY §2.4); no Main.scala counterpart."""
+    return winsorize(load_table(spark, sf_dir, "events"))

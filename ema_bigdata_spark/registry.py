@@ -51,11 +51,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: then the oldest r2 rows (reference Part A, relational families).
 #: The remaining r2-green scalar/text/window queries rotate in r5;
 #: after that every official row is ≤2 rounds old in steady state.
-#: The three r4 ADDITIONS (pii_scrub / topk_ngrams / semdedup) lead:
-#: never-green beats green-once, same rule r3 applied.
+#: The four r4 ADDITIONS (pii_scrub / topk_ngrams / semdedup /
+#: winsorize) lead: never-green beats green-once, same rule r3 applied.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r4, never checked (3) —
-    "q_pii_scrub", "q_topk_ngrams", "q_semdedup",
+    # — new in r4, never checked (4) —
+    "q_pii_scrub", "q_topk_ngrams", "q_semdedup", "q_winsorize",
     # — newest official green row is r1 (16) —
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_join_anti", "q_join_full", "q_join_cross",
@@ -76,8 +76,8 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_rollup", "q_cube", "q_sort_limit", "q_union", "q_intersect",
     "q_except", "q_corr_stats", "q_percentiles", "q_pivot",
     "q_grouping_sets", "q_events_hourly", "q_unpivot", "q_having",
-    # — oldest r2 rows: scalar functions (2 of 5; rest r5) —
-    "q_string_funcs", "q_date_funcs",
+    # — oldest r2 rows: scalar functions (1 of 5; rest r5) —
+    "q_string_funcs",
 )
 
 #: kept as an alias for external docs that referenced the r3 name

@@ -589,3 +589,13 @@ def test_semdedup_checkpointed_no_rescan_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_broadcast_bounds_no_smj(spark, sf_dir):
+    """Winsorize joins its ≤|event_types|-row bounds table by
+    broadcast (vectors of events never shuffle for it) and the clip is
+    a projection — no sort-merge join, no cartesian."""
+    plan = _plan(spark, sf_dir, "q_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

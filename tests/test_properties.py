@@ -1787,3 +1787,43 @@ def test_session_stream_state_carries_across_batches(spark, tmp_path):
     assert (120, 120, 1) in rows, rows
     # batch-1's provisional tail emission is the only other row
     assert sorted(rows) == [(0, 10, 2), (0, 20, 3), (120, 120, 1)], rows
+
+
+def test_winsorize_numpy_reference(spark):
+    """q_winsorize vs numpy's linear-interpolated percentile on a
+    handcrafted distribution: extremes clip to the integer-µ bounds,
+    interior values pass through untouched, and the clip flags match
+    the numpy-computed bounds exactly (third engine beyond Spark and
+    the DuckDB oracle)."""
+    import numpy as np
+
+    from ema_bigdata_spark.operators.profiling import winsorize
+
+    rng = np.random.default_rng(13)
+    vals = np.round(
+        np.concatenate([rng.normal(50.0, 5.0, 400), [0.001, 9999.0]]), 3
+    )
+    rows = [(i, "click" if i % 2 else "view", float(v))
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, event_type STRING, value DOUBLE"
+    )
+    got = {r.event_id: r for r in winsorize(ev).collect()}
+    assert len(got) == len(rows)
+    for etype in ("click", "view"):
+        vu = np.array(sorted(
+            round(v * 1_000_000) for i, t, v in rows if t == etype
+        ))
+        lo = round(float(np.percentile(vu, 1, method="linear")))
+        hi = round(float(np.percentile(vu, 99, method="linear")))
+        for i, t, v in rows:
+            if t != etype:
+                continue
+            u = round(v * 1_000_000)
+            r = got[i]
+            assert r.clipped_low == (u < lo), (i, v, lo)
+            assert r.clipped_high == (u > hi), (i, v, hi)
+            want = min(max(u, lo), hi) / 1_000_000
+            assert abs(r.value_w - round(want, 6)) < 1e-9, (i, v)
+    # the planted extremes actually clipped (fixture sanity)
+    assert got[len(rows) - 2].clipped_low or got[len(rows) - 1].clipped_high
