@@ -180,7 +180,7 @@ def main() -> None:
     load_poisoned = len(flagged) > 15
     for _, name in flagged[: 15 if load_poisoned else len(flagged)]:
         fn = registry.QUERIES.get(name)
-        if fn is None:
+        if fn is None or name in SKIP:  # honor the sweep's exclusions
             continue
         ts = []
         for _ in range(3):

@@ -103,6 +103,11 @@ def _build_codecs():
         if width <= 0 or h == 0:
             raise ValueError(f"degenerate BMP geometry {width}x{height}")
         stride = (width * 3 + 3) // 4 * 4
+        if offset < 54:  # pixel data can't start inside the two headers
+            raise ValueError(
+                f"corrupt BMP: pixel offset {offset} overlaps the"
+                " 54-byte header"
+            )
         if offset + h * stride > len(payload):
             raise ValueError(
                 f"truncated BMP: header claims {width}x{h}"

@@ -911,9 +911,11 @@ def unigram_lm(docs, text_col: str = "text"):
     min-count vocab floor is the lossy alternative and deliberately
     NOT applied (it would change every rare-token score).  Either way,
     at 100 TB the corpus text is never shuffled; only (doc_id, cost)
-    partial sums move, collapsing to ~1 row per document.  The
-    grand-total attach is a 1-row broadcast cross join, not a window
-    over the vocab.  Driver-mandated surface (SURVEY §2.4); no
+    partial sums move, collapsing to ~1 row per document.  The grand
+    total is computed once on the checkpointed vocab blocks (same
+    driver aggregate that feeds the broadcast gate) and folded into
+    the cost expression as a literal — no 1-row cross join in the
+    executed plan.  Driver-mandated surface (SURVEY §2.4); no
     Main.scala counterpart."""
     toks = docs.select(
         "doc_id", F.explode(F.split(text_col, " ", -1)).alias("token")
@@ -923,11 +925,20 @@ def unigram_lm(docs, text_col: str = "text"):
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint()
     )
-    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
-    cost = vocab.crossJoin(F.broadcast(total)).select(
-        "token", F.expr(_COST_U).alias("cost_u")
+    # ONE driver aggregate over the already-materialized checkpoint
+    # blocks yields both gate inputs (ADVICE r4: the previous version
+    # paid a separate count() job on top): n_vocab drives the
+    # broadcast gate, total becomes a literal in the cost expression
+    # — which also deletes the 1-row cross-join subtree from the
+    # executed plan.
+    n_vocab, total = vocab.agg(
+        F.count(F.lit(1)), F.sum("cnt").cast("long")
+    ).first()
+    cost = vocab.select(
+        "token",
+        F.expr(_COST_U.replace("total", str(total))).alias("cost_u"),
     )
-    if vocab.count() <= _VOCAB_BROADCAST_MAX:
+    if n_vocab <= _VOCAB_BROADCAST_MAX:
         cost = F.broadcast(cost)
     return (
         toks.join(cost, "token")

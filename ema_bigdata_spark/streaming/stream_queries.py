@@ -139,6 +139,12 @@ def stream_source(spark, sf_dir: str, table: str = "events"):
     exercised by unit tests against the fluent-API contract and the
     batch-mode payload decoder, not end-to-end.)"""
     if os.environ.get("SPARK_GRAFT_STREAM_SOURCE", "files") == "kafka":
+        if table not in _WIRE_SCHEMAS:
+            raise ValueError(
+                f"no declared Kafka wire schema for table {table!r}; "
+                f"declared: {sorted(_WIRE_SCHEMAS)} (add an entry to "
+                "_WIRE_SCHEMAS to stream this table over Kafka)"
+            )
         raw = _configure_kafka(spark.readStream, table).load()
         return _kafka_parse(raw, _WIRE_SCHEMAS[table])
     return (

@@ -425,8 +425,9 @@ def test_unigram_lm_vocab_cap_drops_broadcast(spark, sf_dir, monkeypatch):
     # the vocab-join hint itself must be gone (AQE may still
     # auto-broadcast at this tiny scale — that's the point: the
     # PLANNER decides, not a hard-coded hint that would pin an
-    # over-budget broadcast).  One ResolvedHint always remains: the
-    # 1-row grand-total attach inside the cost table.
+    # over-budget broadcast).  Since r5 the grand total is folded in
+    # as a literal at construction time, so the vocab-cost hint is
+    # the only ResolvedHint in the hinted plan.
     n_hints_hinted = (
         hinted._jdf.queryExecution().analyzed().toString()
     ).count("ResolvedHint")
@@ -532,11 +533,15 @@ def test_salted_join_vs_aqe_skew_split(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     plain = ev.join(cust, "user_id")
-    plain.write.format("noop").mode("overwrite").save()
+    # Execute through THIS DataFrame's own QueryExecution (a noop
+    # write would run a separate, fresh QueryExecution and leave this
+    # handle's adaptive plan un-finalized — ADVICE r4).
+    plain.collect()
     # 1. AQE did NOT split anything at this scale (all partitions are
     #    far below the 256 MB skew threshold): no skew markers in the
-    #    final adaptive plan of the un-salted join.
+    #    FINALIZED adaptive plan of the un-salted join.
     final = plain._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final  # proves we read the executed plan
     assert "skew=true" not in final
     # 2. The salted join's physical join keys include the salt, so a
     #    hot user_id hashes into n_salt different shuffle partitions

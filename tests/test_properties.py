@@ -1572,6 +1572,13 @@ def test_media_codecs_reject_malformed_supported_formats():
     struct.pack_into("<i", zero_w, 18, 0)  # width := 0
     with _pytest.raises(ValueError, match="degenerate BMP"):
         decode_bmp(bytes(zero_w))
+    # pixel offset pointing INSIDE the header (ADVICE r4: the lower
+    # bound must be validated too, else header bytes silently decode
+    # as pixels)
+    low_off = bytearray(encode_bmp(b"abcdef", 2))
+    struct.pack_into("<I", low_off, 10, 0)  # pixel offset := 0
+    with _pytest.raises(ValueError, match="overlaps the 54-byte header"):
+        decode_bmp(bytes(low_off))
     # WAV data chunk with an odd byte length (legal RIFF, not 16-bit PCM)
     wav = bytearray(encode_wav(b"abcd"))
     struct.pack_into("<I", wav, 40, 3)  # data size := 3 (odd)

@@ -316,3 +316,19 @@ class TestStreamSourceSeam:
         a = sorted(map(repr, batch.collect()))
         b = sorted(map(repr, back.collect()))
         assert a == b
+
+    def test_kafka_undeclared_table_is_a_clean_error(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """ADVICE r4: a table with no declared wire schema must fail
+        with a descriptive ValueError naming the table and the
+        declared set — not a bare KeyError from _WIRE_SCHEMAS."""
+        import pytest
+
+        from ema_bigdata_spark.streaming.stream_queries import (
+            stream_source,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SOURCE", "kafka")
+        with pytest.raises(ValueError, match="wire schema.*lineitem"):
+            stream_source(spark, sf_dir, table="lineitem")
