@@ -37,51 +37,51 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-4 verification priority.  The external driver records a
+#: Round-5 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
-#: After r3, every one of the 113 queries has at least one official
-#: green row (r1∪r2∪r3), so the rotation goal shifts from
-#: "never-green first" to "stalest-official-row first" (VERDICT r3
-#: §Next-1) plus "changed-this-round first" (a refactored query's old
-#: green row no longer certifies today's code).  Head = the 16 queries
-#: whose newest green row is still r1 (joins + SQL subqueries +
-#: profile + exact-dedup trio + ngram_jaccard), then the 4 queries
-#: materially changed in r4 (real BMP/WAV decode in the mm pair,
-#: shifted-variance value_outliers, re-planned minhash_jaccard_est),
-#: then the oldest r2 rows (reference Part A, relational families).
-#: The remaining r2-green scalar/text/window queries rotate in r5;
-#: after that every official row is ≤2 rounds old in steady state.
-#: The four r4 ADDITIONS (pii_scrub / topk_ngrams / semdedup /
-#: winsorize) lead: never-green beats green-once, same rule r3 applied.
+#: Rotation rule (steady state since r3): never-checked first, then
+#: stalest-official-row, then changed-this-round (an old green row
+#: doesn't certify refactored code).  After r4, official newest-green
+#: rounds split 21×r2 / 44×r3 / 50×r4 (gmm_fit & q_gmm_bic rows-only).
+#: This window takes ALL 21 remaining r2 rows (VERDICT r4 §Next-1:
+#: "pure harvest"), the two queries whose code changed in r5
+#: (q_unigram_lm: literal-folded grand total; q_mm_features: BMP
+#: offset lower-bound), and 27 of the 43 untouched r3 rows — the
+#: streaming seven, the r3 join/TPCH family, approx/collect aggs,
+#: window frames, event analytics, the minhash/simhash pair, and
+#: skew_metrics.  The 15 r3 rows left (dedup cluster family,
+#: embeddings/ANN family, multimodal_join, mix_weights,
+#: train_val_split) rotate in r6, completing the ≤2-round-old
+#: invariant.  If a NEW query lands in r5 it takes the head slot
+#: (never-green first) and q_skew_metrics yields back to r6.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r4, never checked (4) —
-    "q_pii_scrub", "q_topk_ngrams", "q_semdedup", "q_winsorize",
-    # — newest official green row is r1 (16) —
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_join_anti", "q_join_full", "q_join_cross",
-    "q_sql_exists", "q_sql_scalar_subquery",
-    "q_sql_tpch_q3", "q_sql_tpch_q5",
-    "q_profile_table",
-    "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
-    "q_ngram_jaccard",
-    # — code materially changed in r4; re-certify on new code (4) —
-    "q_mm_features", "q_mm_frames", "q_value_outliers",
-    "q_minhash_jaccard_est",
-    # — oldest r2 rows: reference Part A (9) —
-    "q_scan_count", "q_mean", "q_variance_pop", "q_init_means",
-    "q_loglik_fixed", "q_gamma_fixed", "q_mstep_weight_fixed",
-    "q_mstep_mean_fixed", "q_mstep_var_fixed",
-    # — oldest r2 rows: relational family (16) —
-    "q_filter_project", "q_pricing_summary", "q_agg_distinct",
-    "q_rollup", "q_cube", "q_sort_limit", "q_union", "q_intersect",
-    "q_except", "q_corr_stats", "q_percentiles", "q_pivot",
-    "q_grouping_sets", "q_events_hourly", "q_unpivot", "q_having",
-    # — oldest r2 rows: scalar functions (1 of 5; rest r5) —
-    "q_string_funcs",
+    # — newest official green row is r2: scalars (4) —
+    "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
+    # — r2: text family (14) —
+    "q_text_tokens", "q_lang_id", "q_quality_score", "q_token_count",
+    "q_doc_fingerprint", "q_tfidf", "q_normalize_text",
+    "q_stratified_sample", "q_repetition_score", "q_source_mix",
+    "q_token_histogram", "q_corpus_clean", "q_contamination",
+    "q_pack_sequences",
+    # — r2: window trio (3) —
+    "q_window_rank", "q_window_running", "q_window_lag",
+    # — code changed in r5; re-certify on new code (2) —
+    "q_unigram_lm", "q_mm_features",
+    # — oldest r3 rows: streaming (7) —
+    "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
+    "s_stream_dedup", "s_stream_join", "s_stream_static_join",
+    "s_stream_upsert",
+    # — r3: joins + TPC-H (8) —
+    "q_join_range", "q_join_asof", "q_join_salted",
+    "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q14",
+    "q_sql_tpch_q17", "q_sql_tpch_q18",
+    # — r3: approx/collect aggs + windows + event analytics (9) —
+    "q_approx_distinct", "q_approx_quantiles", "q_collect_agg",
+    "q_compact_latest", "q_sessionize", "q_window_frames",
+    "q_window_range_frame", "q_retention", "q_funnel",
+    # — r3: near-dup pair + profiling (3) —
+    "q_dedup_minhash", "q_dedup_simhash", "q_skew_metrics",
 )
-
-#: kept as an alias for external docs that referenced the r3 name
-_R3_CHECK_WINDOW = _CHECK_WINDOW
 
 
 def load_all() -> None:
