@@ -50,6 +50,34 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound probe (VERDICT r4 §Next-6): hash+partial-agg
+    over an in-memory range — zero I/O, deterministic work, saturates
+    all cores the way the sweep's shuffle stages do.  Timed min-of-3
+    at sweep start AND end; the ratio of each to its standing pin
+    (``calibration_sec`` in BASELINE_LOCAL.json) tells the reader how
+    loaded the machine was, so a uniformly-slow sweep can be
+    NORMALIZED (divide each query time by the mean calibration ratio)
+    instead of thrown away and re-run.  The normalization is a
+    reader-side rule — recorded numbers stay raw."""
+    from pyspark.sql import functions as SF
+
+    def run() -> None:
+        _force(
+            spark.range(0, 50_000_000, 1, 32)
+            .select(SF.pmod(SF.xxhash64("id"), SF.lit(997)).alias("k"))
+            .groupBy("k")
+            .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("k").alias("s"))
+        )
+
+    ts = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        run()
+        ts.append(time.monotonic() - t0)
+    return round(min(ts), 3)
+
+
 def main() -> None:
     from ema_bigdata_spark import registry
     from ema_bigdata_spark.session import get_spark
@@ -76,6 +104,7 @@ def main() -> None:
     ).mode("overwrite").save()
 
     load_start = os.getloadavg()
+    calib_start = _calibrate(spark)
     adaptive_reps = 0
 
     def timed(thunk) -> float:
@@ -189,6 +218,15 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
         isolated[name] = round(min(ts), 3)
 
+    calib_end = _calibrate(spark)
+    try:
+        with open(base_path) as f:
+            calib_pin = json.load(f).get("calibration_sec")
+    except (OSError, ValueError):
+        calib_pin = None
+    calib_mean = round((calib_start + calib_end) / 2, 3)
+    calib_ratio = round(calib_mean / calib_pin, 3) if calib_pin else None
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -214,6 +252,17 @@ def main() -> None:
             # reader's first check when numbers look uniformly high
             "loadavg_start": [round(v, 2) for v in load_start],
             "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+            # fixed CPU-bound probe timed at sweep start/end + its
+            # ratio to the standing pin (BASELINE_LOCAL.json
+            # "calibration_sec").  Normalize rule: a uniformly-slow
+            # sweep's per-query times divide by calibration.ratio to
+            # compare against baseline — recorded numbers stay raw.
+            "calibration": {
+                "start_sec": calib_start,
+                "end_sec": calib_end,
+                "pin_sec": calib_pin,
+                "ratio": calib_ratio,
+            },
         }
     )
     print(payload)
