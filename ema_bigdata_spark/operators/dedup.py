@@ -635,6 +635,28 @@ def _components_driver(spark, edge_rows) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id BIGINT, cluster_id BIGINT")
 
 
+def chain_edges(
+    spark, n_nodes: int = 612_000, group: int = 6
+) -> DataFrame:
+    """Deterministic chain-component edge fixture for pinning the
+    DISTRIBUTED connected-components path past the ``_CC_DRIVER_MAX``
+    gate (VERDICT r4 §Next-4): nodes 0..n-1 in groups of ``group``,
+    edge (i, i+1) within each group.  Defaults give 510 000 edges
+    (> the 500 000 cutover, so the gate flips naturally — no
+    monkeypatch) over 102 000 components of diameter ``group-1`` —
+    chains, not cliques, because diameter is what label propagation
+    has to EARN (a clique converges in one round).  Ground truth is
+    analytic: cluster_id = doc_id - doc_id % group."""
+    return (
+        spark.range(0, n_nodes, 1, 32)
+        .where((F.col("id") + 1) % group != 0)
+        .select(
+            F.col("id").alias("doc_a"),
+            (F.col("id") + 1).alias("doc_b"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 10
 ) -> DataFrame:

@@ -414,6 +414,53 @@ def test_connected_components_correct(spark, monkeypatch):
     assert got_dist == want
 
 
+def test_connected_components_distributed_past_real_gate(spark):
+    """VERDICT r4 §Next-4: the distributed min-label-propagation path
+    pinned at REALISTIC size — 510 000 edges, past the genuine
+    ``_CC_DRIVER_MAX`` cutover (no monkeypatch; the probe's bounded
+    collect must flip the gate itself), over 102 000 diameter-5 chain
+    components so convergence takes the full 5 propagation rounds
+    (two lineage checkpoints), not a clique's single round.
+
+    Three-way agreement on the same edges: (1) the distributed labels
+    match the fixture's ANALYTIC ground truth exactly; (2) a plain
+    Python union-find over the collected edge list matches it too —
+    i.e. the driver algorithm and the distributed algorithm agree at
+    the scale where the gate actually picks the distributed one."""
+    from ema_bigdata_spark.operators import dedup as dd
+
+    pairs = dd.chain_edges(spark)
+    n_edges = pairs.count()
+    assert n_edges == 510_000 and n_edges > dd._CC_DRIVER_MAX
+
+    labels = dd.connected_components(pairs)
+    wrong = labels.where(
+        F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % 6
+    ).count()
+    assert wrong == 0
+    assert labels.count() == 612_000
+
+    # driver-algorithm equivalence on the same edges (pure-Python
+    # union-find, the exact logic _components_driver wraps)
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        a, b = r.doc_a, r.doc_b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    assert all(find(n) == n - n % 6 for n in parent)
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     """Sampled fraction per lang lands near the configured rate."""
     from ema_bigdata_spark.operators.text import _SAMPLE_RATES
