@@ -802,6 +802,164 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     assert got == list(range(30)), got  # each row exactly once
 
 
+def _multibatch_source(spark, tmp_path, files):
+    """Write one parquet file per micro-batch (µs timestamps, distinct
+    mtimes) and return a maxFilesPerTrigger=1 streaming reader — the
+    shared driver for the state-observability tests below."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mb_src"
+    d.mkdir()
+    for name, rows in files:
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        table = pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [("user_id", pa.int64()),
+                 ("ts", pa.timestamp("us", tz="UTC"))]
+            )
+        )
+        pq.write_table(table, str(d / name))
+        _time.sleep(1.1)  # distinct mtime → distinct micro-batch
+    return (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+
+
+def _run_and_observe_state(q):
+    """Drain a started query and return per-batch state-operator rows:
+    [(numRowsTotal, numRowsRemoved), ...] — lastProgress only keeps
+    the final batch, recentProgress keeps them all (VERDICT r4
+    §Next-5: the observability hook an unbounded-state regression
+    would trip)."""
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = []
+    for p in q.recentProgress:
+        ops = p["stateOperators"]
+        if ops:
+            out.append(
+                (
+                    sum(o["numRowsTotal"] for o in ops),
+                    sum(o["numRowsRemoved"] for o in ops),
+                )
+            )
+    return out
+
+
+def test_streaming_window_state_is_watermark_bounded(spark, tmp_path):
+    """VERDICT r4 §Next-5: windowed-agg state must be EVICTED as the
+    watermark passes, not accumulate forever.  Six micro-batches, each
+    one 1-minute window of 50 rows, event time advancing one hour per
+    batch with a 10-minute watermark (the registered tumbling query's
+    shape): every batch's post-commit numRowsTotal must stay at the
+    O(1) open-window count, and the evictions must actually show up in
+    numRowsRemoved.  An unbounded-state regression (lost watermark,
+    wrong output mode) makes numRowsTotal grow ~linearly in batches
+    and fails the bound."""
+    import uuid as _uuid
+
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _state_partitions,
+    )
+
+    files = [
+        (
+            f"f{i}.parquet",
+            [(j, f"2024-01-01 {i:02d}:00:{j % 60:02d}") for j in range(50)],
+        )
+        for i in range(6)
+    ]
+    stream = _multibatch_source(spark, tmp_path, files)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sink = f"state_win_{_uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        per_batch = _run_and_observe_state(q)
+    assert per_batch, "no stateOperators progress recorded"
+    totals = [t for t, _ in per_batch]
+    removed = sum(r for _, r in per_batch)
+    # bound: at most the current window + the one awaiting the next
+    # watermark advance — NEVER the 6 windows of input
+    assert max(totals) <= 2, per_batch
+    assert totals[-1] <= 2, per_batch
+    assert removed >= 4, per_batch  # the closed windows really left
+    # and the evicted windows were EMITTED, not dropped
+    emitted = spark.table(sink).collect()
+    assert sum(r.n for r in emitted) >= 4 * 50
+
+
+def test_streaming_join_state_is_watermark_bounded(spark, tmp_path):
+    """VERDICT r4 §Next-5, stream-stream join flavor: both sides
+    buffer rows in the state store; the watermark + time-range bound
+    (the registered s_stream_join's exact join shape) must evict
+    buffered rows as event time advances.  Same six-hour-steps input
+    on BOTH sides: peak buffered rows must stay near two batches'
+    worth per side, and most rows must be removed by the final
+    batch."""
+    import uuid as _uuid
+
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _state_partitions,
+    )
+
+    files = [
+        (
+            f"f{i}.parquet",
+            [(j, f"2024-01-01 {i:02d}:00:{j % 60:02d}") for j in range(50)],
+        )
+        for i in range(6)
+    ]
+    stream = _multibatch_source(spark, tmp_path, files)
+    a = stream.withWatermark("ts", "10 minutes").alias("a")
+    b = stream.withWatermark("ts", "10 minutes").alias("b")
+    joined = a.join(
+        b,
+        F.expr(
+            """
+            a.user_id = b.user_id
+            AND b.ts >= a.ts
+            AND b.ts <= a.ts + INTERVAL 5 MINUTE
+            """
+        ),
+    ).select(F.col("a.user_id").alias("user_id"))
+    sink = f"state_join_{_uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        per_batch = _run_and_observe_state(q)
+    assert per_batch, "no stateOperators progress recorded"
+    totals = [t for t, _ in per_batch]
+    removed = sum(r for _, r in per_batch)
+    n_input_rows = 6 * 50
+    # peak state ≤ ~2 batches buffered on each of the 2 sides (+1
+    # batch of slack for eviction lag); NEVER all 600 buffered rows
+    assert max(totals) <= 2 * 2 * 50 + 50, per_batch
+    assert totals[-1] <= 2 * 2 * 50 + 50, per_batch
+    assert removed >= n_input_rows, per_batch  # both sides drained
+
+
 def test_retention_day0_is_cohort_size(spark, sf_dir):
     """Every user is active on their own cohort day, so day_offset=0
     rows must sum to the total distinct-user count."""
