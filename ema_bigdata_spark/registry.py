@@ -48,13 +48,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (q_unigram_lm: literal-folded grand total; q_mm_features: BMP
 #: offset lower-bound), and 27 of the 43 untouched r3 rows — the
 #: streaming seven, the r3 join/TPCH family, approx/collect aggs,
-#: window frames, event analytics, the minhash/simhash pair, and
-#: skew_metrics.  The 15 r3 rows left (dedup cluster family,
-#: embeddings/ANN family, multimodal_join, mix_weights,
-#: train_val_split) rotate in r6, completing the ≤2-round-old
-#: invariant.  If a NEW query lands in r5 it takes the head slot
-#: (never-green first) and q_skew_metrics yields back to r6.
+#: window frames, event analytics, and the minhash/simhash pair.
+#: Head slot = q_mm_png, NEW in r5 (never-green first, the standing
+#: rule).  The 16 r3 rows left (dedup cluster family, embeddings/ANN
+#: family, multimodal_join, mix_weights, train_val_split,
+#: skew_metrics) rotate in r6, completing the ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
+    # — new in r5, never checked (1) —
+    "q_mm_png",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -79,8 +80,8 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_approx_distinct", "q_approx_quantiles", "q_collect_agg",
     "q_compact_latest", "q_sessionize", "q_window_frames",
     "q_window_range_frame", "q_retention", "q_funnel",
-    # — r3: near-dup pair + profiling (3) —
-    "q_dedup_minhash", "q_dedup_simhash", "q_skew_metrics",
+    # — r3: near-dup pair (2) —
+    "q_dedup_minhash", "q_dedup_simhash",
 )
 
 

@@ -466,7 +466,9 @@ def test_global_plan_invariants_every_batch_query(spark, sf_dir):
     registry.load_all()
     # semantically-cartesian by declaration (tiny dims / 1-row sides)
     cartesian_ok = {"q_join_cross"}
-    arrow_ok = {"q_embed_quantize", "q_mm_features", "q_mm_frames"}
+    arrow_ok = {
+        "q_embed_quantize", "q_mm_features", "q_mm_frames", "q_mm_png",
+    }
     offenders = []
     for name, fn in registry.QUERIES.items():
         if name.startswith("s_stream_") or name in ("gmm_fit", "q_gmm_bic"):
