@@ -92,6 +92,73 @@ def family_scaling(spark) -> dict:
     return out
 
 
+#: VERDICT r4 §Next-3: the two highest measured 10× exponents
+#: (q_topk_ngrams 0.39, q_pii_scrub 0.38) get TWO MORE DECADES of data
+#: to show they flatten toward I/O-linear — both read only
+#: ``documents``, so the probe replicates sf0.1 documents 10× and 100×
+#: (shifted doc_ids, a per-replica marker token so the vocabulary
+#: grows a little instead of being a pure count multiplier) into real
+#: parquet directories and times sf0.1 → sf1 → sf10.  At sf0.1 the
+#: whole table is ~7 MB and fixed overhead owns the time (that's what
+#: the 0.38-0.39 "exponents" were); by sf10 (~0.7 GB, 500 k docs) the
+#: per-row CPU finally dominates, so the LAST decade's exponent is the
+#: honest slope.
+_DECADE_QUERIES = ("q_topk_ngrams", "q_pii_scrub")
+
+
+def _make_big_documents(spark, out_dir: str, factor: int) -> int:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    big = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * mx))
+            .withColumn(
+                "text", F.concat("text", F.lit(f" replica{i}"))
+            )
+            for i in range(factor)
+        ],
+    )
+    (
+        big.repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    return spark.read.parquet(f"{out_dir}/documents.parquet").count()
+
+
+def decade_scaling(spark, work_dir: str) -> dict:
+    import math
+
+    from ema_bigdata_spark import registry
+
+    registry.load_all()
+    n1 = _make_big_documents(spark, f"{work_dir}/sf1", 10)
+    n10 = _make_big_documents(spark, f"{work_dir}/sf10", 100)
+    out = {"sf1_rows": n1, "sf10_rows": n10}
+
+    def expo(big, small):
+        return round(
+            math.log10(max(big, 1e-3) / max(small, 1e-3)), 2
+        )
+
+    for name in _DECADE_QUERIES:
+        fn = registry.QUERIES[name]
+        t_01 = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
+        t_1 = _timed(lambda: _noop(fn(spark, f"{work_dir}/sf1")))
+        t_10 = _timed(lambda: _noop(fn(spark, f"{work_dir}/sf10")))
+        out[name] = {
+            "sec_sf0.1": t_01,
+            "sec_sf1": t_1,
+            "sec_sf10": t_10,
+            "exponent_sf0.1_to_sf1": expo(t_1, t_01),
+            "exponent_sf1_to_sf10": expo(t_10, t_1),
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=32)
@@ -100,6 +167,23 @@ def main() -> None:
         action="store_true",
         help="also probe the dedup/similarity family across sf0.01->sf0.1",
     )
+    ap.add_argument(
+        "--decade",
+        action="store_true",
+        help="generate an sf1-scale documents table and probe the two"
+        " highest-exponent queries across sf0.1->sf1",
+    )
+    ap.add_argument(
+        "--decade-dir",
+        default="/tmp/spark_graft_sf1",
+        help="scratch dir for the generated sf1 documents parquet",
+    )
+    ap.add_argument(
+        "--skip-base",
+        action="store_true",
+        help="skip the events-replication base ops (for a fast"
+        " --families/--decade-only run)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -107,6 +191,18 @@ def main() -> None:
     from ema_bigdata_spark.session import get_spark
 
     spark = get_spark(app_name="ema-bigdata-scaling")
+    out = {"factor": args.factor, "ops": {}}
+    if args.skip_base:
+        if args.families:
+            out["families_sf001_to_sf01"] = family_scaling(spark)
+        if args.decade:
+            out["decade_sf01_to_sf1"] = decade_scaling(
+                spark, args.decade_dir
+            )
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
     mx = ev1.agg(F.max("event_id")).collect()[0][0] + 1
     evn = reduce(
@@ -138,8 +234,8 @@ def main() -> None:
             a.join(b, cond).groupBy(F.col("a.user_id")).count()
         )
 
-    out = {"factor": args.factor, "rows_1x": n_rows // args.factor,
-           "rows_nx": n_rows, "ops": {}}
+    out["rows_1x"] = n_rows // args.factor
+    out["rows_nx"] = n_rows
     for name, mk in (("hist", hist), ("hourly", hourly),
                      ("range_join", rangejoin)):
         t1 = _timed(mk(ev1))
@@ -151,6 +247,8 @@ def main() -> None:
         }
     if args.families:
         out["families_sf001_to_sf01"] = family_scaling(spark)
+    if args.decade:
+        out["decade_sf01_to_sf1"] = decade_scaling(spark, args.decade_dir)
     print(json.dumps(out))
     spark.stop()
 
