@@ -194,6 +194,21 @@ def main() -> None:
     assert 510_000 > _CC_DRIVER_MAX
     timings["dedup_cluster_distributed_510k_edges"] = timed(cc_distributed)
 
+    # hot-shingle skew fixture (VERDICT r4 §Next-8): 2 000 docs all
+    # sharing one boilerplate sentence.  Uncapped, the shingle
+    # self-join emits ~2 M always-over-threshold pairs; with the
+    # _BUCKET_CAP stop-shingle rule the sweep time stays at the
+    # unique-content level.  A regression that loses the cap makes
+    # this entry blow past its pin immediately.
+    from ema_bigdata_spark.operators.dedup import (
+        boilerplate_corpus,
+        ngram_jaccard_pairs,
+    )
+
+    timings["ngram_jaccard_skew_2k_boilerplate"] = timed(
+        lambda: _force(ngram_jaccard_pairs(boilerplate_corpus(spark, 2_000)))
+    )
+
     # self-defending record (VERDICT r3 §Next-4): any query whose
     # sweep min exceeds its standing baseline by >25% gets an isolated
     # post-sweep min-of-3 retime, recorded ALONGSIDE the sweep number.

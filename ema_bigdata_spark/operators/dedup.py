@@ -513,6 +513,26 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def boilerplate_corpus(spark, n_docs: int) -> DataFrame:
+    """Pathological-skew fixture (VERDICT r4 §Next-8): ``n_docs``
+    documents that each carry 4 unique filler tokens followed by the
+    SAME 10-token boilerplate sentence — so one set of hot shingles
+    appears in EVERY document.  Uncapped, the shingle self-join would
+    emit ~n²/2 candidate pairs all sharing jaccard ≈ 0.4 (over
+    ``_JACCARD_MIN``, so they'd survive to the OUTPUT too); the
+    ``_BUCKET_CAP`` stop-shingle rule must drop the hot buckets and
+    keep pair volume at the unique-content level (zero here).
+    Deterministic: content is a pure function of doc_id."""
+    boiler = "all rights reserved contact the site team for more info"
+    return spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.format_string("u%da u%db u%dc u%dd ", "id", "id", "id", "id"),
+            F.lit(boiler),
+        ).alias("text"),
+    )
+
+
 # -- q_dedup_fuzzy: edit-distance verification of candidate pairs ---------
 
 

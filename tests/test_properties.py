@@ -414,6 +414,28 @@ def test_connected_components_correct(spark, monkeypatch):
     assert got_dist == want
 
 
+def test_ngram_jaccard_hot_shingle_cap_engages(spark):
+    """VERDICT r4 §Next-8: the stop-shingle bucket cap under a
+    PATHOLOGICAL hot shingle, not uniform testdata.  2 000 documents
+    all sharing one boilerplate sentence: uncapped, every pair agrees
+    at jaccard ≈ 0.4 ≥ the 0.2 emit threshold, so ~2 M pairs would
+    reach the OUTPUT — the empty result is direct proof the cap
+    dropped the hot buckets before the self-join.  Control at 50 docs
+    (bucket ≤ cap): the same boilerplate now legitimately pairs all
+    C(50,2) documents, proving the cap is a frequency cutoff, not a
+    filter that silently loses shared content."""
+    from ema_bigdata_spark.operators import dedup as dd
+
+    hot = dd.boilerplate_corpus(spark, 2_000)
+    assert dd.ngram_jaccard_pairs(hot).count() == 0
+
+    small = dd.boilerplate_corpus(spark, 50)
+    pairs = dd.ngram_jaccard_pairs(small)
+    assert pairs.count() == 50 * 49 // 2
+    jac = [r.jaccard for r in pairs.collect()]
+    assert all(0.2 <= j < 1.0 for j in jac)
+
+
 def test_connected_components_distributed_past_real_gate(spark):
     """VERDICT r4 §Next-4: the distributed min-label-propagation path
     pinned at REALISTIC size — 510 000 edges, past the genuine
