@@ -682,3 +682,88 @@ def q_mm_frames(spark, sf_dir):
     return docs.mapInPandas(frames, schema=schema).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# -- q_mm_histogram: decoded-pixel intensity histogram (r5 addition) ------
+
+#: 4 equal intensity bins of width 64 (byte >> 6) — coarse on purpose:
+#: the oracle replays every bin from the hex dump, so more bins only
+#: grow the SQL, not the evidence.
+_HIST_BINS = 4
+
+
+def _mm_histogram_oracle() -> str:
+    bins = ",\n           ".join(
+        "CAST(coalesce(list_aggregate(list_transform("
+        "generate_series(1, bl),"
+        f" i -> CASE WHEN ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT"
+        f" // 64 = {k} THEN 1 ELSE 0 END), 'sum'), 0)"
+        + (" + (3 * w * h - bl)" if k == 0 else "")
+        + f" AS BIGINT) AS h{k}"
+        for k in range(_HIST_BINS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS bl,
+             {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, hx, bl, w,
+             greatest(1, (bl + 3 * w - 1) // (3 * w)) AS h
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(3 * w * h AS BIGINT) AS n_px,
+           {bins}
+    FROM g
+    """
+
+
+@query("q_mm_histogram", oracle=_mm_histogram_oracle())
+def q_mm_histogram(spark, sf_dir):
+    """Intensity histogram over DECODED image pixels — the standard
+    first feature of any vision-data audit (exposure/blank-frame
+    screening), computed off the real BMP decode path.
+
+    Each document's bytes round-trip through ``encode_bmp`` /
+    ``decode_bmp`` exactly as in q_mm_features, then the histogram
+    counts all H×W×3 decoded bytes into 4 intensity bins (>> 6).
+    The decoded pixel area includes the encoder's zero tail-padding
+    (bin 0) but NOT the row-stride padding the decoder must strip —
+    so the oracle's replay (data-byte bins + computed pad count)
+    only matches when stride handling is exactly right, which is the
+    point.  Same Arrow-batched ``mapInPandas`` plumbing: one stage,
+    numpy ``bincount`` per batch, decode parallelism =
+    ``repartition(n)`` at 100 TB.  Driver-mandated surface (SURVEY
+    §2.4); no Main.scala counterpart."""
+    enc, dec = encode_bmp, decode_media
+    base, span, nb = _BMP_WIDTH_BASE, _BMP_WIDTH_SPAN, _HIST_BINS
+
+    def hist(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_px": []}
+            for k in range(nb):
+                out[f"h{k}"] = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                img = dec(enc(bytes(data), base + int(doc_id) % span),
+                          "image/bmp")
+                flat = img.reshape(-1)
+                counts = np.bincount(flat >> 6, minlength=nb)
+                out["doc_id"].append(doc_id)
+                out["n_px"].append(int(flat.size))
+                for k in range(nb):
+                    out[f"h{k}"].append(int(counts[k]))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    schema = "doc_id BIGINT, n_px BIGINT, " + ", ".join(
+        f"h{k} BIGINT" for k in range(_HIST_BINS)
+    )
+    return docs.mapInPandas(hist, schema=schema).orderBy("doc_id")

@@ -1245,3 +1245,476 @@ def q_topk_ngrams(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(_TOPK_NGRAMS)
     )
+
+
+# -- q_rag_chunk: overlapping retrieval chunks (r5 addition) --------------
+
+#: chunk geometry: 120-char windows every 90 chars (25% overlap) — the
+#: RAG-indexing default shape; production swaps token offsets in for
+#: char offsets through the identical plan.
+_CHUNK_SIZE = 120
+_CHUNK_STRIDE = 90
+
+
+@query(
+    "q_rag_chunk",
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 1),
+                          {_CHUNK_STRIDE})) AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           substr(text, CAST(chunk_start + 1 AS INTEGER),
+                  {_CHUNK_SIZE}) AS chunk,
+           CAST(length(substr(text, CAST(chunk_start + 1 AS INTEGER),
+                              {_CHUNK_SIZE})) AS BIGINT) AS chunk_len
+    FROM starts
+    """,
+)
+def q_rag_chunk(spark, sf_dir):
+    """Document chunking for retrieval indexes: fixed-size overlapping
+    character windows (`_CHUNK_SIZE`/`_CHUNK_STRIDE`), emitted with
+    stable (doc_id, chunk_idx, chunk_start) addressing so downstream
+    embedding/indexing stages can cite spans back to sources.
+
+    Pure per-row ``sequence`` + ``posexplode`` + ``substring`` — zero
+    shuffles, whole-stage-codegen'd end to end, output size a fixed
+    ~1.33× the input text, so at 100 TB this composes onto the scan
+    at I/O bandwidth.  Every doc yields ≥1 chunk (empty docs yield one
+    empty chunk — losing documents at the chunker is the classic
+    silent-corpus-shrink bug).  Driver-mandated surface (SURVEY §2.4);
+    no Main.scala counterpart."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("text") - 1, F.lit(0)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("chunk_idx", "chunk_start"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.expr(f"substring(text, chunk_start + 1, {_CHUNK_SIZE})").alias(
+            "chunk"
+        ),
+        F.length(
+            F.expr(f"substring(text, chunk_start + 1, {_CHUNK_SIZE})")
+        ).cast("long").alias("chunk_len"),
+    )
+
+
+# -- q_bm25: ranked retrieval scoring (r5 addition) -----------------------
+
+#: fixed demo query; production parameterizes the term list through
+#: the same plan (tiny broadcast side).
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+#: per-(doc, term) BM25 contribution in integer micro-units.  All
+#: inputs (tf, df, dl, N, total) are exact integers on both engines,
+#: the arithmetic is the same expression text, and the 1e-6 snap
+#: BEFORE the per-doc sum makes the sum a BIGINT — partition-order
+#: independent and immune to last-ulp libm divergence (same trick as
+#: `_COST_U`).  {N}/{T} substitute as integer literals on the Spark
+#: side (corpus scalars folded driver-side, no 1-row cross join) and
+#: as 1-row-CTE columns in the oracle.
+_BM25_TERM_U = (
+    "CAST(round("
+    "ln((({N} - df + 0.5) / (df + 0.5)) + 1)"
+    f" * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1})"
+    f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * ({1 - _BM25_B}"
+    f" + {_BM25_B} * CAST(dl AS DOUBLE) * {{N}} / {{T}}))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    term_u = _BM25_TERM_U.format(N="n_docs", T="total")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM toks2 GROUP BY doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total FROM dl),
+    terms(term) AS (VALUES {terms}),
+    tf AS (
+      SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks2 JOIN terms ON token = term
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, {term_u} AS term_u
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit_terms,
+           round(CAST(sum(term_u) AS DOUBLE) / 1000000, 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("q_bm25", oracle=_bm25_oracle())
+def q_bm25(spark, sf_dir):
+    """BM25 ranked-retrieval scoring (k1=1.2, b=0.75) of every
+    document against a fixed term set — the retrieval half of a RAG
+    pipeline, and the classic "sparse" complement to the embedding
+    similarity family.
+
+    Plan: one tokenize pass feeds BOTH the per-doc length aggregate
+    and the term-filtered tf aggregate; the df table (≤|terms| rows)
+    broadcasts; corpus scalars (N, total tokens) fold into the scoring
+    expression as literals driver-side, so the executed plan has no
+    1-row cross join.  At 100 TB the shuffles carry (doc_id, counts)
+    pairs — never text — and the term filter prunes the tf shuffle to
+    matching tokens only.  Scoring is exact-integer inputs → shared
+    expression text → 1e-6 grid snap (`_BM25_TERM_U`), so the per-doc
+    sum is a BIGINT and bit-stable under any partitioning.
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    ).where(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    n_docs, total = dl.agg(
+        F.count(F.lit(1)).cast("long"), F.sum("dl").cast("long")
+    ).first()
+    tf = (
+        toks.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_u",
+            F.expr(_BM25_TERM_U.format(N=str(n_docs), T=str(total))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.round(F.sum("term_u").cast("double") / F.lit(1000000), 6).alias(
+            "bm25"
+        ),
+    )
+
+
+# -- q_char_entropy: character-entropy quality signal (r5 addition) -------
+
+#: per-(doc, char) self-information term in integer micro-nats,
+#: snapped to the 1e-6 grid BEFORE the per-doc sum (BIGINT sum →
+#: partition-order independent; same trick as `_COST_U`).
+_ENT_TERM_U = (
+    "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) * cnt"
+)
+
+#: H = ln L − (Σ n_c·ln n_c)/L — the identical final expression text
+#: on both engines over identical integers.
+_ENT_FINAL = (
+    "round(ln(CAST(n_chars AS DOUBLE))"
+    " - CAST(sum_u AS DOUBLE) / 1000000 / CAST(n_chars AS DOUBLE), 6)"
+)
+
+
+@query(
+    "q_char_entropy",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id, length(text) AS n_chars,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, n_chars, substr(text, CAST(i AS INTEGER), 1) AS ch
+      FROM idx
+    ),
+    cnts AS (
+      SELECT doc_id, n_chars, ch, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch GROUP BY doc_id, n_chars, ch
+    ),
+    sums AS (
+      SELECT doc_id, n_chars,
+             CAST(sum({_ENT_TERM_U}) AS BIGINT) AS sum_u
+      FROM cnts GROUP BY doc_id, n_chars
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           {_ENT_FINAL} AS entropy
+    FROM sums
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/boilerplate detector (natural text sits ~2.9-4.2 nats;
+    base64 blobs and repeated-char spam land far outside the band).
+
+    Shape: per-char explode → two aggregations, both keyed by doc_id,
+    so AQE coalesces them into one shuffle lineage; the exploded rows
+    carry (doc_id, 1-char string) only — at 100 TB the shuffle volume
+    is bounded by |doc| × ~alphabet compression after the map-side
+    combine on (doc_id, ch).  The math is exact-integer counts →
+    shared expression text → 1e-6 grid snap (`_ENT_TERM_U`), so per-
+    doc sums are BIGINT and bit-stable.  Zero-length docs drop (an
+    empty sequence explodes to nothing), matching the oracle's empty
+    generate_series.  Driver-mandated surface (SURVEY §2.4); no
+    Main.scala counterpart."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr("substring(text, i, 1)").alias("ch"),
+    )
+    cnts = ch.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sums = cnts.groupBy("doc_id", "n_chars").agg(
+        F.sum(F.expr(_ENT_TERM_U)).cast("long").alias("sum_u")
+    )
+    return sums.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(_ENT_FINAL).alias("entropy"),
+    )
+
+
+# -- q_filter_report: rule-based quality gate audit (r5 addition) ---------
+
+#: Gopher-style repetition/quality rules, ALL expressed as integer
+#: comparisons (ratios cross-multiplied) so the pass/fail bits are
+#: exact on both engines — no float thresholds anywhere.
+#:   short_doc      length(text) < 150
+#:   few_tokens     n_tok < 40
+#:   word_len_out   mean token length outside [3, 8]
+#:   repetitive     max single-token share > 20%
+#:   low_stopword   stopword share < 2%
+_FILTER_RULES = (
+    ("short_doc", "n_chars < 150"),
+    ("few_tokens", "n_tok < 40"),
+    ("word_len_out", "sum_len < 3 * n_tok OR sum_len > 8 * n_tok"),
+    ("repetitive", "max_tf * 5 > n_tok"),
+    ("low_stopword", "n_stop * 50 < n_tok"),
+)
+
+
+def _filter_report_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    flags = ",\n             ".join(
+        f"({cond}) AS f_{name}" for name, cond in _FILTER_RULES
+    )
+    none = " OR ".join(f"f_{name}" for name, _ in _FILTER_RULES)
+    counts = ",\n             ".join(
+        f"CAST(count(*) FILTER (f_{name}) AS BIGINT) AS c_{name}"
+        for name, _ in _FILTER_RULES
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS rule, c_{name} AS n_docs FROM a"
+        for name, _ in _FILTER_RULES
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+    ptf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks2 GROUP BY doc_id, token
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(sum(length(token) * c) AS BIGINT) AS sum_len,
+             CAST(max(c) AS BIGINT) AS max_tf,
+             CAST(coalesce(sum(CASE WHEN token IN ({stop})
+                                    THEN c END), 0) AS BIGINT) AS n_stop
+      FROM ptf GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.doc_id, length(d.text) AS n_chars,
+             coalesce(s.n_tok, 0) AS n_tok,
+             coalesce(s.sum_len, 0) AS sum_len,
+             coalesce(s.max_tf, 0) AS max_tf,
+             coalesce(s.n_stop, 0) AS n_stop
+      FROM documents d LEFT JOIN stats s USING (doc_id)
+    ),
+    f AS (
+      SELECT {flags}
+      FROM j
+    ),
+    a AS (
+      SELECT {counts},
+             CAST(count(*) FILTER (NOT ({none})) AS BIGINT) AS c_pass
+      FROM f
+    )
+    {rows}
+    UNION ALL SELECT 'pass_all' AS rule, c_pass AS n_docs FROM a
+    """
+
+
+@query("q_filter_report", oracle=_filter_report_oracle())
+def q_filter_report(spark, sf_dir):
+    """Quality-gate audit: apply the Gopher-style rule battery
+    (`_FILTER_RULES`) to every document and report HOW MANY documents
+    each rule rejects, plus the pass-all count — the per-rule
+    accounting every corpus-cleaning run publishes before anyone
+    trusts the filtered output (a rule that suddenly rejects 40% of a
+    crawl is a pipeline bug, not a data property).
+
+    Shape: one tokenize pass → per-(doc, token) counts → per-doc
+    stats (all map-side-combined aggregations keyed by doc_id), LEFT
+    join back to documents so token-free docs still get audited, one
+    conditional-aggregate row, then a 6-row ``stack`` unpivot.  At
+    100 TB the only shuffles carry (doc_id, small ints) and the
+    result is 6 rows.  Every rule is an integer comparison
+    (cross-multiplied ratios — `_FILTER_RULES`), so pass/fail bits
+    are exact cross-engine.  Driver-mandated surface (SURVEY §2.4);
+    no Main.scala counterpart."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    ).where(F.col("token") != "")
+    ptf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = ptf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.sum(F.length("token") * F.col("c")).cast("long").alias("sum_len"),
+        F.max("c").cast("long").alias("max_tf"),
+        F.coalesce(
+            F.sum(F.when(F.col("token").isin(*STOPWORDS), F.col("c"))),
+            F.lit(0),
+        ).cast("long").alias("n_stop"),
+    )
+    j = (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "n_chars",
+            *(
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("n_tok", "sum_len", "max_tf", "n_stop")
+            ),
+        )
+    )
+    flag_cols = [
+        F.expr(cond).alias(f"f_{name}") for name, cond in _FILTER_RULES
+    ]
+    none = " OR ".join(f"f_{name}" for name, _ in _FILTER_RULES)
+    a = j.select(*flag_cols).agg(
+        *(
+            F.sum(F.when(F.col(f"f_{name}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{name}")
+            for name, _ in _FILTER_RULES
+        ),
+        F.sum(F.when(F.expr(f"NOT ({none})"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_pass"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', c_{name}" for name, _ in _FILTER_RULES
+    )
+    return a.selectExpr(
+        f"stack({len(_FILTER_RULES) + 1}, {stack_args},"
+        " 'pass_all', c_pass) AS (rule, n_docs)"
+    )
+
+
+# -- q_source_interleave: deterministic training order (r5 addition) ------
+
+
+def _source_interleave_oracle() -> str:
+    from ema_bigdata_spark.operators.dedup import _DUCK_H60
+
+    h = _DUCK_H60.format(x="text")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, {h} AS h FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY h, doc_id) - 1 AS BIGINT)
+                 AS round
+      FROM h
+    ),
+    s AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+                 AS slot
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT doc_id, source, round, slot FROM r JOIN s USING (source)
+    """
+
+
+@query("q_source_interleave", oracle=_source_interleave_oracle())
+def q_source_interleave(spark, sf_dir):
+    """Deterministic interleaved training order: shuffle each source
+    by content hash (reproducible "random" order — md5, not a seeded
+    RNG, so any engine derives the identical permutation), then deal
+    sources round-robin.  Consumers stream rows ordered by
+    ``(round, slot)`` and get an even source mix at every prefix of
+    training — the property curriculum-sensitive runs need — without
+    any global shuffle of the corpus.
+
+    Scale note: the per-source ``row_number`` windows partition by
+    source (parallel across sources; within a hot source Spark sorts
+    that partition's rows only), and ``slot`` comes from a ~|sources|-
+    row dimension joined back by broadcast.  Deliberately NOT a
+    global ``row_number() OVER (ORDER BY …)`` — a single-partition
+    window over the whole corpus is the classic driver-shaped
+    bottleneck; (round, slot) carries the same total order as
+    composite key.  Driver-mandated surface (SURVEY §2.4); no
+    Main.scala counterpart."""
+    from ema_bigdata_spark.operators.dedup import _SPARK_H60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", F.expr(_SPARK_H60.format(x="text")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    r = h.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) - 1).cast("long").alias("round"),
+    )
+    ws = Window.orderBy("source")  # ~|sources| rows: tiny window
+    slots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(ws) - 1).cast("long").alias("slot"),
+        )
+    )
+    return r.join(F.broadcast(slots), "source").select(
+        "doc_id", "source", "round", "slot"
+    )

@@ -43,19 +43,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: stalest-official-row, then changed-this-round (an old green row
 #: doesn't certify refactored code).  After r4, official newest-green
 #: rounds split 21×r2 / 44×r3 / 50×r4 (gmm_fit & q_gmm_bic rows-only).
-#: This window takes ALL 21 remaining r2 rows (VERDICT r4 §Next-1:
-#: "pure harvest"), the two queries whose code changed in r5
-#: (q_unigram_lm: literal-folded grand total; q_mm_features: BMP
-#: offset lower-bound), and 27 of the 43 untouched r3 rows — the
-#: streaming seven, the r3 join/TPCH family, approx/collect aggs,
-#: window frames, event analytics, and the minhash/simhash pair.
-#: Head slot = q_mm_png, NEW in r5 (never-green first, the standing
-#: rule).  The 16 r3 rows left (dedup cluster family, embeddings/ANN
-#: family, multimodal_join, mix_weights, train_val_split,
-#: skew_metrics) rotate in r6, completing the ≤2-round-old invariant.
+#: This window leads with ALL 12 never-checked r5 additions (q_mm_png
+#: + TPC-H Q7/Q8/Q13/Q15/Q19 + the retrieval/quality/order sextet),
+#: then ALL 21 remaining r2 rows (VERDICT r4 §Next-1: "pure harvest"),
+#: the two queries whose code changed in r5 (q_unigram_lm:
+#: literal-folded grand total; q_mm_features: BMP offset lower-bound),
+#: and the 15 oldest untouched r3 rows — the streaming seven and the
+#: r3 join/TPCH family.  The r3 rows squeezed out by the additions
+#: (approx/collect aggs, window frames, event analytics, the
+#: minhash/simhash pair, dedup cluster family, embeddings/ANN family,
+#: multimodal_join, mix_weights, train_val_split, skew_metrics) rotate
+#: in r6, completing the ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r5, never checked (1) —
+    # — new in r5, never checked (12) —
     "q_mm_png",
+    "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13",
+    "q_sql_tpch_q15", "q_sql_tpch_q19",
+    "q_rag_chunk", "q_bm25", "q_char_entropy", "q_filter_report",
+    "q_source_interleave", "q_mm_histogram",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -76,12 +81,6 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_join_range", "q_join_asof", "q_join_salted",
     "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q14",
     "q_sql_tpch_q17", "q_sql_tpch_q18",
-    # — r3: approx/collect aggs + windows + event analytics (9) —
-    "q_approx_distinct", "q_approx_quantiles", "q_collect_agg",
-    "q_compact_latest", "q_sessionize", "q_window_frames",
-    "q_window_range_frame", "q_retention", "q_funnel",
-    # — r3: near-dup pair (2) —
-    "q_dedup_minhash", "q_dedup_simhash",
 )
 
 

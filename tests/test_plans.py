@@ -468,6 +468,7 @@ def test_global_plan_invariants_every_batch_query(spark, sf_dir):
     cartesian_ok = {"q_join_cross"}
     arrow_ok = {
         "q_embed_quantize", "q_mm_features", "q_mm_frames", "q_mm_png",
+        "q_mm_histogram",
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -606,3 +607,66 @@ def test_winsorize_broadcast_bounds_no_smj(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- r5 additions: retrieval / quality / ordering / TPC-H ------------------
+
+
+def test_rag_chunk_zero_shuffle_projection(spark, sf_dir):
+    """Chunking must compose onto the scan: explode + substring only,
+    no Exchange anywhere — at 100 TB this is the difference between
+    I/O-bandwidth chunking and accidentally re-shuffling the corpus."""
+    plan = _plan(spark, sf_dir, "q_rag_chunk")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_bm25_broadcasts_df_and_folds_scalars(spark, sf_dir):
+    """The document-frequency table (≤|terms| rows) must broadcast,
+    and the corpus scalars (N, total tokens) must appear as folded
+    literals — no 1-row cross join subtree in the executed plan."""
+    plan = _plan(spark, sf_dir, "q_bm25")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_interleave_no_global_window(spark, sf_dir):
+    """The corpus-wide row_number must partition by source — a
+    SinglePartition exchange feeding a Window over the full corpus is
+    the driver-shaped bottleneck this operator exists to avoid.  The
+    only SinglePartition window allowed is the ~|sources|-row slot
+    dimension (its input is an aggregated distinct, not the corpus)."""
+    from ema_bigdata_spark.plans import executed_plan
+
+    df = registry.QUERIES["q_source_interleave"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "hashpartitioning(source" in plan
+    # the slots dim must reach the join as a broadcast, so the big
+    # side never shuffles for it
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q19_pushes_per_side_disjunctions(spark, sf_dir):
+    """Q19's OR-of-conjunctions must be split: a part-only disjunction
+    (brand/size) and a lineitem-only disjunction (quantity bands) both
+    push below the join, leaving the cross-side OR as the residual."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q19")
+    # part side broadcast + pushed brand filter visible in the scan
+    assert "BroadcastHashJoin" in plan
+    assert "Or(And(EqualTo(p_brand," in plan or "p_brand" in plan
+    # lineitem scan must carry the quantity-band disjunction, not a
+    # bare full scan
+    assert "l_quantity" in plan.split("Scan parquet")[1]
+
+
+def test_tpch_q13_filter_rides_outer_join(spark, sf_dir):
+    """Q13's priority exclusion must appear as a join condition (or a
+    pushed filter on the orders side), never as a post-join filter
+    that would drop zero-order customers from the histogram."""
+    from ema_bigdata_spark.sources.tables import load_table  # noqa: F401
+
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q13")
+    assert "LeftOuter" in plan
+    # orders-side scan carries the pushed non-equi conjunct
+    assert "o_orderpriority" in plan

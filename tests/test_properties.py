@@ -2235,3 +2235,232 @@ def test_winsorize_numpy_reference(spark):
             assert abs(r.value_w - round(want, 6)) < 1e-9, (i, v)
     # the planted extremes actually clipped (fixture sanity)
     assert got[len(rows) - 2].clipped_low or got[len(rows) - 1].clipped_high
+
+
+# -- r5 additions: retrieval / quality / ordering / multimodal -------------
+
+
+class TestRagChunk:
+    def test_chunks_reconstruct_documents(self, spark, sf_dir):
+        """Concatenating each doc's chunks by their non-overlapping
+        prefixes must reproduce the document exactly — chunking may
+        never lose or duplicate text — and the chunk count must match
+        the stride arithmetic."""
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.operators.text import (
+            _CHUNK_SIZE,
+            _CHUNK_STRIDE,
+        )
+        from ema_bigdata_spark.sources.tables import load_table
+
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        rows = registry.QUERIES["q_rag_chunk"](spark, sf_dir).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(docs)
+        for doc_id, text in docs.items():
+            chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+            expect_n = max(0, len(text) - 1) // _CHUNK_STRIDE + 1
+            assert len(chunks) == expect_n
+            rebuilt = ""
+            for i, r in enumerate(chunks):
+                assert r["chunk_start"] == i * _CHUNK_STRIDE
+                assert r["chunk_len"] == len(r["chunk"]) <= _CHUNK_SIZE
+                assert text[r["chunk_start"]:
+                            r["chunk_start"] + len(r["chunk"])] == r["chunk"]
+                rebuilt += (
+                    r["chunk"][:_CHUNK_STRIDE]
+                    if i < len(chunks) - 1 else r["chunk"]
+                )
+            assert rebuilt == text
+
+
+class TestBM25:
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        """Full-value check against an independent from-scratch BM25
+        (Robertson/Sparck-Jones idf variant with +1, k1=1.2, b=0.75)
+        computed over collected documents."""
+        import math
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.operators.text import (
+            _BM25_B,
+            _BM25_K1,
+            _BM25_TERMS,
+        )
+        from ema_bigdata_spark.sources.tables import load_table
+
+        toks = {
+            r["doc_id"]: [t for t in r["text"].split(" ") if t]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        n_docs = len(toks)
+        total = sum(len(v) for v in toks.values())
+        df = {
+            t: sum(1 for v in toks.values() if t in v) for t in _BM25_TERMS
+        }
+        expected = {}
+        for doc_id, words in toks.items():
+            dl = len(words)
+            score_u = 0
+            hits = 0
+            for t in _BM25_TERMS:
+                tf = words.count(t)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                term = (
+                    idf * (tf * (_BM25_K1 + 1))
+                    / (tf + _BM25_K1 * (1 - _BM25_B
+                                        + _BM25_B * dl * n_docs / total))
+                )
+                score_u += round(term * 1_000_000)
+            if hits:
+                expected[doc_id] = (hits, round(score_u / 1_000_000, 6))
+        got = {
+            r["doc_id"]: (r["n_hit_terms"], r["bm25"])
+            for r in registry.QUERIES["q_bm25"](spark, sf_dir).collect()
+        }
+        assert got == expected
+
+
+class TestCharEntropy:
+    def test_matches_counter_entropy(self, spark, sf_dir):
+        """Full-value check against collections.Counter + math.log."""
+        import math
+        from collections import Counter
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.sources.tables import load_table
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        expected = {}
+        for doc_id, text in texts.items():
+            if not text:
+                continue
+            L = len(text)
+            sum_u = sum(
+                round(math.log(c) * 1_000_000) * c
+                for c in Counter(text).values()
+            )
+            expected[doc_id] = (
+                L, round(math.log(L) - sum_u / 1_000_000 / L, 6)
+            )
+        got = {
+            r["doc_id"]: (r["n_chars"], r["entropy"])
+            for r in registry.QUERIES["q_char_entropy"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        # sanity: word-salad corpus sits in the natural-text band
+        assert all(1.5 < e < 4.5 for _, e in got.values())
+
+
+class TestFilterReport:
+    def test_counts_match_pandas_recompute(self, spark, sf_dir):
+        from collections import Counter
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.operators.text import (
+            _FILTER_RULES,
+            STOPWORDS,
+        )
+        from ema_bigdata_spark.sources.tables import load_table
+
+        rows = load_table(spark, sf_dir, "documents").collect()
+        counts = {name: 0 for name, _ in _FILTER_RULES}
+        counts["pass_all"] = 0
+        for r in rows:
+            words = [t for t in r["text"].split(" ") if t]
+            tf = Counter(words)
+            n_chars, n_tok = len(r["text"]), len(words)
+            sum_len = sum(len(w) for w in words)
+            max_tf = max(tf.values()) if tf else 0
+            n_stop = sum(tf[w] for w in STOPWORDS if w in tf)
+            flags = {
+                "short_doc": n_chars < 150,
+                "few_tokens": n_tok < 40,
+                "word_len_out": sum_len < 3 * n_tok
+                or sum_len > 8 * n_tok,
+                "repetitive": max_tf * 5 > n_tok,
+                "low_stopword": n_stop * 50 < n_tok,
+            }
+            for k, v in flags.items():
+                counts[k] += v
+            counts["pass_all"] += not any(flags.values())
+        got = {
+            r["rule"]: r["n_docs"]
+            for r in registry.QUERIES["q_filter_report"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == counts
+
+
+class TestSourceInterleave:
+    def test_round_robin_structure(self, spark, sf_dir):
+        """(round, slot) must be a collision-free order key, rounds
+        dense per source, slots the sorted-source index, and the whole
+        assignment deterministic across runs."""
+        from ema_bigdata_spark import registry
+
+        fn = registry.QUERIES["q_source_interleave"]
+        rows = fn(spark, sf_dir).collect()
+        keys = {(r["round"], r["slot"]) for r in rows}
+        assert len(keys) == len(rows)
+        per_source: dict = {}
+        for r in rows:
+            per_source.setdefault(r["source"], []).append(r["round"])
+        sources = sorted(per_source)
+        slot_of = {r["source"]: r["slot"] for r in rows}
+        for i, s in enumerate(sources):
+            assert slot_of[s] == i
+            assert sorted(per_source[s]) == list(range(len(per_source[s])))
+        again = {
+            (r["doc_id"], r["round"], r["slot"])
+            for r in fn(spark, sf_dir).collect()
+        }
+        assert again == {(r["doc_id"], r["round"], r["slot"]) for r in rows}
+
+
+class TestMMHistogram:
+    def test_bins_partition_decoded_pixels(self, spark, sf_dir):
+        """Bins must partition the decoded pixel bytes exactly, and
+        match a direct encode→decode→bincount recompute per doc."""
+        import numpy as np
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.operators.multimodal import (
+            _BMP_WIDTH_BASE,
+            _BMP_WIDTH_SPAN,
+            decode_media,
+            encode_bmp,
+        )
+        from ema_bigdata_spark.sources.tables import load_table
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        rows = registry.QUERIES["q_mm_histogram"](spark, sf_dir).collect()
+        assert {r["doc_id"] for r in rows} == set(texts)
+        for r in rows:
+            assert r["h0"] + r["h1"] + r["h2"] + r["h3"] == r["n_px"]
+            img = decode_media(
+                encode_bmp(
+                    texts[r["doc_id"]].encode(),
+                    _BMP_WIDTH_BASE + r["doc_id"] % _BMP_WIDTH_SPAN,
+                ),
+                "image/bmp",
+            )
+            counts = np.bincount(img.reshape(-1) >> 6, minlength=4)
+            assert [r["h0"], r["h1"], r["h2"], r["h3"]] == counts.tolist()
