@@ -69,6 +69,16 @@ _FAMILY_QUERIES = (
     "q_semdedup",
     "q_topk_ngrams",
     "q_pii_scrub",
+    # r5 additions over documents: bm25's tokenize-twice structure and
+    # char_entropy's per-char explode must track rows; rag_chunk and
+    # source_interleave pin the projection/window paths; mm_histogram
+    # prices the real decode per row (linear by construction, but a
+    # per-batch pathology would show here)
+    "q_bm25",
+    "q_char_entropy",
+    "q_rag_chunk",
+    "q_source_interleave",
+    "q_mm_histogram",
 )
 
 

@@ -142,3 +142,155 @@ def q_funnel(spark, sf_dir):
         F.count("t_click").cast("long").alias("n_click"),
         F.count("t_purchase").cast("long").alias("n_purchase"),
     )
+
+
+# -- q_pagerank: fixed-iteration PageRank on the purchase graph -----------
+
+#: damping 0.85, 3 fixed iterations (fixed so the oracle can unroll —
+#: convergence-driven stopping is the gmm_fit-style rows-only variant)
+_PR_ITERS = 3
+
+#: per-edge rank transfer in integer µ-units: inputs (r_u, deg) are
+#: exact integers, the expression text is shared verbatim, and the
+#: snap-to-BIGINT before the per-node sum makes every iteration's
+#: ranks exact integers — bit-stable across engines and partitionings
+#: (the `_COST_U` trick, applied once per iteration).
+_PR_CONTRIB = (
+    "CAST(round(0.85 * CAST(r_u AS DOUBLE) / CAST(deg AS DOUBLE))"
+    " AS BIGINT)"
+)
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT e.dst AS node,
+             (SELECT t_u FROM t)
+             + sum({_PR_CONTRIB.replace("r_u", "r.r_u")
+                               .replace("deg", "e.deg")}) AS r_u
+      FROM e JOIN {prev} r ON e.src = r.node
+      GROUP BY e.dst
+    )""")
+        prev = f"it{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    t AS (SELECT CAST(round(150000.0 / n) AS BIGINT) AS t_u FROM n),
+    r0 AS (
+      SELECT src AS node,
+             (SELECT CAST(round(1000000.0 / n) AS BIGINT) FROM n) AS r_u
+      FROM deg
+    ),
+    e AS (
+      SELECT edges.src, edges.dst, deg.deg
+      FROM edges JOIN deg USING (src)
+    ),{",".join(its)}
+    SELECT node,
+           node % 2 = 1 AS is_supplier,
+           round(CAST(r_u AS DOUBLE) / 1000000, 6) AS rank
+    FROM {prev}
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, {it} fixed iterations) on the
+    undirected customer↔supplier purchase graph (an edge per distinct
+    trading pair from orders⋈lineitem; nodes integer-encoded as
+    custkey·2 / suppkey·2+1) — the canonical ITERATIVE-graph operator
+    expressed as pure DataFrame joins + aggregations, and the batch
+    sibling of the dedup family's label-propagation
+    connected-components.
+
+    Scale design: the (src, dst, deg) edge table is built ONCE and
+    ``localCheckpoint``-ed — without the cut each iteration would
+    re-derive the orders⋈lineitem join, turning 3 iterations into 3
+    corpus scans (same materialize-the-invariant rationale as
+    unigram_lm's vocab).  Each iteration is then one
+    edges⋈ranks hash join (shuffle ∝ |E|, ranks side ∝ |V|) + one
+    map-side-combined groupBy(dst) — the textbook distributed-PR
+    shape; at 100 TB pre-partitioning both sides by the node key
+    makes the per-iteration join co-located.  Rank math is exact
+    integer µ-units end to end (`_PR_CONTRIB`): every iteration's
+    ranks are BIGINTs, so 3 iterations stay bit-identical across
+    engines, partitionings, and reruns.  Teleport/init scalars
+    derive from |V| via the SAME SQL round() on both engines
+    (snapped driver-side here, CTE-side in the oracle).
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e = edges.join(deg, "src").localCheckpoint()
+    n = e.select("src").distinct().count()
+    r0_u, t_u = (
+        spark.range(1)
+        .select(
+            F.expr(f"CAST(round(1000000.0 / {n}) AS BIGINT)"),
+            F.expr(f"CAST(round(150000.0 / {n}) AS BIGINT)"),
+        )
+        .first()
+    )
+    # seed ranks off the CHECKPOINTED edge table (not deg, whose
+    # lineage still reaches the parquet scans): the whole iteration
+    # loop then reads only materialized blocks — plan-tested
+    ranks = (
+        e.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.lit(r0_u).cast("long").alias("r_u"),
+        )
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr(_PR_CONTRIB).alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (F.sum("contrib") + F.lit(t_u)).cast("long").alias("r_u")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    return ranks.select(
+        "node",
+        (F.col("node") % 2 == 1).alias("is_supplier"),
+        F.round(F.col("r_u").cast("double") / F.lit(1000000), 6).alias(
+            "rank"
+        ),
+    )
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(it=_PR_ITERS)

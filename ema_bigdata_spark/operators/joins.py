@@ -998,3 +998,96 @@ def q_sql_tpch_q19(spark, sf_dir):
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(_Q19_BODY.format(c="v_"))
+
+
+# -- q_zorder_layout: Z-order clustering audit (r5 addition) --------------
+
+#: bits per dimension for the interleave (16-bit Z-value total).
+_Z_BITS = 8
+#: Z-value bucket width: 16 buckets of 4096 Z-codes.
+_Z_BUCKET = 4096
+
+
+def _z_expr(a: str, b: str, dialect: str) -> str:
+    """Bit-interleave expression for two ``_Z_BITS``-bit ints.
+
+    ``dialect`` abstracts the one syntax difference between the
+    engines (``shiftleft``/``shiftright`` functions in Spark SQL,
+    ``<<``/``>>`` operators in DuckDB); the arithmetic is identical
+    unrolled integer ops, so the Z-codes agree bit for bit."""
+    def shl(x: str, n: int) -> str:
+        if n == 0:
+            return x
+        return (f"shiftleft({x}, {n})" if dialect == "spark"
+                else f"(({x}) << {n})")
+
+    def shr(x: str, n: int) -> str:
+        if n == 0:
+            return x
+        return (f"shiftright({x}, {n})" if dialect == "spark"
+                else f"(({x}) >> {n})")
+
+    terms = []
+    for i in range(_Z_BITS):
+        bit_a = f"({shr(a, i)} & 1)"
+        bit_b = f"({shr(b, i)} & 1)"
+        terms.append(shl(bit_a, 2 * i))
+        terms.append(shl(bit_b, 2 * i + 1))
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_body(dialect: str) -> str:
+    a = "CAST(user_id % 256 AS BIGINT)"
+    # minute-of-day bucket from NTZ calendar fields — deliberately NOT
+    # unix_timestamp/epoch(), which would re-interpret the naive
+    # timestamp in the session timezone and break tz-independence
+    b = "CAST((hour(ts) * 60 + minute(ts)) % 256 AS BIGINT)"
+    z = _z_expr("a", "b", dialect)
+    # integer division, NOT CAST(x / k): casting the double quotient
+    # rounds-to-nearest in DuckDB but truncates in Spark, shifting
+    # every bucket boundary by half a bucket between engines
+    zdiv = (f"(zval DIV {_Z_BUCKET})" if dialect == "spark"
+            else f"(zval // {_Z_BUCKET})")
+    return f"""
+    WITH dims AS (
+      SELECT {a} AS a, {b} AS b FROM events
+    ),
+    z AS (
+      SELECT a, b, {z} AS zval FROM dims
+    )
+    SELECT CAST({zdiv} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(a) AS BIGINT) AS min_a,
+           CAST(max(a) AS BIGINT) AS max_a,
+           CAST(min(b) AS BIGINT) AS min_b,
+           CAST(max(b) AS BIGINT) AS max_b,
+           CAST(max(a) - min(a) + max(b) - min(b) AS BIGINT) AS spread
+    FROM z
+    GROUP BY CAST({zdiv} AS BIGINT)
+    """
+
+
+@query("q_zorder_layout", oracle=_zorder_body("duck"))
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit: interleave the low 8 bits of
+    two scan-predicate dimensions (user bucket, minute-of-epoch
+    bucket) into a 16-bit Z-code and report, per Z-bucket, how narrow
+    BOTH dimensions' min/max ranges stay.
+
+    Why it's here: at 100 TB the write path sorts by this Z-code so
+    parquet row-group min/max statistics stay tight on BOTH columns
+    simultaneously — point/range predicates on EITHER dimension then
+    prune most row groups at scan time (the multi-dimensional
+    counterpart of a single-column sort, which keeps only one
+    predicate prunable).  This query is the audit half: ``spread``
+    per bucket is exactly the statistic a layout job publishes to
+    prove the clustering worked.  The Z-code is unrolled integer
+    bit-ops (whole-stage codegen'd; `_z_expr` renders the same
+    arithmetic in each engine's shift syntax), the aggregate is one
+    map-side-combined groupBy over 16 buckets.  Driver-mandated
+    surface (SURVEY §2.4); no Main.scala counterpart."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_zevents"
+    )
+    return spark.sql(_zorder_body("spark").replace("FROM events",
+                                                   "FROM v_zevents"))

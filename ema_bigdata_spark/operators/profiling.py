@@ -364,3 +364,93 @@ def q_winsorize(spark, sf_dir):
     """See :func:`winsorize`.  r4 addition to the data-quality surface
     (SURVEY §2.4); no Main.scala counterpart."""
     return winsorize(load_table(spark, sf_dir, "events"))
+
+
+# -- q_outlier_mad: median-absolute-deviation outliers (r5 addition) ------
+
+#: modified z-score gate |0.6745·(v−med)/MAD| > 3.5 (Iglewicz-Hoaglin),
+#: cross-multiplied to exact integers: 6745·|vu−med_u| > 35000·mad_u.
+_MAD_GATE = "mad_u > 0 AND 6745 * au > 35000 * mad_u"
+_MAD_Z = (
+    "round(0.6745 * CAST(au AS DOUBLE) / CAST(mad_u AS DOUBLE), 6)"
+)
+
+
+@query(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(vu, 0.5)) AS BIGINT) AS med_u
+      FROM ev GROUP BY event_type
+    ),
+    dev AS (
+      SELECT event_id, ev.event_type, value, med_u,
+             abs(vu - med_u) AS au
+      FROM ev JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(au, 0.5)) AS BIGINT) AS mad_u
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_id, dev.event_type, value,
+           {_MAD_Z} AS mad_z
+    FROM dev JOIN mad USING (event_type)
+    WHERE {_MAD_GATE}
+    """,
+)
+def q_outlier_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    estimator that, unlike :func:`value_outliers`' mean/σ z-score,
+    doesn't let the outliers inflate their own yardstick (50%
+    breakdown point vs 0%).  Flags events whose modified z-score
+    |0.6745·(v−med)/MAD| exceeds 3.5 (Iglewicz-Hoaglin).
+
+    Cross-engine exactness, the q_winsorize recipe twice over: both
+    medians run on ×10⁶ fixed-point BIGINTs (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` interpolate identically on identical
+    integers) and are rounded back to integer µ-units, so the outlier
+    GATE is pure integer arithmetic (`_MAD_GATE`) — only the reported
+    score divides, after the row is already selected.
+
+    Scale shape: two groupBy passes, each collapsing to a
+    ≤|event_types|-row table joined back by BROADCAST; per-row work is
+    a projection.  Exact percentile is sort-based per group — at
+    100 TB swap ``approx_percentile`` into the same plan (the
+    flag-quality loss is bounded by the sketch error, the shape is
+    unchanged).  Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vu"),
+        )
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("CAST(round(percentile(vu, 0.5)) AS BIGINT)").alias("med_u")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("vu") - F.col("med_u")).alias("au"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(round(percentile(au, 0.5)) AS BIGINT)").alias("mad_u")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.expr(_MAD_GATE))
+        .select("event_id", "event_type", "value",
+                F.expr(_MAD_Z).alias("mad_z"))
+    )

@@ -55,12 +55,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: multimodal_join, mix_weights, train_val_split, skew_metrics) rotate
 #: in r6, completing the ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r5, never checked (12) —
+    # — new in r5, never checked (15) —
     "q_mm_png",
     "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13",
     "q_sql_tpch_q15", "q_sql_tpch_q19",
     "q_rag_chunk", "q_bm25", "q_char_entropy", "q_filter_report",
     "q_source_interleave", "q_mm_histogram",
+    "q_outlier_mad", "q_zorder_layout", "q_pagerank",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -77,10 +78,9 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
     "s_stream_dedup", "s_stream_join", "s_stream_static_join",
     "s_stream_upsert",
-    # — r3: joins + TPC-H (8) —
+    # — r3: joins + TPC-H (5; q14/q17/q18 rotate in r6) —
     "q_join_range", "q_join_asof", "q_join_salted",
-    "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q14",
-    "q_sql_tpch_q17", "q_sql_tpch_q18",
+    "q_sql_tpch_q6", "q_sql_tpch_q10",
 )
 
 

@@ -670,3 +670,43 @@ def test_tpch_q13_filter_rides_outer_join(spark, sf_dir):
     assert "LeftOuter" in plan
     # orders-side scan carries the pushed non-equi conjunct
     assert "o_orderpriority" in plan
+
+
+def test_outlier_mad_broadcasts_both_stat_tables(spark, sf_dir):
+    """Every stat-table join (per-type median twice — once in the MAD
+    subtree's re-derivation — plus per-type MAD) must be broadcast;
+    at 100 TB only the ≤|event_types|-row stat tables may move, never
+    a shuffle of events for a join.  Exchanges are confined to the
+    map-side-combined percentile aggregates."""
+    plan = _plan(spark, sf_dir, "q_outlier_mad")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_type" in line
+
+
+def test_zorder_single_pass_16_buckets(spark, sf_dir):
+    """The Z-code must be computed inline (codegen'd integer bit ops,
+    no Python, no join) feeding ONE map-side-combined groupBy."""
+    from ema_bigdata_spark.plans import exchange_count, scan_count
+
+    plan = _plan(spark, sf_dir, "q_zorder_layout")
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) == 1  # the 16-bucket aggregate only
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_iterations_read_only_checkpoint(spark, sf_dir):
+    """The iteration loop must run off the materialized edge
+    checkpoint: the FINAL plan may contain zero parquet scans — a
+    parquet scan here means an iteration is re-deriving the
+    orders⋈lineitem join, i.e. 3 iterations = 3 corpus scans at
+    100 TB."""
+    from ema_bigdata_spark.plans import executed_plan
+
+    df = registry.QUERIES["q_pagerank"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.lower().count("filescan") == 0
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint source
+    assert "CartesianProduct" not in plan

@@ -2464,3 +2464,141 @@ class TestMMHistogram:
             )
             counts = np.bincount(img.reshape(-1) >> 6, minlength=4)
             assert [r["h0"], r["h1"], r["h2"], r["h3"]] == counts.tolist()
+
+
+class TestOutlierMAD:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        """Full-value check vs numpy: same fixed-point medians (linear
+        interpolation on integer µ-units), same integer gate."""
+        import numpy as np
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.sources.tables import load_table
+
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .where("value IS NOT NULL")
+            .select("event_id", "event_type", "value")
+            .collect()
+        )
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(
+                (r["event_id"], round(r["value"] * 1_000_000))
+            )
+        expected = {}
+        for et, pairs in by_type.items():
+            vus = np.array([v for _, v in pairs], dtype=np.int64)
+            med_u = round(float(np.percentile(vus, 50)))
+            au = np.abs(vus - med_u)
+            mad_u = round(float(np.percentile(au, 50)))
+            if mad_u <= 0:
+                continue
+            for (eid, vu), a in zip(pairs, au):
+                if 6745 * int(a) > 35000 * mad_u:
+                    expected[eid] = (et, round(0.6745 * int(a) / mad_u, 6))
+        got = {
+            r["event_id"]: (r["event_type"], r["mad_z"])
+            for r in registry.QUERIES["q_outlier_mad"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        assert expected  # the fixture must actually exercise the gate
+
+
+class TestZorderLayout:
+    def test_matches_python_bit_interleave(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.sources.tables import load_table
+
+        def z(a: int, b: int) -> int:
+            out = 0
+            for i in range(8):
+                out |= ((a >> i) & 1) << (2 * i)
+                out |= ((b >> i) & 1) << (2 * i + 1)
+            return out
+
+        agg: dict = defaultdict(list)
+        for r in load_table(spark, sf_dir, "events").select(
+            "user_id", "ts"
+        ).collect():
+            a = r["user_id"] % 256
+            b = (r["ts"].hour * 60 + r["ts"].minute) % 256
+            agg[z(a, b) // 4096].append((a, b))
+        expected = {
+            zb: (
+                len(v),
+                min(a for a, _ in v), max(a for a, _ in v),
+                min(b for _, b in v), max(b for _, b in v),
+            )
+            for zb, v in agg.items()
+        }
+        got = {
+            r["zbucket"]: (r["n_rows"], r["min_a"], r["max_a"],
+                           r["min_b"], r["max_b"])
+            for r in registry.QUERIES["q_zorder_layout"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        # the point of the layout: every bucket's per-dimension spread
+        # is a fraction of the unsorted 255+255
+        for r in registry.QUERIES["q_zorder_layout"](
+            spark, sf_dir
+        ).collect():
+            assert r["spread"] == (r["max_a"] - r["min_a"]
+                                   + r["max_b"] - r["min_b"]) <= 320
+
+
+class TestPageRank:
+    def test_matches_pure_python_pagerank(self, spark, sf_dir):
+        """Full-value check vs an independent dict-based PageRank with
+        the identical integer-µ update rule, and structural sanity:
+        conservation (ranks stay near 1) and determinism."""
+        from collections import defaultdict
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.sources.tables import load_table
+
+        orders = {
+            r["o_orderkey"]: r["o_custkey"]
+            for r in load_table(spark, sf_dir, "orders").collect()
+        }
+        pairs = set()
+        for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        ).collect():
+            cust = orders.get(r["l_orderkey"])
+            if cust is not None:
+                pairs.add((cust * 2, r["l_suppkey"] * 2 + 1))
+        out_edges = defaultdict(list)
+        for c, s in pairs:
+            out_edges[c].append(s)
+            out_edges[s].append(c)
+        n = len(out_edges)
+        r0_u = round(1_000_000 / n)
+        t_u = round(150_000 / n)
+        ranks = {v: r0_u for v in out_edges}
+        for _ in range(3):
+            nxt = defaultdict(int)
+            for src, dsts in out_edges.items():
+                contrib = round(0.85 * ranks[src] / len(dsts))
+                for d in dsts:
+                    nxt[d] += contrib
+            ranks = {v: t_u + s for v, s in nxt.items()}
+        expected = {
+            v: (v % 2 == 1, round(u / 1_000_000, 6))
+            for v, u in ranks.items()
+        }
+        got = {
+            r["node"]: (r["is_supplier"], r["rank"])
+            for r in registry.QUERIES["q_pagerank"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        total = sum(rank for _, rank in got.values())
+        assert 0.9 < total < 1.1  # teleport rounding aside, conserved
