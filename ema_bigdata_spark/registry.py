@@ -62,6 +62,7 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_rag_chunk", "q_bm25", "q_char_entropy", "q_filter_report",
     "q_source_interleave", "q_mm_histogram",
     "q_outlier_mad", "q_zorder_layout", "q_pagerank",
+    "s_stream_anomaly",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -78,9 +79,9 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
     "s_stream_dedup", "s_stream_join", "s_stream_static_join",
     "s_stream_upsert",
-    # — r3: joins + TPC-H (5; q14/q17/q18 rotate in r6) —
+    # — r3: joins + TPC-H (4; q10/q14/q17/q18 rotate in r6) —
     "q_join_range", "q_join_asof", "q_join_salted",
-    "q_sql_tpch_q6", "q_sql_tpch_q10",
+    "q_sql_tpch_q6",
 )
 
 

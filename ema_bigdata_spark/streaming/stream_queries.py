@@ -595,3 +595,128 @@ def s_stream_upsert(spark, sf_dir):
         F.expr(us_to_ntz).alias("last_ts"),
         "last_value",
     )
+
+
+# -- s_stream_anomaly: stateful running-stats anomaly detection -----------
+
+#: gate: flag an arriving value once ≥ _ANOM_MIN_N PRIOR events exist
+#: for the key and |v − mean| > 3σ of those priors.  Cross-multiplied
+#: to exact integers on ×100 fixed-point (cents):
+#: (n·vu − sx)² > 9·(n·sxx − sx²) — with n ≤ ~10⁶ and vu ≤ ~10⁵ both
+#: sides stay under 2⁶³; the oracle still computes them in HUGEINT
+#: (and the Python state fn in arbitrary-precision int), so the first
+#: scale at which BIGINT would wrap changes nothing.
+_ANOM_MIN_N = 10
+
+
+def anomaly_stream(stream):
+    """Per-key streaming anomaly detector over ``(user_id, ts_us,
+    event_id, vu)``: Welford-style running (n, Σv, Σv²) state — three
+    integers per key, never the events — with each arriving value
+    gated against the statistics of the events BEFORE it.  The state
+    fn is order-deterministic (sorts each batch by (ts_us, event_id),
+    the same total order as the oracle's window), so a single-file
+    run replays exactly as the batch running-window query.
+
+    This is the monitoring-pipeline complement to
+    :func:`session_stream`: same ``applyInPandasWithState`` machinery,
+    but emission is PER-EVENT conditioned on state rather than
+    per-aggregate — the shape of alerting/DQ gates on a live feed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    min_n = _ANOM_MIN_N
+
+    def detect(key, pdfs, state):
+        if state.exists:
+            n, sx, sxx = (int(v) for v in state.get)
+        else:
+            n, sx, sxx = 0, 0, 0
+        rows = sorted(
+            (int(t), int(e), int(v), float(x))
+            for pdf in pdfs
+            for t, e, v, x in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["vu"], pdf["value"]
+            )
+        )
+        out = []
+        for _, event_id, vu, value in rows:
+            if n >= min_n and (n * vu - sx) ** 2 > 9 * (n * sxx - sx * sx):
+                out.append((key[0], event_id, value, n))
+            n, sx, sxx = n + 1, sx + vu, sxx + vu * vu
+        state.update((n, sx, sxx))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "value", "n_prior"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType="user_id BIGINT, event_id BIGINT, value DOUBLE,"
+        " n_prior BIGINT",
+        stateStructType="n BIGINT, sx BIGINT, sxx BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "s_stream_anomaly",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    run AS (
+      SELECT user_id, event_id, value, vu,
+             CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(vu) OVER w, 0) AS BIGINT) AS sx,
+             CAST(coalesce(sum(vu * vu) OVER w, 0) AS BIGINT) AS sxx
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value, n AS n_prior
+    FROM run
+    WHERE n >= {_ANOM_MIN_N}
+      AND CAST(n * vu - sx AS HUGEINT) * (n * vu - sx)
+          > 9 * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+    """,
+)
+def s_stream_anomaly(spark, sf_dir):
+    """See :func:`anomaly_stream`.  Single-file run = single batch, so
+    the emitted alerts equal the batch running-window replay (the
+    oracle) — each event judged against the exact statistics of its
+    predecessors in (ts, event_id) order.  value rides through
+    untouched (the fixed-point ``vu`` is only the gate's arithmetic),
+    so the output column is bit-identical to the input's.
+
+    Scale: state is three integers per key; the state-store shuffle
+    is keyed by user_id; at 100 TB the same code runs on the Kafka
+    seam with a state TTL (``GroupStateTimeout.EventTimeTimeout``)
+    evicting keys idle past the watermark.  Driver-mandated surface
+    (SURVEY §2.4); no Main.scala counterpart."""
+    src = stream_source(spark, sf_dir)
+    stream = src.where(F.col("value").isNotNull()).select(
+        "user_id",
+        event_epoch_us(src).alias("ts_us"),
+        "event_id",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vu"),
+    )
+    alerts = anomaly_stream(stream)
+    sink = f"stream_anomaly_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(sink).select(
+        "user_id", "event_id", "value", "n_prior"
+    )

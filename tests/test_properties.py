@@ -2602,3 +2602,74 @@ class TestPageRank:
         assert got == expected
         total = sum(rank for _, rank in got.values())
         assert 0.9 < total < 1.1  # teleport rounding aside, conserved
+
+
+def test_anomaly_stream_state_carries_across_batches(spark, tmp_path):
+    """The streaming anomaly detector's cross-batch state (r5): the
+    registered query's single-file run never reaches the
+    ``state.exists`` branch, so drive anomaly_stream with TWO
+    micro-batches.  A batch-2 outlier must be judged against the
+    (n, Σv, Σv²) carried over from batch 1 — with broken state the
+    key restarts at n=0 < MIN_N and emits nothing."""
+    import time
+    import uuid as _uuid
+
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _ANOM_MIN_N,
+        _state_partitions,
+        anomaly_stream,
+    )
+
+    src = tmp_path / "asrc"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows,
+            "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+            " value DOUBLE, vu BIGINT",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: MIN_N calm events (vu = 1000 ± 1) — builds state, emits
+    # nothing (each event judged against its PRIORS only)
+    calm = [
+        (1, i * 1_000_000, i, 10.0, 1000 + (i % 2)) for i in range(_ANOM_MIN_N)
+    ]
+    write("b1", calm)
+    time.sleep(1.1)  # distinct mtime -> distinct micro-batch
+    # batch 2: one wild value then one calm value
+    write("b2", [
+        (1, 100_000_000, 100, 500.0, 50_000),
+        (1, 101_000_000, 101, 10.0, 1000),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+            " value DOUBLE, vu BIGINT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    sink = f"xanom_{_uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            anomaly_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = [
+        (r.event_id, r.value, r.n_prior)
+        for r in spark.table(sink).collect()
+    ]
+    # ONLY the wild event fires, judged against exactly the 10
+    # batch-1 priors (n_prior carries across the batch boundary);
+    # the calm follower is absorbed by the post-outlier variance
+    assert rows == [(100, 500.0, _ANOM_MIN_N)], rows
