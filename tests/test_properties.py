@@ -2673,3 +2673,29 @@ def test_anomaly_stream_state_carries_across_batches(spark, tmp_path):
     # batch-1 priors (n_prior carries across the batch boundary);
     # the calm follower is absorbed by the post-outlier variance
     assert rows == [(100, 500.0, _ANOM_MIN_N)], rows
+
+
+class TestAnnPQ:
+    def test_codes_are_valid_and_recall_holds(self, spark, sf_dir):
+        """Structural checks on the PQ pipeline: the registered query's
+        recall bool is TRUE at test scale, the returned top-k is
+        deterministic, and the codebooks have the declared geometry."""
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.operators.similarity import (
+            _PQ_K,
+            _PQ_M,
+            _PQ_SUB,
+            _pq_codebooks,
+            ann_pq_topk,
+        )
+
+        books = _pq_codebooks(spark, sf_dir)
+        assert len(books) == _PQ_M
+        assert all(len(b) == _PQ_K for b in books)
+        assert all(len(c) == _PQ_SUB for b in books for c in b)
+        row = registry.QUERIES["q_ann_pq"](spark, sf_dir).collect()
+        assert len(row) == 1 and row[0]["pq_recall_ok"]
+        got = [r["vec_id"] for r in ann_pq_topk(spark, sf_dir).collect()]
+        assert len(got) == len(set(got)) == 10
+        again = [r["vec_id"] for r in ann_pq_topk(spark, sf_dir).collect()]
+        assert got == again
