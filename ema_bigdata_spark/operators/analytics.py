@@ -294,3 +294,106 @@ def q_pagerank(spark, sf_dir):
 
 
 q_pagerank.__doc__ = q_pagerank.__doc__.format(it=_PR_ITERS)
+
+
+# -- q_skyline: 2-D Pareto frontier (minimize price, minimize size) -------
+
+#: price-bucket width in cents for the distributed prescreen ($10)
+_SKY_BUCKET_C = 1000
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    )
+    SELECT a.p_partkey,
+           round(a.p_retailprice, 2) AS price,
+           CAST(a.p_size AS BIGINT) AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_c <= a.price_c AND b.p_size <= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier): parts no other part beats on
+    BOTH price and size — the multi-objective "best offers" operator
+    relational algebra doesn't have a primitive for (here: min price,
+    min size; ties on both axes are mutually non-dominating and all
+    survive).
+
+    Spark has no skyline operator, and the naive NOT EXISTS self-join
+    (the oracle — fine for DuckDB at test scale) is O(n²).  This
+    implementation is the bucket-prescreen decomposition that scales:
+
+    1. bucket rows by price band (`_SKY_BUCKET_C`); per-bucket min
+       size is a ≤|buckets|-row aggregate;
+    2. the cross-bucket prefix-min (a window over that TINY table)
+       gives, for every bucket, the best size among ALL strictly
+       cheaper buckets — broadcast back;
+    3. within each bucket, a value-RANGE window (partitioned by
+       bucket → parallel, never a global single-partition sort)
+       gives the min size among same-bucket strictly-cheaper rows;
+    4. a row survives iff no strictly-cheaper row (either source) has
+       size ≤ its own, AND it has the min size within its exact price
+       (same-price domination).
+
+    Every comparison runs on exact integer cents/sizes, so the
+    surviving SET is bit-identical to the quadratic definition — the
+    oracle proves the decomposition, not just the output shape.  At
+    100 TB: one shuffle by bucket, one tiny broadcast, no pair
+    blow-up anywhere.  Driver-mandated surface (SURVEY §2.4); no
+    Main.scala counterpart."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+    ).withColumn("bkt", F.expr(f"price_c DIV {_SKY_BUCKET_C}"))
+
+    # (2) per-bucket min size → prefix-min over STRICTLY cheaper buckets
+    bstats = p.groupBy("bkt").agg(F.min("p_size").alias("bmin"))
+    wb = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤|buckets| rows: tiny single-partition window by design
+    prefix = bstats.select(
+        "bkt", F.min("bmin").over(wb).alias("cheaper_bkt_min")
+    )
+
+    # (3) same-bucket strictly-cheaper min via a value-range window
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # (4) same-price min for the equal-price strict-size domination
+    wp = Window.partitionBy("price_c")
+    scored = (
+        p.join(F.broadcast(prefix), "bkt")
+        .withColumn("cheaper_in_bkt_min", F.min("p_size").over(win))
+        .withColumn(
+            "cheaper_min",
+            F.least(
+                F.coalesce("cheaper_in_bkt_min", F.lit(2**62)),
+                F.coalesce("cheaper_bkt_min", F.lit(2**62)),
+            ),
+        )
+        .withColumn("same_price_min", F.min("p_size").over(wp))
+    )
+    return scored.where(
+        (F.col("p_size") < F.col("cheaper_min"))
+        & (F.col("p_size") == F.col("same_price_min"))
+    ).select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        "p_size",
+    )

@@ -43,9 +43,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: stalest-official-row, then changed-this-round (an old green row
 #: doesn't certify refactored code).  After r4, official newest-green
 #: rounds split 21×r2 / 44×r3 / 50×r4 (gmm_fit & q_gmm_bic rows-only).
-#: This window leads with ALL 17 never-checked r5 additions (q_mm_png,
+#: This window leads with ALL 18 never-checked r5 additions (q_mm_png,
 #: TPC-H Q7/Q8/Q13/Q15/Q19, the retrieval/quality/order sextet,
-#: outlier_mad/zorder/pagerank, s_stream_anomaly, ann_pq), then ALL 21
+#: outlier_mad/zorder/pagerank, s_stream_anomaly, ann_pq, skyline), then ALL 21
 #: remaining r2 rows (VERDICT r4 §Next-1: "pure harvest"), the two
 #: queries whose code changed in r5 (q_unigram_lm: literal-folded
 #: grand total; q_mm_features: BMP offset lower-bound), and the 10
@@ -56,14 +56,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: multimodal_join, mix_weights, train_val_split, skew_metrics) rotate
 #: in r6, completing the ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r5, never checked (17) —
+    # — new in r5, never checked (18) —
     "q_mm_png",
     "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13",
     "q_sql_tpch_q15", "q_sql_tpch_q19",
     "q_rag_chunk", "q_bm25", "q_char_entropy", "q_filter_report",
     "q_source_interleave", "q_mm_histogram",
     "q_outlier_mad", "q_zorder_layout", "q_pagerank",
-    "s_stream_anomaly", "q_ann_pq",
+    "s_stream_anomaly", "q_ann_pq", "q_skyline",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -80,8 +80,8 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
     "s_stream_dedup", "s_stream_join", "s_stream_static_join",
     "s_stream_upsert",
-    # — r3: joins + TPC-H (3; q6/q10/q14/q17/q18 rotate in r6) —
-    "q_join_range", "q_join_asof", "q_join_salted",
+    # — r3: joins (2; salted + the TPC-H five rotate in r6) —
+    "q_join_range", "q_join_asof",
 )
 
 

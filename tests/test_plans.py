@@ -710,3 +710,16 @@ def test_pagerank_iterations_read_only_checkpoint(spark, sf_dir):
     assert plan.lower().count("filescan") == 0
     assert "Scan ExistingRDD" in plan  # the localCheckpoint source
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """The skyline must run as aggregate + windows — no self-join of
+    part against itself anywhere (the O(n²) NOT EXISTS shape is the
+    oracle's job, not the engine's), and the only windows are
+    bucket/price-partitioned plus the ≤|buckets|-row prefix-min."""
+    plan = _plan(spark, sf_dir, "q_skyline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one tiny broadcast (the prefix-min table) is the only join
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan

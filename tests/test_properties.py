@@ -2699,3 +2699,31 @@ class TestAnnPQ:
         assert len(got) == len(set(got)) == 10
         again = [r["vec_id"] for r in ann_pq_topk(spark, sf_dir).collect()]
         assert got == again
+
+
+class TestSkyline:
+    def test_matches_quadratic_definition(self, spark, sf_dir):
+        """The bucket-prescreen decomposition must return the EXACT
+        set the O(n²) dominance definition gives — including
+        both-axis ties (mutually non-dominating, all survive)."""
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.sources.tables import load_table
+
+        rows = [
+            (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+            for r in load_table(spark, sf_dir, "part").collect()
+        ]
+        expected = {
+            (k, pc, sz)
+            for k, pc, sz in rows
+            if not any(
+                qc <= pc and qs <= sz and (qc < pc or qs < sz)
+                for _, qc, qs in rows
+            )
+        }
+        got = {
+            (r["p_partkey"], round(r["price"] * 100), r["p_size"])
+            for r in registry.QUERIES["q_skyline"](spark, sf_dir).collect()
+        }
+        assert got == expected
+        assert got  # non-vacuous
