@@ -79,6 +79,12 @@ _FAMILY_QUERIES = (
     "q_rag_chunk",
     "q_source_interleave",
     "q_mm_histogram",
+    # r5 second batch: pagerank's edge volume and ann_pq's encode
+    # projection are the two places cost could outgrow rows; skyline
+    # pins the bucket-prescreen (an O(n²) regression would explode)
+    "q_pagerank",
+    "q_ann_pq",
+    "q_skyline",
 )
 
 
