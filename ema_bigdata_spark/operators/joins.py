@@ -1070,7 +1070,7 @@ def _zorder_body(dialect: str) -> str:
 @query("q_zorder_layout", oracle=_zorder_body("duck"))
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) clustering audit: interleave the low 8 bits of
-    two scan-predicate dimensions (user bucket, minute-of-epoch
+    two scan-predicate dimensions (user bucket, minute-of-day
     bucket) into a 16-bit Z-code and report, per Z-bucket, how narrow
     BOTH dimensions' min/max ranges stay.
 

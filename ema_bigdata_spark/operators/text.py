@@ -934,6 +934,10 @@ def unigram_lm(docs, text_col: str = "text"):
     n_vocab, total = vocab.agg(
         F.count(F.lit(1)), F.sum("cnt").cast("long")
     ).first()
+    # empty corpus → sum() is None; the cost table has zero rows so
+    # the folded value is never evaluated, but splicing the Python
+    # None repr into SQL would fail analysis — fold a harmless 1
+    total = int(total) if total is not None else 1
     cost = vocab.select(
         "token",
         F.expr(_COST_U.replace("total", str(total))).alias("cost_u"),
@@ -1477,11 +1481,16 @@ def q_char_entropy(spark, sf_dir):
     is bounded by |doc| × ~alphabet compression after the map-side
     combine on (doc_id, ch).  The math is exact-integer counts →
     shared expression text → 1e-6 grid snap (`_ENT_TERM_U`), so per-
-    doc sums are BIGINT and bit-stable.  Zero-length docs drop (an
-    empty sequence explodes to nothing), matching the oracle's empty
-    generate_series.  Driver-mandated surface (SURVEY §2.4); no
+    doc sums are BIGINT and bit-stable.  Zero-length docs drop via an
+    explicit filter, matching the oracle's empty generate_series —
+    Spark's ``sequence(1, 0)`` is NOT empty (start > stop flips the
+    default step to −1 and yields [1, 0]), so without the filter an
+    empty doc would emit a spurious NULL-entropy row the oracle
+    doesn't have.  Driver-mandated surface (SURVEY §2.4); no
     Main.scala counterpart."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
     ch = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),

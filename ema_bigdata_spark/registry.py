@@ -84,6 +84,10 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_join_range", "q_join_asof",
 )
 
+#: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md
+#: still directs readers here; keep it resolving
+_R3_CHECK_WINDOW = _CHECK_WINDOW
+
 
 def load_all() -> None:
     """Import every operator module so registrations run, then reorder

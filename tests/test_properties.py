@@ -2240,6 +2240,17 @@ def test_winsorize_numpy_reference(spark):
 # -- r5 additions: retrieval / quality / ordering / multimodal -------------
 
 
+def _rhalf(x: float) -> int:
+    """round-half-away-from-zero — matches SQL round() in both Spark
+    and DuckDB; Python's built-in round() is half-to-even and would
+    diverge from the engines whenever a reference value lands exactly
+    on .5 (e.g. an even-count group's interpolated median)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+
 class TestRagChunk:
     def test_chunks_reconstruct_documents(self, spark, sf_dir):
         """Concatenating each doc's chunks by their non-overlapping
@@ -2319,7 +2330,7 @@ class TestBM25:
                     / (tf + _BM25_K1 * (1 - _BM25_B
                                         + _BM25_B * dl * n_docs / total))
                 )
-                score_u += round(term * 1_000_000)
+                score_u += _rhalf(term * 1_000_000)
             if hits:
                 expected[doc_id] = (hits, round(score_u / 1_000_000, 6))
         got = {
@@ -2348,7 +2359,7 @@ class TestCharEntropy:
                 continue
             L = len(text)
             sum_u = sum(
-                round(math.log(c) * 1_000_000) * c
+                _rhalf(math.log(c) * 1_000_000) * c
                 for c in Counter(text).values()
             )
             expected[doc_id] = (
@@ -2484,14 +2495,14 @@ class TestOutlierMAD:
         by_type: dict = {}
         for r in rows:
             by_type.setdefault(r["event_type"], []).append(
-                (r["event_id"], round(r["value"] * 1_000_000))
+                (r["event_id"], _rhalf(r["value"] * 1_000_000))
             )
         expected = {}
         for et, pairs in by_type.items():
             vus = np.array([v for _, v in pairs], dtype=np.int64)
-            med_u = round(float(np.percentile(vus, 50)))
+            med_u = _rhalf(float(np.percentile(vus, 50)))
             au = np.abs(vus - med_u)
-            mad_u = round(float(np.percentile(au, 50)))
+            mad_u = _rhalf(float(np.percentile(au, 50)))
             if mad_u <= 0:
                 continue
             for (eid, vu), a in zip(pairs, au):
@@ -2579,13 +2590,13 @@ class TestPageRank:
             out_edges[c].append(s)
             out_edges[s].append(c)
         n = len(out_edges)
-        r0_u = round(1_000_000 / n)
-        t_u = round(150_000 / n)
+        r0_u = _rhalf(1_000_000 / n)
+        t_u = _rhalf(150_000 / n)
         ranks = {v: r0_u for v in out_edges}
         for _ in range(3):
             nxt = defaultdict(int)
             for src, dsts in out_edges.items():
-                contrib = round(0.85 * ranks[src] / len(dsts))
+                contrib = _rhalf(0.85 * ranks[src] / len(dsts))
                 for d in dsts:
                     nxt[d] += contrib
             ranks = {v: t_u + s for v, s in nxt.items()}
@@ -2710,7 +2721,7 @@ class TestSkyline:
         from ema_bigdata_spark.sources.tables import load_table
 
         rows = [
-            (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+            (r["p_partkey"], _rhalf(r["p_retailprice"] * 100), r["p_size"])
             for r in load_table(spark, sf_dir, "part").collect()
         ]
         expected = {
@@ -2722,7 +2733,7 @@ class TestSkyline:
             )
         }
         got = {
-            (r["p_partkey"], round(r["price"] * 100), r["p_size"])
+            (r["p_partkey"], _rhalf(r["price"] * 100), r["p_size"])
             for r in registry.QUERIES["q_skyline"](spark, sf_dir).collect()
         }
         assert got == expected
