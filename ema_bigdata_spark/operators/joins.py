@@ -1091,3 +1091,226 @@ def q_zorder_layout(spark, sf_dir):
     )
     return spark.sql(_zorder_body("spark").replace("FROM events",
                                                    "FROM v_zevents"))
+
+
+# -- q_sql_tpch_q2: min-cost supplier (correlated min over a view) --------
+# partsupp doesn't exist in the driver schema; the supply cost is
+# derived as each (part, supplier)'s best observed unit price from
+# lineitem, in exact integer micro-units (price-cents × 10⁴ integer-
+# divided by the integral quantity) so the argmin equality is pure
+# BIGINT — the Q2 SHAPE (region-restricted correlated minimum + dim
+# join + top-100) is preserved exactly.
+
+
+def _q2_body(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+                 {idiv} CAST(round(l_quantity) AS BIGINT)) AS unit_mu
+      FROM {{c}}lineitem, {{c}}supplier, {{c}}nation, {{c}}region
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_mu) AS best_mu
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name,
+           round(CAST(best_mu AS DOUBLE) / 1000000, 4) AS unit_cost
+    FROM {{c}}part, cost, best, {{c}}supplier, {{c}}nation, {{c}}region
+    WHERE p_partkey = cost.l_partkey
+      AND cost.l_partkey = best.l_partkey AND unit_mu = best_mu
+      AND s_suppkey = cost.l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q2", oracle=_q2_body("duck").format(c=""))
+def q_sql_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the region-restricted
+    cost view is referenced twice — once per (part, supplier), once
+    under a per-part min — and the argmin equality joins them back,
+    exactly the spec's correlated-subquery structure after Catalyst
+    de-correlates it.  The unit cost is an exact integer
+    micro-division (`DIV`/`//` — integer division spelled per
+    dialect; CASTing a double quotient would round in DuckDB but
+    truncate in Spark, the q_zorder_layout lesson), so the min and
+    the equality are pure BIGINT on both engines.  At 100 TB the
+    cost/best aggregates collapse lineitem before any dim join, and
+    part/supplier/nation/region broadcast.  Driver-mandated surface
+    (SURVEY §2.4)."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_q2_body("spark").format(c="v_"))
+
+
+# -- q_sql_tpch_q9: product-type profit by nation and year ----------------
+
+_Q9_BODY = """
+    SELECT nation, o_year,
+           (CAST(sum(rev) AS DOUBLE) / CAST(10000 AS DOUBLE)) AS profit,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+      FROM {c}part, {c}supplier, {c}lineitem, {c}orders, {c}nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@query("q_sql_tpch_q9", oracle=_Q9_BODY.format(c=""))
+def q_sql_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): the LIKE-filtered part
+    dim prunes lineitem first (the '%gear%' contains-match cannot
+    push to parquet, but the ~1/|part-names| selectivity broadcast
+    join does the pruning), then supplier nationality and order year
+    classify every surviving lineitem.  Spec's profit subtracts
+    ps_supplycost·qty; without partsupp in the driver schema the
+    revenue term stands in — the join graph, LIKE dimension filter,
+    and (nation, year) rollup are the shape under test.  Exact
+    fixed-point sums.  Identical SQL text (`_Q9_BODY`).
+    Driver-mandated surface (SURVEY §2.4)."""
+    for t in ("part", "supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q9_BODY.format(c="v_"))
+
+
+# -- q_sql_tpch_q16: supplier-part relationship count ---------------------
+
+_Q16_BODY = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM {c}part, {c}lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM {c}supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q_sql_tpch_q16", oracle=_Q16_BODY.format(c=""))
+def q_sql_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): negated dim
+    predicates + an IN-list + a NOT IN exclusion subquery (Catalyst:
+    null-aware anti join — the supplier side is tiny and broadcasts)
+    feeding a count-DISTINCT grouped by three part attributes.
+    Spec counts partsupp relationships and excludes complaint
+    suppliers; the driver schema derives relationships from lineitem
+    and excludes negative-balance suppliers — same shape, same
+    anti-join + distinct-aggregate plan.  At 100 TB the distinct
+    runs as the standard two-phase partial-distinct aggregate, and
+    the (brand, type, size) filter prunes part before the fact join.
+    Identical SQL text (`_Q16_BODY`).  Driver-mandated surface
+    (SURVEY §2.4)."""
+    for t in ("part", "lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q16_BODY.format(c="v_"))
+
+
+# -- q_sql_tpch_q21: suppliers who kept orders waiting --------------------
+
+_Q21_BODY = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM {c}supplier, {c}lineitem l1, {c}orders, {c}nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+            SELECT 1 FROM {c}lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM {c}lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q21", oracle=_Q21_BODY.format(c=""))
+def q_sql_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS / NOT EXISTS pair over the same fact
+    table — "this supplier was late on a multi-supplier order, and
+    was the ONLY late one" — the hardest subquery shape in the suite
+    (Catalyst plans one left-semi and one null-safe left-anti join
+    against lineitem keyed on l_orderkey).  Spec's lateness predicate
+    (receipt > commit) uses columns the driver schema doesn't carry;
+    shipped-more-than-60-days-after-order stands in, correlating the
+    inner NOT EXISTS on the OUTER order's date — preserving the
+    correlated-on-two-tables structure.  At 100 TB all three
+    lineitem references shuffle once on l_orderkey (AQE reuses the
+    exchange).  Identical SQL text (`_Q21_BODY`).  Driver-mandated
+    surface (SURVEY §2.4)."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q21_BODY.format(c="v_"))
+
+
+# -- q_sql_tpch_q22: global sales opportunity (dormant customers) ---------
+
+_Q22_BODY = """
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, n_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM {c}customer JOIN {c}nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+                       'NATION_9', 'NATION_11', 'NATION_13')
+    ),
+    avg_bal AS (
+      SELECT CAST(sum(bal_c) AS BIGINT) AS tot_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM eligible WHERE bal_c > 0
+    )
+    SELECT n_name AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(bal_c) AS DOUBLE) / 100, 2) AS totacctbal
+    FROM eligible, avg_bal
+    WHERE bal_c * n > tot_c
+      AND NOT EXISTS (
+            SELECT 1 FROM {c}orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+"""
+
+
+@query("q_sql_tpch_q22", oracle=_Q22_BODY.format(c=""))
+def q_sql_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated
+    scalar aggregate (the average balance of the positive-balance
+    cohort) gating a customer filter, plus a NOT EXISTS anti join
+    against orders, grouped by country.  Spec selects countries by
+    phone prefix (no phone column in the driver schema) — nation
+    membership stands in; spec's "never ordered" is vacuous on this
+    data (every customer has orders), so "dormant since 2000" keeps
+    the anti join selective.  The above-average comparison is
+    cross-multiplied to exact integers (`bal_c · n > tot_c`) —
+    comparing against a double average would flip on last-ulp
+    sum-order divergence between engines.  At 100 TB the scalar agg
+    is one tiny broadcast row and the anti join is date-pruned
+    before it shuffles.  Identical SQL text (`_Q22_BODY`).
+    Driver-mandated surface (SURVEY §2.4)."""
+    for t in ("customer", "nation", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q22_BODY.format(c="v_"))

@@ -723,3 +723,23 @@ def test_skyline_no_self_join(spark, sf_dir):
     # one tiny broadcast (the prefix-min table) is the only join
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_semi_plus_anti(spark, sf_dir):
+    """Q21's correlated EXISTS/NOT EXISTS pair must de-correlate into
+    one left-semi and one left-anti join against lineitem — never a
+    per-row re-executed subquery or a cartesian."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_exact_integer_gate(spark, sf_dir):
+    """Q22's above-average filter must be the cross-multiplied integer
+    compare and the dormant-customer exclusion a left-anti join with
+    the date filter pushed to the orders scan."""
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in plan  # pushed date filter on the anti side
+    assert "CartesianProduct" not in plan
