@@ -282,3 +282,107 @@ def q_compact_latest(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "value")
     )
+
+
+# -- q_cdc_merge: MERGE INTO classification (SCD-1 upsert audit) ----------
+
+#: snapshot/batch split instant for the merge demo (events span one
+#: month, 2024-01: days 1-4 are the standing snapshot, the rest the
+#: incoming batch — chosen so the registered query exercises insert,
+#: update, AND unchanged on real data; the carry class needs a key
+#: that goes silent, which this dense fixture doesn't have, so it is
+#: pinned by the synthetic-fixture unit test instead).  Production
+#: merges a daily batch into yesterday's snapshot through the
+#: identical plan.
+_MERGE_T = "2024-01-05"
+
+
+def cdc_merge(snap_events, batch_events):
+    """MERGE INTO classification over two event sets: compact each to
+    latest-per-(user, type) (the q_compact_latest window), FULL OUTER
+    join on the key, and label every output row ``insert`` (new key),
+    ``update`` (value changed), ``unchanged`` (value identical —
+    null-safe ``<=>``, so NULL = NULL counts as unchanged), or
+    ``carry`` (key absent from the batch).  The op column is exactly
+    what a production MERGE publishes as its commit metrics; the full
+    row set is the post-merge table.
+
+    Scale: both compactions shuffle once on the same key → AQE reuses
+    the partitioning for the join; at 100 TB the snapshot is already
+    compact (it IS the previous merge output) and only the batch pays
+    a window."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def compact(side):
+        return (
+            side.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts", "value")
+        )
+
+    s = compact(snap_events).alias("s")
+    b = compact(batch_events).alias("b")
+    j = s.join(
+        b,
+        (F.col("s.user_id") == F.col("b.user_id"))
+        & (F.col("s.event_type") == F.col("b.event_type")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("s.user_id", "b.user_id").alias("user_id"),
+        F.coalesce("s.event_type", "b.event_type").alias("event_type"),
+        F.coalesce("b.value", "s.value").alias("final_value"),
+        F.coalesce("b.ts", "s.ts").alias("final_ts"),
+        F.when(F.col("s.user_id").isNull(), "insert")
+        .when(F.col("b.user_id").isNull(), "carry")
+        .when(F.col("b.value").eqNullSafe(F.col("s.value")), "unchanged")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+@query(
+    "q_cdc_merge",
+    oracle=f"""
+    WITH snap AS (
+      SELECT user_id, event_type, ts, value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_MERGE_T}'
+      ) WHERE rn = 1
+    ),
+    batch AS (
+      SELECT user_id, event_type, ts, value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_MERGE_T}'
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(s.user_id, b.user_id) AS user_id,
+           coalesce(s.event_type, b.event_type) AS event_type,
+           coalesce(b.value, s.value) AS final_value,
+           coalesce(b.ts, s.ts) AS final_ts,
+           CASE WHEN s.user_id IS NULL THEN 'insert'
+                WHEN b.user_id IS NULL THEN 'carry'
+                WHEN b.value IS NOT DISTINCT FROM s.value
+                     THEN 'unchanged'
+                ELSE 'update' END AS op
+    FROM snap s FULL OUTER JOIN batch b
+      ON s.user_id = b.user_id AND s.event_type = b.event_type
+    """,
+)
+def q_cdc_merge(spark, sf_dir):
+    """See :func:`cdc_merge` — the lakehouse SCD-1 MERGE audited on
+    the events table split at `_MERGE_T` (date filters push to the
+    parquet scan on both sides, so at 100 TB the batch side reads
+    only the fresh partitions).  Driver-mandated surface (SURVEY
+    §2.4); no Main.scala counterpart."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.lit(_MERGE_T).cast("timestamp_ntz")
+    return cdc_merge(
+        ev.where(F.col("ts") < t), ev.where(F.col("ts") >= t)
+    )

@@ -2738,3 +2738,62 @@ class TestSkyline:
         }
         assert got == expected
         assert got  # non-vacuous
+
+
+class TestCDCMerge:
+    def test_all_four_classes_on_synthetic_fixture(self, spark):
+        """Drive cdc_merge with a crafted fixture hitting every op
+        class — insert / update / unchanged (incl. NULL = NULL) /
+        carry — and latest-per-key tie-breaks inside each side."""
+        import datetime as dt
+
+        from ema_bigdata_spark.operators.windows import cdc_merge
+
+        def ev(rows):
+            return spark.createDataFrame(
+                [
+                    (eid, dt.datetime(2024, 1, d), u, t, v)
+                    for eid, d, u, t, v in rows
+                ],
+                "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+                " event_type STRING, value DOUBLE",
+            )
+
+        snap = ev([
+            (1, 1, 1, "a", 10.0),   # updated later
+            (2, 2, 1, "a", 11.0),   # ← latest in snap
+            (3, 1, 2, "a", 20.0),   # unchanged later
+            (4, 1, 3, "a", None),   # NULL, matched by NULL → unchanged
+            (5, 1, 4, "a", 40.0),   # carried (no batch row)
+        ])
+        batch = ev([
+            (6, 5, 1, "a", 12.0),   # update (vs 11.0)
+            (7, 5, 2, "a", 20.0),   # unchanged
+            (8, 5, 3, "a", None),   # NULL = NULL → unchanged
+            (9, 5, 5, "a", 50.0),   # insert
+            (10, 6, 5, "a", 51.0),  # ← latest in batch
+        ])
+        got = {
+            (r["user_id"], r["op"], r["final_value"])
+            for r in cdc_merge(snap, batch).collect()
+        }
+        assert got == {
+            (1, "update", 12.0),
+            (2, "unchanged", 20.0),
+            (3, "unchanged", None),
+            (4, "carry", 40.0),
+            (5, "insert", 51.0),
+        }
+
+    def test_registered_query_classes(self, spark, sf_dir):
+        from ema_bigdata_spark import registry
+
+        ops = {
+            r["op"]
+            for r in registry.QUERIES["q_cdc_merge"](
+                spark, sf_dir
+            ).collect()
+        }
+        # the dense fixture has no silent keys → no carry here (the
+        # synthetic test above pins that class)
+        assert {"insert", "update"} <= ops
