@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ema_bigdata_spark.functions.parity import cents
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -396,4 +397,89 @@ def q_skyline(spark, sf_dir):
         "p_partkey",
         F.round("p_retailprice", 2).alias("price"),
         "p_size",
+    )
+
+
+# -- q_gapfill: per-user daily time spine + forward fill ------------------
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           CAST(last_value(d.v_c IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS sum_value,
+           d.v_c IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Time-series gap-fill: regularize each user's sparse daily
+    purchase series onto a dense per-user day spine (min..max observed
+    day) and forward-fill (LOCF) the missing days, flagging them — the
+    resample/fill step every downstream forecasting or feature job
+    assumes has already happened.
+
+    Spark-first shape: the spine is `sequence(min_day, max_day)` per
+    user — generated *distributed* from a groupBy the daily aggregate
+    already needed, never a driver-side calendar loop — and the fill
+    is one `last(ignorenulls)` running window.  All three shuffles key
+    on user_id (daily agg pre-shuffles on (user, day)), so AQE chains
+    the bounds agg, the spine join, and the fill window on co-located
+    partitions.  At 100 TB: spine size is users × days ≪ events, the
+    daily agg is map-side partial, and the event_type filter pushes to
+    the parquet scan.  Fill values ride as exact BIGINT cents
+    (functions/parity.py) so the forward-filled doubles are bit-equal
+    cross-engine.
+
+    No reference counterpart (driver-mandated time-series surface,
+    SURVEY §2.4); semantics follow the standard LOCF resample
+    contract (pandas `asfreq().ffill()`, TimescaleDB `locf()`).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).alias("v_c"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            (
+                F.last("v_c", ignorenulls=True).over(w).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+            F.col("v_c").isNull().alias("is_gap"),
+        )
     )

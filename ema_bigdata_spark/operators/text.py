@@ -1727,3 +1727,74 @@ def q_source_interleave(spark, sf_dir):
     return r.join(F.broadcast(slots), "source").select(
         "doc_id", "source", "round", "slot"
     )
+
+
+# -- q_bpe_pairs: tokenizer-training byte-pair statistics -----------------
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT token AS word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> '' GROUP BY token
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM words WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, step one: corpus-wide adjacent
+    symbol-pair frequencies — the argmax of this table IS the first
+    BPE merge (Sennrich et al. 2016, the algorithm behind GPT/Llama
+    tokenizers).
+
+    Spark-first shape exploits the two-level structure the naive
+    per-document scan misses: pair counts factor through the word
+    histogram, so the corpus scan collapses to ONE token
+    explode + groupBy(word) — the q_text_tokens shuffle, sized by
+    vocabulary — and the char-pair explode then runs over DISTINCT
+    words only (|vocab| rows, not |corpus|).  At 100 TB the pair
+    stage is microscopic regardless of corpus size; this is exactly
+    how production BPE trainers (HuggingFace tokenizers) stage it.
+    Pairs are 2-char substrings (`substring(word, i, 2)`) — identical
+    text both engines, no char-split dialect trap; the `length >= 2`
+    guard keeps Spark's `sequence(1, n-1)` ascending.
+    Top-50 with the (freq DESC, pair ASC) total order so the result
+    set is deterministic; Spark plans it as TakeOrdered (no global
+    sort shuffle).
+
+    No reference counterpart (driver-mandated LLM-pipeline surface,
+    SURVEY §2.4).
+    """
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(50)
+    )

@@ -43,20 +43,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: stalest-official-row, then changed-this-round (an old green row
 #: doesn't certify refactored code).  After r4, official newest-green
 #: rounds split 21×r2 / 44×r3 / 50×r4 (gmm_fit & q_gmm_bic rows-only).
-#: This window leads with ALL 24 never-checked r5 additions (q_mm_png,
+#: This window leads with ALL 26 never-checked r5 additions (q_mm_png,
 #: TPC-H Q7/Q8/Q13/Q15/Q19, the retrieval/quality/order sextet,
-#: outlier_mad/zorder/pagerank, s_stream_anomaly, ann_pq, skyline, TPC-H Q2/Q9/Q16/Q21/Q22, cdc_merge), then ALL 21
-#: remaining r2 rows (VERDICT r4 §Next-1: "pure harvest"), the two
+#: outlier_mad/zorder/pagerank, s_stream_anomaly, ann_pq, skyline,
+#: TPC-H Q2/Q9/Q16/Q21/Q22, cdc_merge, gapfill, bpe_pairs), then ALL
+#: 21 remaining r2 rows (VERDICT r4 §Next-1: "pure harvest"), the two
 #: queries whose code changed in r5 (q_unigram_lm: literal-folded
-#: grand total; q_mm_features: BMP offset lower-bound), and the 3
-#: oldest untouched r3 streaming rows.
+#: grand total; q_mm_features: BMP offset lower-bound), and the
+#: oldest untouched r3 streaming row.
 #: The r3 rows squeezed out by the additions (TPC-H q6/q10/q14/q17/
 #: q18, approx/collect aggs, window frames, event analytics, the
 #: minhash/simhash pair, dedup cluster family, embeddings/ANN family,
 #: multimodal_join, mix_weights, train_val_split, skew_metrics) rotate
 #: in r6, completing the ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r5, never checked (24) —
+    # — new in r5, never checked (26) —
     "q_mm_png",
     "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13",
     "q_sql_tpch_q15", "q_sql_tpch_q19",
@@ -66,6 +67,7 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "s_stream_anomaly", "q_ann_pq", "q_skyline",
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q16",
     "q_sql_tpch_q21", "q_sql_tpch_q22", "q_cdc_merge",
+    "q_gapfill", "q_bpe_pairs",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -78,9 +80,10 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_window_rank", "q_window_running", "q_window_lag",
     # — code changed in r5; re-certify on new code (2) —
     "q_unigram_lm", "q_mm_features",
-    # — oldest r3 rows: streaming (3; dedup/join/static_join/upsert
-    # plus the r3 joins and TPC-H five rotate in r6) —
-    "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
+    # — oldest r3 row: streaming (1; tumbling/sliding/dedup/join/
+    # static_join/upsert plus the r3 joins and TPC-H five rotate
+    # in r6) —
+    "s_stream_session",
 )
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md

@@ -2797,3 +2797,80 @@ class TestCDCMerge:
         # the dense fixture has no silent keys → no carry here (the
         # synthetic test above pins that class)
         assert {"insert", "update"} <= ops
+
+
+class TestGapfill:
+    def test_spine_dense_and_locf_vs_python(self, spark, sf_dir):
+        """Recompute the whole gap-fill independently in pure Python
+        (dict-of-days LOCF) and compare every output row; also assert
+        the spine is dense (one row per user per day, no holes)."""
+        import datetime as dt
+        from collections import defaultdict
+
+        from ema_bigdata_spark import registry
+
+        raw = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .where("event_type = 'purchase'")
+            .select("ts", "user_id", "value")
+            .collect()
+        )
+        daily: dict[tuple[int, dt.date], int] = defaultdict(int)
+        for r in raw:
+            daily[(r["user_id"], r["ts"].date())] += round(r["value"] * 100)
+        expected = {}
+        by_user: dict[int, list[dt.date]] = defaultdict(list)
+        for (u, d) in daily:
+            by_user[u].append(d)
+        for u, ds in by_user.items():
+            cur = None
+            day = min(ds)
+            while day <= max(ds):
+                gap = (u, day) not in daily
+                if not gap:
+                    cur = daily[(u, day)]
+                expected[(u, day)] = (cur / 100.0, gap)
+                day += dt.timedelta(days=1)
+
+        got = {
+            (r["user_id"], r["day"]): (r["sum_value"], r["is_gap"])
+            for r in registry.QUERIES["q_gapfill"](spark, sf_dir).collect()
+        }
+        assert got == expected
+        assert any(gap for _, gap in got.values())  # fills real gaps
+
+
+class TestBpePairs:
+    def test_full_value_match_vs_python(self, spark, sf_dir):
+        """Independent Counter-based recompute of the weighted
+        char-pair frequencies; the Spark top-50 must equal the Python
+        top-50 under the same (freq DESC, pair ASC) total order."""
+        from collections import Counter
+
+        from ema_bigdata_spark import registry
+
+        texts = [
+            r["text"]
+            for r in spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).collect()
+        ]
+        words = Counter(
+            w for t in texts for w in t.split(" ") if w != ""
+        )
+        pairs: Counter = Counter()
+        for w, n in words.items():
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += n
+        expected = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:50]
+
+        got = [
+            (r["pair"], r["freq"])
+            for r in registry.QUERIES["q_bpe_pairs"](spark, sf_dir)
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .collect()
+        ]
+        assert got == expected
+        assert got  # non-vacuous
