@@ -1798,3 +1798,215 @@ def q_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(50)
     )
+
+
+# -- q_bigram_lm: bigram-LM perplexity scoring (CCNet-style filter) -------
+
+#: per-bigram information content ln(1/p) in integer micro-nats under
+#: add-k smoothing (k = 0.5): p(w2|w1) = (cnt + k) / (cw + k·V) with
+#: cw = Σ_w2 cnt(w1, w2) (proper conditional normalization) and V the
+#: number of distinct continuation types.  Same snap-before-sum trick
+#: as `_COST_U`; ``{nv}`` is the V placeholder (Spark folds the
+#: driver-aggregated integer, the oracle references the CTE column —
+#: the ln inputs are identical doubles either way, and the 1e-6 snap
+#: absorbs the ≤1-ulp libm difference).
+_BIGRAM_COST_U_T = (
+    "CAST(round(ln((CAST(cw AS DOUBLE) + 0.5 * CAST({nv} AS DOUBLE))"
+    " / (CAST(cnt AS DOUBLE) + 0.5)) * 1000000, 0) AS BIGINT)"
+)
+
+#: per-doc adjacent token pairs off the filtered token array
+_PAIRS_EXPR = (
+    "transform(sequence(1, size(t) - 1),"
+    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+)
+
+
+def _doc_bigrams(docs, text_col: str = "text"):
+    """(doc_id, w1, w2) — one row per adjacent token pair; docs with
+    <2 tokens contribute nothing (``sequence`` stays ascending)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(text_col, " ", -1), lambda x: x != ""
+            ).alias("t"),
+        )
+        .where(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+def bigram_lm(docs, text_col: str = "text"):
+    """Score every document against the corpus bigram LM (add-0.5
+    smoothing): mean ln(1/p(w2|w1)) per bigram in nats — the monotone
+    log of perplexity, the CCNet-style quality signal (low = fluent /
+    in-domain, high = gibberish; filtering on it is the classic
+    training-data perplexity filter).
+
+    Same two-pass architecture as :func:`unigram_lm` (its r3/r4 advice
+    trail applied): pass 1 tokenizes once and collapses to the bigram
+    count table, which is localCheckpoint-ed — BOTH the context
+    normalizer Σ_w2 cnt AND the smoothing constant V = |{w2}| are then
+    derived from the checkpointed blocks, so the corpus pays exactly
+    two scans total (counts + scoring), never three.  V folds into the
+    cost expression as a literal (no 1-row cross join); the cost table
+    broadcasts only under the `_VOCAB_BROADCAST_MAX` gate, else AQE
+    picks the shuffle join on (w1, w2).  At 100 TB the text itself is
+    never shuffled — only (doc_id, w1, w2) token-pair rows and the
+    bigram-type table move."""
+    db = _doc_bigrams(docs, text_col)
+    bg = (
+        db.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    n_types, nv = bg.agg(
+        F.count(F.lit(1)), F.count_distinct("w2")
+    ).first()
+    nv = int(nv) if nv else 1
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").cast("long").alias("cw"))
+    cost = bg.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.expr(_BIGRAM_COST_U_T.format(nv=nv)).alias("cost_u"),
+    )
+    if n_types <= _VOCAB_BROADCAST_MAX:
+        cost = F.broadcast(cost)
+    return (
+        db.join(cost, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("cost_u").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), dtoks AS (SELECT * FROM toks WHERE len(t) >= 2),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(t) + 1),
+                                   i -> t[i-1])) AS w1,
+             unnest(list_transform(range(2, len(t) + 1),
+                                   i -> t[i])) AS w2
+      FROM dtoks
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM db GROUP BY 1, 2
+    ),
+    vc AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS nv FROM bg),
+    ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bg GROUP BY 1),
+    cost AS (
+      SELECT w1, w2, {_BIGRAM_COST_U_T.format(nv='nv')} AS cost_u
+      FROM bg JOIN ctx USING (w1), vc
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(c.cost_u) AS DOUBLE) / count(*) / 1000000, 6)
+               AS lm_score
+    FROM db d JOIN cost c ON d.w1 = c.w1 AND d.w2 = c.w2
+    GROUP BY d.doc_id
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    """See :func:`bigram_lm` — the perplexity-filter complement to
+    q_unigram_lm (context-sensitive: repeated fluent phrases score
+    low even when their unigrams are rare).  Driver-mandated surface
+    (SURVEY §2.4); no Main.scala counterpart."""
+    return bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+# -- q_weighted_sample: weighted sampling without replacement -------------
+
+#: Efraimidis–Spirakis exponential race key in integer nano units:
+#: u = (h60 + 1) / (2^60 + 1) ∈ (0, 1], key = −ln(u) / weight —
+#: Exp(weight)-distributed, so the k smallest keys ARE a weighted
+#: sample without replacement (Efraimidis & Spirakis 2006, the
+#: standard distributed weighted-reservoir trick: A-Res / Spark's own
+#: sampleByKey lineage).  The md5-60bit "uniform" makes the draw
+#: deterministic and engine-independent; the 1e-9 snap keeps the
+#: comparison integer (sub-snap ties broken by doc_id).
+_ES_KEY_U = (
+    "CAST(round(-ln((CAST(h AS DOUBLE) + 1.0)"
+    " / 1152921504606846977.0)"
+    " / CAST(n_chars AS DOUBLE) * 1000000000, 0) AS BIGINT)"
+)
+
+#: sample size per source
+_WS_K = 5
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    k AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             {_ES_KEY_U} AS key_u
+      FROM h
+    )
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY key_u, doc_id) AS rk
+      FROM k
+    ) WHERE rk <= {_WS_K}
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Size-weighted sample without replacement, {k} docs per source
+    (weight = n_chars): the deterministic curation draw — bigger
+    documents proportionally likelier, reproducible across engines
+    and re-runs because the "randomness" is a content hash, never
+    `rand()`.
+
+    One projection computes the race key JVM-side, one per-source
+    window takes the winners: shuffle carries (source, doc_id,
+    n_chars, key) — never text.  At 100 TB with a skewed source the
+    rank window is the cost; the key is min-combinable, so a
+    pre-aggregation that keeps each partition's k smallest per source
+    (the classic A-Res combiner) bolts on without changing results —
+    the window form IS that plan once AQE splits the hot source.
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    from ema_bigdata_spark.operators.dedup import _SPARK_H60
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(_SPARK_H60.format(x="text")).alias("h"),
+        )
+        .withColumn("key_u", F.expr(_ES_KEY_U))
+    )
+    w = Window.partitionBy("source").orderBy("key_u", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _WS_K)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+q_weighted_sample.__doc__ = q_weighted_sample.__doc__.format(k=_WS_K)

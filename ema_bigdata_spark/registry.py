@@ -43,19 +43,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: stalest-official-row, then changed-this-round (an old green row
 #: doesn't certify refactored code).  After r4, official newest-green
 #: rounds split 21×r2 / 44×r3 / 50×r4 (gmm_fit & q_gmm_bic rows-only).
-#: This window leads with ALL 26 never-checked r5 additions (q_mm_png,
+#: This window leads with ALL 28 never-checked r5 additions (q_mm_png,
 #: TPC-H Q7/Q8/Q13/Q15/Q19, the retrieval/quality/order sextet,
 #: outlier_mad/zorder/pagerank, s_stream_anomaly, ann_pq, skyline,
-#: TPC-H Q2/Q9/Q16/Q21/Q22, cdc_merge, gapfill, bpe_pairs), then ALL
-#: 21 remaining r2 rows (VERDICT r4 §Next-1: "pure harvest"), the two
-#: queries whose code changed in r5 (q_unigram_lm: literal-folded
-#: grand total; q_mm_features: BMP offset lower-bound), and the
-#: oldest untouched r3 streaming row.
+#: TPC-H Q2/Q9/Q16/Q21/Q22, cdc_merge, gapfill, bpe_pairs, bigram_lm,
+#: weighted_sample), then ALL 21 remaining r2 rows (VERDICT r4
+#: §Next-1: "pure harvest"), then q_unigram_lm, whose code changed in
+#: r5 (literal-folded grand total) on an r3 official row.  That is
+#: exactly 50.  q_mm_features also changed in r5 (BMP offset
+#: lower-bound — an error-path guard that cannot alter valid-data
+#: output) but holds an r4 official row, so it yields its slot;
+#: judge-verified green on current code via the full driver-sim runs
+#: in ROUND5_NOTES §6 regardless.
 #: The r3 rows squeezed out by the additions (TPC-H q6/q10/q14/q17/
 #: q18, approx/collect aggs, window frames, event analytics, the
 #: minhash/simhash pair, dedup cluster family, embeddings/ANN family,
-#: multimodal_join, mix_weights, train_val_split, skew_metrics) rotate
-#: in r6, completing the ≤2-round-old invariant.
+#: multimodal_join, mix_weights, train_val_split, skew_metrics, the
+#: seven r3 streaming rows) rotate in r6, completing the
+#: ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
     # — new in r5, never checked (26) —
     "q_mm_png",
@@ -67,7 +72,7 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "s_stream_anomaly", "q_ann_pq", "q_skyline",
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q16",
     "q_sql_tpch_q21", "q_sql_tpch_q22", "q_cdc_merge",
-    "q_gapfill", "q_bpe_pairs",
+    "q_gapfill", "q_bpe_pairs", "q_bigram_lm", "q_weighted_sample",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
     # — r2: text family (14) —
@@ -78,12 +83,8 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_pack_sequences",
     # — r2: window trio (3) —
     "q_window_rank", "q_window_running", "q_window_lag",
-    # — code changed in r5; re-certify on new code (2) —
-    "q_unigram_lm", "q_mm_features",
-    # — oldest r3 row: streaming (1; tumbling/sliding/dedup/join/
-    # static_join/upsert plus the r3 joins and TPC-H five rotate
-    # in r6) —
-    "s_stream_session",
+    # — code changed in r5; re-certify on new code (1) —
+    "q_unigram_lm",
 )
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md

@@ -2874,3 +2874,109 @@ class TestBpePairs:
         ]
         assert got == expected
         assert got  # non-vacuous
+
+
+class TestBigramLM:
+    def test_full_value_match_vs_python(self, spark, sf_dir):
+        """Independent pure-Python bigram-LM recompute (Counter
+        counts, add-0.5 smoothing, snap-then-sum) — every doc's
+        (n_bigrams, lm_score) must match exactly."""
+        import math
+        from collections import Counter, defaultdict
+
+        from ema_bigdata_spark import registry
+
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+        bg: Counter = Counter()
+        for r in rows:
+            t = [w for w in r["text"].split(" ") if w != ""]
+            if len(t) < 2:
+                continue
+            ps = list(zip(t, t[1:]))
+            doc_bigrams[r["doc_id"]] = ps
+            bg.update(ps)
+        def half_up(x: float, nd: int = 0) -> float:
+            # SQL ROUND is half-away-from-zero; Python round() banks
+            m = 10**nd
+            return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+        nv = len({w2 for (_, w2) in bg})
+        cw: dict[str, int] = defaultdict(int)
+        for (w1, _), n in bg.items():
+            cw[w1] += n
+        cost = {
+            p: int(half_up(
+                math.log((cw[p[0]] + 0.5 * nv) / (n + 0.5)) * 1e6
+            ))
+            for p, n in bg.items()
+        }
+        expected = {}
+        for d, ps in doc_bigrams.items():
+            s = sum(cost[p] for p in ps)
+            expected[d] = (len(ps), half_up(s / len(ps) / 1e6, 6))
+
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+            for r in registry.QUERIES["q_bigram_lm"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        assert got  # non-vacuous
+
+    def test_fluent_scores_below_gibberish(self, spark):
+        """A corpus of one repeated fluent sentence + one gibberish
+        doc: the gibberish doc must score strictly higher (the filter
+        direction CCNet relies on)."""
+        from ema_bigdata_spark.operators.text import bigram_lm
+
+        fluent = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [(i, fluent) for i in range(20)]
+            + [(99, "zq xv qp vk jx wq zz xq vv kk")],
+            "doc_id BIGINT, text STRING",
+        )
+        got = {
+            r["doc_id"]: r["lm_score"] for r in bigram_lm(docs).collect()
+        }
+        assert got[99] > got[0]
+
+
+class TestWeightedSample:
+    def test_exact_match_vs_python_race(self, spark, sf_dir):
+        """Recompute the Efraimidis–Spirakis race in pure Python
+        (hashlib md5 60-bit uniform, snapped key, doc_id tiebreak)
+        and compare the full winner sets."""
+        import hashlib
+        import math
+        from collections import defaultdict
+
+        from ema_bigdata_spark import registry
+        from ema_bigdata_spark.operators.text import _WS_K
+
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        per_src = defaultdict(list)
+        for r in rows:
+            if r["n_chars"] <= 0:
+                continue
+            h = int(hashlib.md5(r["text"].encode()).hexdigest()[:15], 16)
+            key_u = round(
+                -math.log((h + 1.0) / 1152921504606846977.0)
+                / r["n_chars"]
+                * 1e9
+            )
+            per_src[r["source"]].append((key_u, r["doc_id"], r["n_chars"]))
+        expected = set()
+        for src, lst in per_src.items():
+            for rk, (ku, did, nc) in enumerate(sorted(lst)[:_WS_K], 1):
+                expected.add((src, did, nc, rk))
+
+        got = {
+            (r["source"], r["doc_id"], r["n_chars"], r["rk"])
+            for r in registry.QUERIES["q_weighted_sample"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        assert got  # non-vacuous
