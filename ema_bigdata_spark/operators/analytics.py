@@ -483,3 +483,163 @@ def q_gapfill(spark, sf_dir):
             F.col("v_c").isNull().alias("is_gap"),
         )
     )
+
+
+# -- q_event_transitions: first-order Markov transition matrix ------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, cnt,
+           round(CAST(cnt AS DOUBLE)
+                 / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE),
+                 6) AS p
+    FROM t
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current event type) — the
+    session-modeling / next-action-prediction primitive (and the
+    input to any behavioral anomaly scorer).
+
+    One lag window per user (the q_window_lag shuffle, keyed on
+    user_id with a (ts, event_id) total order), then a groupBy over
+    ≤ |types|² keys; the row-normalization runs as a window over that
+    tiny aggregate, never over events.  At 100 TB the only
+    data-proportional cost is the per-user sort the sessionize family
+    already prices; probabilities divide exact BIGINTs so the rounded
+    doubles are bit-equal cross-engine.  Driver-mandated surface
+    (SURVEY §2.4); no Main.scala counterpart."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt")
+            .over(Window.partitionBy("from_type"))
+            .cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+# -- q_ab_ttest: Welch two-sample test from exact moment sums -------------
+
+#: shared cross-engine t-statistic text over the exact integer moment
+#: sums (value is 2-decimal fixed point, so s1/q1 are exact BIGINTs in
+#: cents / cent²; every double below is derived from the same integers
+#: by the same expression text → bit-equal before round(6)).
+_WELCH_T = """
+round(
+  ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0)
+  / sqrt(
+      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        / (n1 - 1) / n1
+       + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+        / (n2 - 1) / n2)
+      / 10000.0),
+  6)
+"""
+
+
+@query(
+    "q_ab_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+        max(CASE WHEN event_type = 'click' THEN q END) AS q1,
+        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'view' THEN s END) AS s2,
+        max(CASE WHEN event_type = 'view' THEN q END) AS q2
+      FROM g
+    )
+    SELECT n1, n2,
+           round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean1,
+           round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean2,
+           {_WELCH_T} AS t_stat,
+           abs({_WELCH_T}) > 1.96 AS significant
+    FROM w
+    """,
+)
+def q_ab_ttest(spark, sf_dir):
+    """Welch's two-sample t-test (click vs view event values) — the
+    A/B-experiment readout, computed from exact integer moment sums:
+    ONE pass collects (n, Σx, Σx²) per arm in cents (map-side partial,
+    2-key shuffle), then the t-statistic is a single shared-text
+    double expression over those integers.  This is the
+    streaming-friendly sufficient-statistics form — at 100 TB the
+    reducer sees two rows.  Welch (unequal variances) rather than
+    pooled Student: arms are never variance-matched in practice.
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    c = cents("value")
+    g = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(c).cast("long").alias("s"),
+            F.sum(c * c).cast("long").alias("q"),
+        )
+    )
+
+    def pick(col, et):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    w = g.agg(
+        pick("n", "click").alias("n1"),
+        pick("s", "click").alias("s1"),
+        pick("q", "click").alias("q1"),
+        pick("n", "view").alias("n2"),
+        pick("s", "view").alias("s2"),
+        pick("q", "view").alias("q2"),
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.expr("round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6)").alias("mean1"),
+        F.expr("round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6)").alias("mean2"),
+        F.expr(_WELCH_T).alias("t_stat"),
+        F.expr(f"abs({_WELCH_T}) > 1.96").alias("significant"),
+    )

@@ -1148,3 +1148,115 @@ def q_ann_pq(spark, sf_dir):
         "exact_topk",
         (F.col("n_overlap") >= _PQ_RECALL_FLOOR).alias("pq_recall_ok"),
     )
+
+
+# -- q_embed_covariance: exact feature covariance (the PCA reduce) --------
+
+#: per-row upper-tri outer products, snapped to integer 1e-9 units
+#: BEFORE the corpus sum (float→double widening is exact and the
+#: double product is the same IEEE op both engines, so the snapped
+#: integers agree bit-for-bit; BIGINT sums are order-free).  0-based
+#: (i, j) with j ≥ i; ``slice`` is 1-based so position i+1 IS element
+#: index i — the diagonal is included.
+_OUTER_U = (
+    "flatten(transform(embedding, (xi, i) ->"
+    " transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) ->"
+    " struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,"
+    " CAST(round(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)"
+    " * 1000000000, 0) AS BIGINT) AS p_u))))"
+)
+
+#: per-row single elements in integer 1e-6 units (for the mean vector)
+_ELEM_U = (
+    "transform(embedding, (x, i) -> struct(CAST(i AS BIGINT) AS i,"
+    " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS x_u))"
+)
+
+#: shared covariance text over the exact integers:
+#: cov = E[xy] − E[x]E[y], every double derived from the same BIGINTs
+#: by the same expression → bit-equal before round(6).
+_COV_EXPR = (
+    "round(CAST(sxy AS DOUBLE) / 1000000000.0 / n"
+    " - (CAST(sxi AS DOUBLE) / 1000000.0 / n)"
+    " * (CAST(sxj AS DOUBLE) / 1000000.0 / n), 6)"
+)
+
+
+@query(
+    "q_embed_covariance",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS x_u,
+             CAST(embedding[i + 1] AS DOUBLE) AS xd
+      FROM embeddings,
+           UNNEST(range(0, len(embedding))) AS t(i)
+    ),
+    sxy AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(round(a.xd * b.xd * 1000000000, 0) AS BIGINT))
+                  AS BIGINT) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT i, CAST(sum(x_u) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY i
+    )
+    SELECT s.i, s.j,
+           {_COV_EXPR.replace('sxi', 'mi.sx').replace('sxj', 'mj.sx')
+                     .replace(' n', ' mi.n')} AS cov
+    FROM sxy s
+    JOIN m mi ON s.i = mi.i
+    JOIN m mj ON s.j = mj.i
+    """,
+)
+def q_embed_covariance(spark, sf_dir):
+    """Exact 64×64 feature-covariance matrix (upper triangle incl.
+    diagonal) over the embedding corpus — the distributed reduce of
+    PCA / whitening: everything after this (eigendecomposition of a
+    64×64 matrix) is driver-side numpy by design, exactly how Spark
+    MLlib's own PCA stages it (RowMatrix.computeCovariance → local
+    Breeze eig).
+
+    Spark-first plan with NO self-join and NO d×-row shuffle: each
+    row emits its 2 080 upper-tri products via nested array
+    ``transform`` (JVM higher-order functions, zero Python), and the
+    following hash aggregate combines them MAP-SIDE — the exchange
+    carries at most 2 080 keys per partition regardless of row count.
+    The mean vector rides the same pattern over single elements
+    (64 keys).  Per-element snapping to integer units before the sum
+    makes every cell bit-exact cross-engine AND order-free, so the
+    plan is shuffle-minimal without a determinism tax.  At 100 TB:
+    cost is the arithmetic itself (d²/2 multiplies per row — the
+    irreducible math of covariance), network is O(d² × partitions).
+    The oracle replays via a positional self-join — same integers,
+    different (test-scale-only) plan.  Driver-mandated surface
+    (SURVEY §2.4); no Main.scala counterpart."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sxy = (
+        emb.select(F.explode(F.expr(_OUTER_U)).alias("e"))
+        .select("e.i", "e.j", "e.p_u")
+        .groupBy("i", "j")
+        .agg(F.sum("p_u").cast("long").alias("sxy"))
+    )
+    m = (
+        emb.select(F.explode(F.expr(_ELEM_U)).alias("e"))
+        .select("e.i", "e.x_u")
+        .groupBy("i")
+        .agg(
+            F.sum("x_u").cast("long").alias("sx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    mi = m.select(
+        F.col("i").alias("mi_i"), F.col("sx").alias("sxi"), "n"
+    )
+    mj = m.select(F.col("i").alias("mj_i"), F.col("sx").alias("sxj"))
+    return (
+        sxy.join(F.broadcast(mi), sxy.i == mi.mi_i)
+        .join(F.broadcast(mj), sxy.j == mj.mj_i)
+        .select("i", "j", F.expr(_COV_EXPR).alias("cov"))
+    )

@@ -2980,3 +2980,134 @@ class TestWeightedSample:
         }
         assert got == expected
         assert got  # non-vacuous
+
+
+class TestEventTransitions:
+    def test_full_match_vs_python(self, spark, sf_dir):
+        """Rebuild every user's event sequence in Python, count
+        transitions, and compare counts + row-normalized
+        probabilities exactly."""
+        from collections import Counter, defaultdict
+
+        from ema_bigdata_spark import registry
+
+        rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        per_user = defaultdict(list)
+        for r in rows:
+            per_user[r["user_id"]].append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+        cnt: Counter = Counter()
+        for seq in per_user.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                cnt[(a, b)] += 1
+        tot = defaultdict(int)
+        for (a, _), n in cnt.items():
+            tot[a] += n
+        expected = {
+            (a, b, n, round(n / tot[a], 6)) for (a, b), n in cnt.items()
+        }
+
+        got = {
+            (r["from_type"], r["to_type"], r["cnt"], r["p"])
+            for r in registry.QUERIES["q_event_transitions"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
+        assert got
+
+    def test_probabilities_sum_to_one(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from ema_bigdata_spark import registry
+
+        sums = defaultdict(float)
+        for r in registry.QUERIES["q_event_transitions"](
+            spark, sf_dir
+        ).collect():
+            sums[r["from_type"]] += r["p"]
+        assert sums and all(
+            abs(s - 1.0) < 1e-4 for s in sums.values()
+        )
+
+
+class TestABTTest:
+    def test_t_stat_vs_scipy_free_recompute(self, spark, sf_dir):
+        """Welch t recomputed from the raw cent values in pure Python
+        (no scipy needed) — means and t must match to the rounding
+        grid, and the significance flag must be consistent."""
+        import math
+
+        from ema_bigdata_spark import registry
+
+        rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        arms = {"click": [], "view": []}
+        for r in rows:
+            if r["event_type"] in arms:
+                arms[r["event_type"]].append(round(r["value"] * 100))
+        c, v = arms["click"], arms["view"]
+
+        def stats(xs):
+            n = len(xs)
+            s = sum(xs)
+            q = sum(x * x for x in xs)
+            var = (q - s * s / n) / (n - 1)  # cent^2
+            return n, s / n / 100.0, var / 10000.0
+
+        n1, m1, v1 = stats(c)
+        n2, m2, v2 = stats(v)
+        t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+
+        [row] = registry.QUERIES["q_ab_ttest"](spark, sf_dir).collect()
+        assert (row["n1"], row["n2"]) == (n1, n2)
+        assert abs(row["mean1"] - m1) < 1e-6
+        assert abs(row["mean2"] - m2) < 1e-6
+        assert abs(row["t_stat"] - t) < 1e-5
+        assert row["significant"] == (abs(row["t_stat"]) > 1.96)
+
+
+class TestEmbedCovariance:
+    def test_full_match_vs_numpy(self, spark, sf_dir):
+        """Covariance recomputed with numpy on the same snapped
+        integers — all 2 080 upper-tri cells must match exactly; also
+        pin shape and diagonal non-negativity."""
+        import numpy as np
+
+        from ema_bigdata_spark import registry
+
+        rows = spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).collect()
+        X = np.array(
+            [r["embedding"] for r in rows], dtype=np.float64
+        )  # float32 → float64 widening, same as both engines
+        n, d = X.shape
+        # snapped second moments / means exactly as the operator does
+        P = np.rint(
+            np.einsum("ni,nj->nij", X, X) * 1e9
+        ).astype(np.int64).sum(axis=0)
+        S = np.rint(X * 1e6).astype(np.int64).sum(axis=0)
+        expected = {}
+        for i in range(d):
+            for j in range(i, d):
+                cov = P[i, j] / 1e9 / n - (S[i] / 1e6 / n) * (
+                    S[j] / 1e6 / n
+                )
+                expected[(i, j)] = round(cov, 6)
+
+        got = {
+            (r["i"], r["j"]): r["cov"]
+            for r in registry.QUERIES["q_embed_covariance"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(got) == d * (d + 1) // 2
+        mism = {
+            k: (got[k], expected[k])
+            for k in expected
+            if abs(got[k] - expected[k]) > 1e-9
+        }
+        assert not mism, list(mism.items())[:5]
+        assert all(got[(i, i)] >= 0 for i in range(d))
