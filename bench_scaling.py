@@ -85,6 +85,20 @@ _FAMILY_QUERIES = (
     "q_pagerank",
     "q_ann_pq",
     "q_skyline",
+    # r5 third batch: bigram_lm's pair explode + cost join must track
+    # token count (a vocab² blow-up would show); bpe_pairs must stay
+    # vocab-bound (near-flat); cdc_merge/gapfill/event_transitions pin
+    # the window+join paths; embed_covariance is linear-by-construction
+    # with a heavy d²/2 constant — superlinearity here means the
+    # map-side combine stopped combining; weighted_sample pins the
+    # projection+rank-window path
+    "q_bigram_lm",
+    "q_bpe_pairs",
+    "q_cdc_merge",
+    "q_gapfill",
+    "q_event_transitions",
+    "q_embed_covariance",
+    "q_weighted_sample",
 )
 
 
