@@ -1155,15 +1155,19 @@ def q_ann_pq(spark, sf_dir):
 #: per-row upper-tri outer products, snapped to integer 1e-9 units
 #: BEFORE the corpus sum (float→double widening is exact and the
 #: double product is the same IEEE op both engines, so the snapped
-#: integers agree bit-for-bit; BIGINT sums are order-free).  0-based
-#: (i, j) with j ≥ i; ``slice`` is 1-based so position i+1 IS element
-#: index i — the diagonal is included.
+#: integers agree bit-for-bit; BIGINT sums are order-free).  Emitted
+#: as a FLAT BIGINT array — row-major upper-tri enumeration (i outer,
+#: j = i..d−1 inner), so the posexplode ordinal IS the cell id; the
+#: (i, j) labels rejoin from a broadcast 2 080-row dim AFTER the
+#: aggregate.  Measured 25% faster than exploding (i, j, p) structs
+#: (3.39 → 2.61 s at sf0.1: two-thirds less Generate output width).
+#: ``slice`` is 1-based so position i+1 IS element index i — the
+#: diagonal is included.
 _OUTER_U = (
     "flatten(transform(embedding, (xi, i) ->"
     " transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) ->"
-    " struct(CAST(i AS BIGINT) AS i, CAST(i + j AS BIGINT) AS j,"
     " CAST(round(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)"
-    " * 1000000000, 0) AS BIGINT) AS p_u))))"
+    " * 1000000000, 0) AS BIGINT))))"
 )
 
 #: per-row single elements in integer 1e-6 units (for the mean vector)
@@ -1223,24 +1227,52 @@ def q_embed_covariance(spark, sf_dir):
 
     Spark-first plan with NO self-join and NO d×-row shuffle: each
     row emits its 2 080 upper-tri products via nested array
-    ``transform`` (JVM higher-order functions, zero Python), and the
+    ``transform`` (JVM higher-order functions, zero Python) as a flat
+    BIGINT array whose posexplode ordinal is the cell id, and the
     following hash aggregate combines them MAP-SIDE — the exchange
-    carries at most 2 080 keys per partition regardless of row count.
-    The mean vector rides the same pattern over single elements
-    (64 keys).  Per-element snapping to integer units before the sum
-    makes every cell bit-exact cross-engine AND order-free, so the
-    plan is shuffle-minimal without a determinism tax.  At 100 TB:
-    cost is the arithmetic itself (d²/2 multiplies per row — the
-    irreducible math of covariance), network is O(d² × partitions).
-    The oracle replays via a positional self-join — same integers,
-    different (test-scale-only) plan.  Driver-mandated surface
-    (SURVEY §2.4); no Main.scala counterpart."""
+    carries at most 2 080 keys per partition regardless of row count;
+    the (i, j) labels rejoin from a broadcast dim built join-free
+    (range × sequence explode) AFTER the aggregate, so the per-row
+    Generate never carries them (measured 25% faster than the struct
+    form).  The mean vector rides the same pattern over single
+    elements (64 keys).  Per-element snapping to integer units before
+    the sum makes every cell bit-exact cross-engine AND order-free,
+    so the plan is shuffle-minimal without a determinism tax.  At
+    100 TB: cost is the arithmetic itself (d²/2 multiplies per row —
+    the irreducible math of covariance), network is
+    O(d² × partitions).  The oracle replays via a positional
+    self-join — same integers, different (test-scale-only) plan.
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
     emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.select(F.size("embedding").alias("d")).head(1)
+    d = head[0]["d"] if head else 0
+    # row-major upper-tri cell ids: pos(i, j) = i·d − i(i−1)/2 + (j−i)
+    cells = (
+        spark.range(d)
+        .select(
+            F.col("id").alias("i"),
+            F.explode(
+                F.sequence(F.col("id"), F.lit(max(d - 1, 0)).cast("long"))
+            ).alias("j"),
+        )
+        .select(
+            (
+                F.col("i") * d
+                - (F.col("i") * (F.col("i") - 1)) / 2
+                + (F.col("j") - F.col("i"))
+            )
+            .cast("int")
+            .alias("pos"),
+            "i",
+            "j",
+        )
+    )
     sxy = (
-        emb.select(F.explode(F.expr(_OUTER_U)).alias("e"))
-        .select("e.i", "e.j", "e.p_u")
-        .groupBy("i", "j")
+        emb.select(F.posexplode(F.expr(_OUTER_U)).alias("pos", "p_u"))
+        .groupBy("pos")
         .agg(F.sum("p_u").cast("long").alias("sxy"))
+        .join(F.broadcast(cells), "pos")
     )
     m = (
         emb.select(F.explode(F.expr(_ELEM_U)).alias("e"))
