@@ -403,6 +403,38 @@ def q_skyline(spark, sf_dir):
 # -- q_gapfill: per-user daily time spine + forward fill ------------------
 
 
+def gapfill(events):
+    """Core of :func:`q_gapfill` over any (user_id, ts, value) event
+    set: daily BIGINT-cent sums per user, densified onto the per-user
+    min..max day spine with LOCF forward fill and gap flags.  See the
+    registered query's docstring for the plan/scale rationale."""
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents("value")).alias("v_c"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            (
+                F.last("v_c", ignorenulls=True).over(w).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+            F.col("v_c").isNull().alias("is_gap"),
+        )
+    )
+
+
 @query(
     "q_gapfill",
     oracle="""
@@ -455,32 +487,9 @@ def q_gapfill(spark, sf_dir):
     SURVEY §2.4); semantics follow the standard LOCF resample
     contract (pandas `asfreq().ffill()`, TimescaleDB `locf()`).
     """
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.sum(cents("value")).alias("v_c"))
-    )
-    spine = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        spine.join(daily, ["user_id", "day"], "left")
-        .select(
-            "user_id",
-            "day",
-            (
-                F.last("v_c", ignorenulls=True).over(w).cast("double")
-                / F.lit(100.0)
-            ).alias("sum_value"),
-            F.col("v_c").isNull().alias("is_gap"),
+    return gapfill(
+        load_table(spark, sf_dir, "events").where(
+            F.col("event_type") == "purchase"
         )
     )
 

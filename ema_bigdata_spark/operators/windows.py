@@ -307,6 +307,13 @@ def cdc_merge(snap_events, batch_events):
     what a production MERGE publishes as its commit metrics; the full
     row set is the post-merge table.
 
+    final_value keys on BATCH-ROW PRESENCE (the non-null join key),
+    never on value nullness: a batch row whose latest value is NULL
+    legitimately overwrites the snapshot with NULL (an
+    ``update``/``unchanged`` carrying NULL forward) — a
+    ``coalesce(b.value, s.value)`` here would silently resurrect the
+    old value (caught by the Hypothesis random-split test).
+
     Scale: both compactions shuffle once on the same key → AQE reuses
     the partitioning for the join; at 100 TB the snapshot is already
     compact (it IS the previous merge output) and only the batch pays
@@ -333,7 +340,9 @@ def cdc_merge(snap_events, batch_events):
     return j.select(
         F.coalesce("s.user_id", "b.user_id").alias("user_id"),
         F.coalesce("s.event_type", "b.event_type").alias("event_type"),
-        F.coalesce("b.value", "s.value").alias("final_value"),
+        F.when(F.col("b.user_id").isNull(), F.col("s.value"))
+        .otherwise(F.col("b.value"))
+        .alias("final_value"),
         F.coalesce("b.ts", "s.ts").alias("final_ts"),
         F.when(F.col("s.user_id").isNull(), "insert")
         .when(F.col("b.user_id").isNull(), "carry")
@@ -364,7 +373,8 @@ def cdc_merge(snap_events, batch_events):
     )
     SELECT coalesce(s.user_id, b.user_id) AS user_id,
            coalesce(s.event_type, b.event_type) AS event_type,
-           coalesce(b.value, s.value) AS final_value,
+           CASE WHEN b.user_id IS NULL THEN s.value
+                ELSE b.value END AS final_value,
            coalesce(b.ts, s.ts) AS final_ts,
            CASE WHEN s.user_id IS NULL THEN 'insert'
                 WHEN b.user_id IS NULL THEN 'carry'

@@ -2765,6 +2765,7 @@ class TestCDCMerge:
             (3, 1, 2, "a", 20.0),   # unchanged later
             (4, 1, 3, "a", None),   # NULL, matched by NULL → unchanged
             (5, 1, 4, "a", 40.0),   # carried (no batch row)
+            (11, 1, 6, "a", 60.0),  # overwritten by NULL later
         ])
         batch = ev([
             (6, 5, 1, "a", 12.0),   # update (vs 11.0)
@@ -2772,6 +2773,7 @@ class TestCDCMerge:
             (8, 5, 3, "a", None),   # NULL = NULL → unchanged
             (9, 5, 5, "a", 50.0),   # insert
             (10, 6, 5, "a", 51.0),  # ← latest in batch
+            (12, 5, 6, "a", None),  # NULL overwrites 60.0 → update/NULL
         ])
         got = {
             (r["user_id"], r["op"], r["final_value"])
@@ -2783,6 +2785,7 @@ class TestCDCMerge:
             (3, "unchanged", None),
             (4, "carry", 40.0),
             (5, "insert", 51.0),
+            (6, "update", None),  # batch NULL wins; never resurrected
         }
 
     def test_registered_query_classes(self, spark, sf_dir):
@@ -3111,3 +3114,147 @@ class TestEmbedCovariance:
         }
         assert not mism, list(mism.items())[:5]
         assert all(got[(i, i)] >= 0 for i in range(d))
+
+
+class TestGapfillHypothesis:
+    def test_random_sparse_series_match_reference(self, spark):
+        """Hypothesis: arbitrary sparse (user, day, cents) observation
+        sets — the spine must be dense per user, LOCF must carry the
+        latest observed daily SUM, and gap flags must mark exactly
+        the unobserved days."""
+        import datetime as dt
+        from collections import defaultdict
+
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from ema_bigdata_spark.operators.analytics import gapfill
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 2),        # user
+                    st.integers(0, 20),       # day offset in 2024-01
+                    st.integers(-500, 500),   # value in cents
+                ),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def run(raw):
+            rows = [
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=eid % 24),
+                    u,
+                    c / 100.0,
+                )
+                for eid, (u, d, c) in enumerate(raw)
+            ]
+            df = spark.createDataFrame(
+                rows,
+                "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+                " value DOUBLE",
+            )
+            daily = defaultdict(int)
+            for _, ts, u, v in rows:
+                daily[(u, ts.date())] += round(v * 100)
+            expected = {}
+            by_user = defaultdict(list)
+            for (u, d) in daily:
+                by_user[u].append(d)
+            for u, ds in by_user.items():
+                cur = None
+                day = min(ds)
+                while day <= max(ds):
+                    gap = (u, day) not in daily
+                    if not gap:
+                        cur = daily[(u, day)]
+                    expected[(u, day)] = (cur / 100.0, gap)
+                    day += dt.timedelta(days=1)
+            got = {
+                (r["user_id"], r["day"]): (r["sum_value"], r["is_gap"])
+                for r in gapfill(df).collect()
+            }
+            assert got == expected
+
+        run()
+
+
+class TestCDCMergeHypothesis:
+    def test_random_splits_match_reference(self, spark):
+        """Hypothesis: arbitrary event sets split at an arbitrary
+        point — cdc_merge must classify every key exactly as the
+        compact-then-merge Python reference does (incl. NULL values
+        and latest-per-key tie-breaks on (ts, event_id))."""
+        import datetime as dt
+
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from ema_bigdata_spark.operators.windows import cdc_merge
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),                      # user
+                    st.integers(0, 9),                      # day
+                    st.one_of(st.none(), st.integers(0, 3)),  # value
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            st.integers(1, 9),  # split day
+        )
+        def run(raw, split):
+            rows = [
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                    u,
+                    "a",
+                    float(v) if v is not None else None,
+                )
+                for eid, (u, d, v) in enumerate(raw)
+            ]
+            df = spark.createDataFrame(
+                rows,
+                "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+                " event_type STRING, value DOUBLE",
+            )
+            cut = dt.datetime(2024, 1, 1) + dt.timedelta(days=split)
+
+            def compact(side):
+                best = {}
+                for eid, ts, u, t, v in side:
+                    k = (u, t)
+                    if k not in best or (ts, eid) > (best[k][0], best[k][1]):
+                        best[k] = (ts, eid, v)
+                return best
+
+            snap = compact([r for r in rows if r[1] < cut])
+            batch = compact([r for r in rows if r[1] >= cut])
+            expected = {}
+            for k in set(snap) | set(batch):
+                if k not in snap:
+                    op, v = "insert", batch[k][2]
+                elif k not in batch:
+                    op, v = "carry", snap[k][2]
+                elif batch[k][2] == snap[k][2]:
+                    op, v = "unchanged", batch[k][2]
+                else:
+                    op, v = "update", batch[k][2]
+                expected[k] = (op, v)
+
+            got = {
+                (r["user_id"], r["event_type"]): (r["op"], r["final_value"])
+                for r in cdc_merge(
+                    df.where(F.col("ts") < F.lit(cut)),
+                    df.where(F.col("ts") >= F.lit(cut)),
+                ).collect()
+            }
+            assert got == expected
+
+        run()
