@@ -587,8 +587,9 @@ round(
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+             sum(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)
+                      AS DECIMAL(38, 0))) AS q
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY 1
     ),
@@ -607,7 +608,7 @@ round(
            round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean2,
            {_WELCH_T} AS t_stat,
            abs({_WELCH_T}) > 1.96 AS significant
-    FROM w
+    FROM w WHERE n1 > 1 AND n2 > 1
     """,
 )
 def q_ab_ttest(spark, sf_dir):
@@ -619,7 +620,13 @@ def q_ab_ttest(spark, sf_dir):
     streaming-friendly sufficient-statistics form — at 100 TB the
     reducer sees two rows.  Welch (unequal variances) rather than
     pooled Student: arms are never variance-matched in practice.
-    Driver-mandated surface (SURVEY §2.4); no Main.scala
+    The Σx² sum runs in DECIMAL(38, 0) per the parity.py headroom
+    rule (cent² terms reach ~1e10/row, so a BIGINT sum would wrap
+    silently past ~1e9 rows/arm; DuckDB's BIGINT sums already widen
+    to HUGEINT, and both widen to the identical double in
+    `_WELCH_T`).  Degenerate single-row arms are filtered out
+    (n > 1) rather than dividing by zero with engine-divergent
+    semantics.  Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
     c = cents("value")
     g = (
@@ -629,7 +636,7 @@ def q_ab_ttest(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(c).cast("long").alias("s"),
-            F.sum(c * c).cast("long").alias("q"),
+            F.sum((c * c).cast("decimal(38,0)")).alias("q"),
         )
     )
 
@@ -644,7 +651,7 @@ def q_ab_ttest(spark, sf_dir):
         pick("s", "view").alias("s2"),
         pick("q", "view").alias("q2"),
     )
-    return w.select(
+    return w.where("n1 > 1 AND n2 > 1").select(
         "n1",
         "n2",
         F.expr("round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6)").alias("mean1"),

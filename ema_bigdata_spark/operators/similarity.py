@@ -1199,8 +1199,7 @@ _COV_EXPR = (
     ),
     sxy AS (
       SELECT a.i AS i, b.i AS j,
-             CAST(sum(CAST(round(a.xd * b.xd * 1000000000, 0) AS BIGINT))
-                  AS BIGINT) AS sxy
+             sum(CAST(round(a.xd * b.xd * 1000000000, 0) AS BIGINT)) AS sxy
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
     ),
@@ -1245,8 +1244,20 @@ def q_embed_covariance(spark, sf_dir):
     Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
     emb = load_table(spark, sf_dir, "embeddings")
-    head = emb.select(F.size("embedding").alias("d")).head(1)
-    d = head[0]["d"] if head else 0
+    # dimension discovery MUST be corpus-wide, not head(1): a single
+    # off-width vector would otherwise emit flatten ordinals laid out
+    # for the wrong triangle and sum into wrong cells with no error.
+    # One tiny min/max aggregate over array lengths fails loudly
+    # instead (and doubles as the d source).
+    bounds = emb.agg(
+        F.min(F.size("embedding")).alias("mn"),
+        F.max(F.size("embedding")).alias("mx"),
+    ).first()
+    d = bounds["mn"] if bounds["mn"] is not None else 0
+    if d != (bounds["mx"] if bounds["mx"] is not None else 0):
+        raise ValueError(
+            f"ragged embedding widths: {bounds['mn']}..{bounds['mx']}"
+        )
     # row-major upper-tri cell ids: pos(i, j) = i·d − i(i−1)/2 + (j−i)
     cells = (
         spark.range(d)
@@ -1268,10 +1279,25 @@ def q_embed_covariance(spark, sf_dir):
             "j",
         )
     )
+    # overflow-safe two-stage sum (parity.py headroom rule): p_u
+    # reaches ~1e11/row for |x|~10, so one flat BIGINT sum would wrap
+    # past ~1e8 rows.  Stage 1 long-sums per (scan partition, cell) —
+    # exact while a single partition holds < 2^63/max(p_u) rows (~1e7
+    # at 128 MB partitions, orders of magnitude of headroom) — and
+    # stage 2 DECIMAL(38,0)-sums the tiny per-partition partials, so
+    # the decimal arithmetic never touches the hot path (measured:
+    # decimal-everywhere costs +25%, this form is free; DuckDB's
+    # BIGINT sums widen to HUGEINT natively, and both engines widen
+    # to the identical double inside _COV_EXPR).
     sxy = (
-        emb.select(F.posexplode(F.expr(_OUTER_U)).alias("pos", "p_u"))
+        emb.select(
+            F.spark_partition_id().alias("pid"),
+            F.posexplode(F.expr(_OUTER_U)).alias("pos", "p_u"),
+        )
+        .groupBy("pid", "pos")
+        .agg(F.sum("p_u").alias("ps"))
         .groupBy("pos")
-        .agg(F.sum("p_u").cast("long").alias("sxy"))
+        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
         .join(F.broadcast(cells), "pos")
     )
     m = (

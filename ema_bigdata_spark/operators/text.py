@@ -1933,6 +1933,8 @@ def q_bigram_lm(spark, sf_dir):
 
 # -- q_weighted_sample: weighted sampling without replacement -------------
 
+from ema_bigdata_spark.operators.dedup import _DUCK_H60  # noqa: E402
+
 #: Efraimidis–Spirakis exponential race key in integer nano units:
 #: u = (h60 + 1) / (2^60 + 1) ∈ (0, 1], key = −ln(u) / weight —
 #: Exp(weight)-distributed, so the k smallest keys ARE a weighted
@@ -1956,7 +1958,7 @@ _WS_K = 5
     oracle=f"""
     WITH h AS (
       SELECT source, doc_id, n_chars,
-             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+             {_DUCK_H60.format(x='text')} AS h
       FROM documents WHERE n_chars > 0
     ),
     k AS (

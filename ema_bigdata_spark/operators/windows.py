@@ -251,18 +251,33 @@ def q_window_range_frame(spark, sf_dir):
 
 # -- q_compact_latest: keep-latest-per-key compaction (CDC/upsert) --------
 
-
-@query(
-    "q_compact_latest",
-    oracle="""
+#: the ONE compaction contract (key, recency order, unique tie-break)
+#: shared by q_compact_latest and both sides of cdc_merge — Python
+#: and SQL forms kept side by side so a tie-break change cannot drift
+#: between the standalone query, the merge, and their oracles.
+_COMPACT_SQL = """
     SELECT user_id, event_type, ts, value FROM (
       SELECT user_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
+      FROM {src}
+    ) WHERE rn = 1"""
+
+
+def compact_latest(events):
+    """Latest row per (user_id, event_type), ties broken by the unique
+    event_id — the Python form of :data:`_COMPACT_SQL`."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+    )
+
+
+@query("q_compact_latest", oracle=_COMPACT_SQL.format(src="events"))
 def q_compact_latest(spark, sf_dir):
     """Keep-latest-per-key compaction — the CDC/upsert merge every
     lakehouse table maintenance job runs: one ranking window keyed by
@@ -273,15 +288,7 @@ def q_compact_latest(spark, sf_dir):
     partition of a date-partitioned table, and AQE splits any hot key's
     sort.  (A groupBy(max_by) would also work but loses the full-row
     payload generality that makes this the standard compaction shape.)"""
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    return (
-        load_table(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "ts", "value")
-    )
+    return compact_latest(load_table(spark, sf_dir, "events"))
 
 
 # -- q_cdc_merge: MERGE INTO classification (SCD-1 upsert audit) ----------
@@ -318,19 +325,8 @@ def cdc_merge(snap_events, batch_events):
     the partitioning for the join; at 100 TB the snapshot is already
     compact (it IS the previous merge output) and only the batch pays
     a window."""
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-
-    def compact(side):
-        return (
-            side.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "event_type", "ts", "value")
-        )
-
-    s = compact(snap_events).alias("s")
-    b = compact(batch_events).alias("b")
+    s = compact_latest(snap_events).alias("s")
+    b = compact_latest(batch_events).alias("b")
     j = s.join(
         b,
         (F.col("s.user_id") == F.col("b.user_id"))
@@ -355,21 +351,13 @@ def cdc_merge(snap_events, batch_events):
 @query(
     "q_cdc_merge",
     oracle=f"""
-    WITH snap AS (
-      SELECT user_id, event_type, ts, value FROM (
-        SELECT user_id, event_type, ts, value,
-               row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts < TIMESTAMP '{_MERGE_T}'
-      ) WHERE rn = 1
+    WITH snap AS ({_COMPACT_SQL.format(
+        src=f"(SELECT * FROM events WHERE ts < TIMESTAMP '{_MERGE_T}')"
+    )}
     ),
-    batch AS (
-      SELECT user_id, event_type, ts, value FROM (
-        SELECT user_id, event_type, ts, value,
-               row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts >= TIMESTAMP '{_MERGE_T}'
-      ) WHERE rn = 1
+    batch AS ({_COMPACT_SQL.format(
+        src=f"(SELECT * FROM events WHERE ts >= TIMESTAMP '{_MERGE_T}')"
+    )}
     )
     SELECT coalesce(s.user_id, b.user_id) AS user_id,
            coalesce(s.event_type, b.event_type) AS event_type,
@@ -387,12 +375,20 @@ def cdc_merge(snap_events, batch_events):
 )
 def q_cdc_merge(spark, sf_dir):
     """See :func:`cdc_merge` — the lakehouse SCD-1 MERGE audited on
-    the events table split at `_MERGE_T` (date filters push to the
-    parquet scan on both sides, so at 100 TB the batch side reads
-    only the fresh partitions).  Driver-mandated surface (SURVEY
-    §2.4); no Main.scala counterpart."""
-    ev = load_table(spark, sf_dir, "events")
-    t = F.lit(_MERGE_T).cast("timestamp_ntz")
+    the events table split at `_MERGE_T`.  Each side goes through
+    ``filter_ts_range`` on the RAW column (tables.py): the split
+    predicate stays an integer/native comparison that reaches the
+    parquet scan under BOTH physical timestamp types the loader
+    supports, so at 100 TB the batch side reads only the fresh
+    partitions.  Driver-mandated surface (SURVEY §2.4); no Main.scala
+    counterpart."""
+    from ema_bigdata_spark.sources.tables import filter_ts_range, load_raw
+
     return cdc_merge(
-        ev.where(F.col("ts") < t), ev.where(F.col("ts") >= t)
+        filter_ts_range(
+            load_raw(spark, sf_dir, "events"), "ts", hi=_MERGE_T
+        ),
+        filter_ts_range(
+            load_raw(spark, sf_dir, "events"), "ts", lo=_MERGE_T
+        ),
     )

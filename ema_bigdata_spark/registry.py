@@ -63,7 +63,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: seven r3 streaming rows) rotate in r6, completing the
 #: ≤2-round-old invariant.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — new in r5, never checked (26) —
+    # — new in r5, never checked (31) —
     "q_mm_png",
     "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q13",
     "q_sql_tpch_q15", "q_sql_tpch_q19",

@@ -12,6 +12,16 @@ from ema_bigdata_spark.sources.tables import load_table
 registry.load_all()
 
 
+def half_up(x: float, nd: int = 0) -> float:
+    """SQL-style ROUND (half away from zero) for Python-reference
+    recomputes — ``round()``/``np.rint`` bank at .5 ties and can
+    disagree with both engines in the last rounded digit."""
+    import math
+
+    m = 10**nd
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
 def test_hash60_cross_engine_parity(spark):
     """The md5-60bit hash template that buys the MinHash/SimHash family
     its full-value oracle must agree bit-for-bit between Spark and
@@ -2899,11 +2909,6 @@ class TestBigramLM:
             ps = list(zip(t, t[1:]))
             doc_bigrams[r["doc_id"]] = ps
             bg.update(ps)
-        def half_up(x: float, nd: int = 0) -> float:
-            # SQL ROUND is half-away-from-zero; Python round() banks
-            m = 10**nd
-            return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
-
         nv = len({w2 for (_, w2) in bg})
         cw: dict[str, int] = defaultdict(int)
         for (w1, _), n in bg.items():
@@ -2964,11 +2969,11 @@ class TestWeightedSample:
             if r["n_chars"] <= 0:
                 continue
             h = int(hashlib.md5(r["text"].encode()).hexdigest()[:15], 16)
-            key_u = round(
+            key_u = int(half_up(
                 -math.log((h + 1.0) / 1152921504606846977.0)
                 / r["n_chars"]
                 * 1e9
-            )
+            ))
             per_src[r["source"]].append((key_u, r["doc_id"], r["n_chars"]))
         expected = set()
         for src, lst in per_src.items():
@@ -3009,7 +3014,7 @@ class TestEventTransitions:
         for (a, _), n in cnt.items():
             tot[a] += n
         expected = {
-            (a, b, n, round(n / tot[a], 6)) for (a, b), n in cnt.items()
+            (a, b, n, half_up(n / tot[a], 6)) for (a, b), n in cnt.items()
         }
 
         got = {
@@ -3088,17 +3093,21 @@ class TestEmbedCovariance:
         )  # float32 → float64 widening, same as both engines
         n, d = X.shape
         # snapped second moments / means exactly as the operator does
-        P = np.rint(
+        def np_half_up(a):
+            # engine ROUND semantics (half away from zero), not rint
+            return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+        P = np_half_up(
             np.einsum("ni,nj->nij", X, X) * 1e9
         ).astype(np.int64).sum(axis=0)
-        S = np.rint(X * 1e6).astype(np.int64).sum(axis=0)
+        S = np_half_up(X * 1e6).astype(np.int64).sum(axis=0)
         expected = {}
         for i in range(d):
             for j in range(i, d):
                 cov = P[i, j] / 1e9 / n - (S[i] / 1e6 / n) * (
                     S[j] / 1e6 / n
                 )
-                expected[(i, j)] = round(cov, 6)
+                expected[(i, j)] = half_up(cov, 6)
 
         got = {
             (r["i"], r["j"]): r["cov"]
