@@ -133,7 +133,13 @@ def family_scaling(spark) -> dict:
 #: the 0.38-0.39 "exponents" were); by sf10 (~0.7 GB, 500 k docs) the
 #: per-row CPU finally dominates, so the LAST decade's exponent is the
 #: honest slope.
-_DECADE_QUERIES = ("q_topk_ngrams", "q_pii_scrub")
+#: r5 late additions: the two highest family-probe exponents of the
+#: new surface — q_char_entropy 0.67-0.68 (per-char explode CPU) and
+#: q_bigram_lm 0.23 (pair explode + cost join) — get the same
+#: two-extra-decades treatment; both read only ``documents``.
+_DECADE_QUERIES = (
+    "q_topk_ngrams", "q_pii_scrub", "q_char_entropy", "q_bigram_lm"
+)
 
 
 def _make_big_documents(spark, out_dir: str, factor: int) -> int:
