@@ -43,19 +43,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: stalest-official-row, then changed-this-round (an old green row
 #: doesn't certify refactored code).  After r4, official newest-green
 #: rounds split 21×r2 / 44×r3 / 50×r4 (gmm_fit & q_gmm_bic rows-only).
-#: This window leads with ALL 31 never-checked r5 additions (q_mm_png,
+#: This window leads with ALL 32 never-checked r5 additions (q_mm_png,
 #: TPC-H Q7/Q8/Q13/Q15/Q19, the retrieval/quality/order sextet,
 #: outlier_mad/zorder/pagerank, s_stream_anomaly, ann_pq, skyline,
 #: TPC-H Q2/Q9/Q16/Q21/Q22, cdc_merge, gapfill, bpe_pairs, bigram_lm,
-#: weighted_sample, event_transitions, ab_ttest, embed_covariance),
-#: then 19 of the 21 remaining r2 rows (VERDICT r4 §Next-1) — exactly
-#: 50.  The never-checked-first rule forces three holdovers to r6:
-#: q_contamination and q_pack_sequences (the two r2 rows with the
-#: heaviest dedicated property suites) and q_unigram_lm (r5 code
-#: change on an r3 official row); q_mm_features' r5 change is an
-#: error-path-only BMP guard on an r4 official row.  All four are
-#: judge-verified green on current code via the full driver-sim runs
-#: in ROUND5_NOTES §6.
+#: weighted_sample, event_transitions, ab_ttest, embed_covariance,
+#: s_stream_topk), then 18 of the 21 remaining r2 rows (VERDICT r4
+#: §Next-1) — exactly 50.  The never-checked-first rule forces four
+#: holdovers to r6: q_contamination, q_pack_sequences and
+#: q_corpus_clean (the three r2 rows with the heaviest dedicated
+#: property suites) and q_unigram_lm (r5 code change on an r3
+#: official row); q_mm_features' r5 change is an error-path-only BMP
+#: guard on an r4 official row.  All five are judge-verified green on
+#: current code via the full driver-sim runs in ROUND5_NOTES §6.
 #: The r3 rows squeezed out by the additions (TPC-H q6/q10/q14/q17/
 #: q18, approx/collect aggs, window frames, event analytics, the
 #: minhash/simhash pair, dedup cluster family, embeddings/ANN family,
@@ -75,13 +75,15 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_sql_tpch_q21", "q_sql_tpch_q22", "q_cdc_merge",
     "q_gapfill", "q_bpe_pairs", "q_bigram_lm", "q_weighted_sample",
     "q_event_transitions", "q_ab_ttest", "q_embed_covariance",
+    "s_stream_topk",
     # — newest official green row is r2: scalars (4) —
     "q_date_funcs", "q_math_funcs", "q_case_null", "q_json_extract",
-    # — r2: text family (12; contamination & pack_sequences → r6) —
+    # — r2: text family (11; contamination, pack_sequences &
+    # corpus_clean → r6) —
     "q_text_tokens", "q_lang_id", "q_quality_score", "q_token_count",
     "q_doc_fingerprint", "q_tfidf", "q_normalize_text",
     "q_stratified_sample", "q_repetition_score", "q_source_mix",
-    "q_token_histogram", "q_corpus_clean",
+    "q_token_histogram",
     # — r2: window trio (3) —
     "q_window_rank", "q_window_running", "q_window_lag",
 )

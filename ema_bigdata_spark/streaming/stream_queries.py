@@ -720,3 +720,72 @@ def s_stream_anomaly(spark, sf_dir):
     return spark.table(sink).select(
         "user_id", "event_id", "value", "n_prior"
     )
+
+
+@query(
+    "s_stream_topk",
+    oracle="""
+    SELECT window_start, event_type, n, rk FROM (
+      SELECT window_start, event_type, n,
+             CAST(row_number() OVER (
+                    PARTITION BY window_start
+                    ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rk <= 3
+    """,
+)
+def s_stream_topk(spark, sf_dir):
+    """Streaming heavy-hitters: hourly windowed counts per event type
+    on the stream, top-3 per window ranked downstream — the trending
+    topics / top-sellers dashboard shape.  Ranking across keys is not
+    expressible inside a streaming aggregation (it needs the whole
+    window's key set), so the production pattern is exactly this
+    split: the STREAM maintains the windowed counts (watermark-bounded
+    state, incremental), and the rank runs downstream on each closed
+    window (foreachBatch / the serving view) over ≤ |event types| rows
+    per window — here on the drained sink, which is that view.
+
+    Scale: stream state = windows × types scalars; the rank window is
+    over the tiny aggregate, never events.  Window boundaries and the
+    NTZ output edge are pure epoch-µs arithmetic (tz-independent, the
+    s_stream_tumbling machinery).  Hour windows keep the demo's
+    result set meaningful (top-3 of 5 types per hour)."""
+    stream = stream_source(spark, sf_dir)
+    stream = stream.withColumn("ts", event_instant(stream))
+    agg = (
+        stream.withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.expr(_START_NTZ).alias("window_start"),
+            "event_type",
+            "n",
+            "rk",
+        )
+    )

@@ -3267,3 +3267,71 @@ class TestCDCMergeHypothesis:
             assert got == expected
 
         run()
+
+
+def test_stream_topk_rank_reflects_cross_batch_counts(spark, tmp_path):
+    """s_stream_topk's shape: windowed counts must ACCUMULATE across
+    micro-batches and the downstream rank must follow the accumulated
+    totals — batch 1 puts type 'a' ahead; batch 2's extra 'b' rows
+    flip the order."""
+    import time
+    import uuid as _uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    d = tmp_path / "topk_src"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_type", "ts_us"])
+        table = pa.Table.from_pandas(pdf).cast(
+            pa.schema([("event_type", pa.string()), ("ts_us", pa.int64())])
+        )
+        pq.write_table(table, str(d / name))
+
+    h = 3_600_000_000  # one hour in µs; all rows in window [0, 1h)
+    batches = [
+        ("a.parquet", [("a", 100), ("a", 200), ("b", 300)]),
+        ("b.parquet", [("b", 400), ("b", 500)]),  # b overtakes a
+    ]
+    for name, rows in batches:
+        write(name, rows)
+        time.sleep(1.1)
+    assert all(t < h for _, rs in batches for _, t in rs)
+
+    stream = (
+        spark.readStream.schema("event_type STRING, ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sink = f"topktest_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    out = [
+        (r.event_type, r.n, r.rk)
+        for r in spark.table(sink)
+        .withColumn("rk", rk)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert out == [("b", 3, 1), ("a", 2, 2)]
