@@ -112,7 +112,7 @@ def load_all() -> None:
         profiling,
         similarity,
     )
-    from ema_bigdata_spark.operators import multimodal  # noqa: F401
+    from ema_bigdata_spark.operators import ml, multimodal  # noqa: F401
     from ema_bigdata_spark.operators import dedup  # noqa: F401
     from ema_bigdata_spark import gmm  # noqa: F401
     from ema_bigdata_spark.streaming import stream_queries  # noqa: F401

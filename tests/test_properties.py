@@ -3335,3 +3335,92 @@ def test_stream_topk_rank_reflects_cross_batch_counts(spark, tmp_path):
         .collect()
     ]
     assert out == [("b", 3, 1), ("a", 2, 2)]
+
+
+# -- q_kmeans / q_linreg: exact recomputes (operators/ml.py) --------------
+
+
+class TestKMeans:
+    def test_full_match_vs_python_lloyd(self, spark, sf_dir):
+        """Recompute the fixed-point Lloyd fit in pure Python from the
+        raw values and demand bit-identical clusters/means — pins the
+        integer-division update, the tie-break, and the empty-cluster
+        carry against both engines' SQL."""
+        registry.load_all()
+        vals = [
+            int(round(r.value * 100))
+            for r in load_table(spark, sf_dir, "events")
+            .select("value")
+            .collect()
+        ]
+        from collections import Counter
+
+        hist = Counter(vals)
+        c = [min(hist), (min(hist) + max(hist)) // 2, max(hist)]
+        for _ in range(3):
+            sv = [0, 0, 0]
+            sn = [0, 0, 0]
+            for v, n in hist.items():
+                d = [abs(v - ck) for ck in c]
+                k = d.index(min(d))  # ties -> lower id, same as SQL
+                sv[k] += v * n
+                sn[k] += n
+            c = [sv[k] // sn[k] if sn[k] else c[k] for k in range(3)]
+        exp = {}
+        sv = [0, 0, 0]
+        sn = [0, 0, 0]
+        for v, n in hist.items():
+            d = [abs(v - ck) for ck in c]
+            k = d.index(min(d))
+            sv[k] += v * n
+            sn[k] += n
+        for k in range(3):
+            if sn[k]:
+                exp[k + 1] = (
+                    sn[k],
+                    round(sv[k] / sn[k] / 100.0, 6),
+                    round(c[k] / 100.0, 6),
+                )
+        got = {
+            r.cluster_id: (r.n_points, r.mean_value, r.centroid_value)
+            for r in registry.QUERIES["q_kmeans"](spark, sf_dir).collect()
+        }
+        assert got == exp
+
+    def test_partition_is_total(self, spark, sf_dir):
+        registry.load_all()
+        total = load_table(spark, sf_dir, "events").count()
+        out = registry.QUERIES["q_kmeans"](spark, sf_dir).collect()
+        assert sum(r.n_points for r in out) == total
+
+
+class TestLinreg:
+    def test_full_match_vs_numpy_moments(self, spark, sf_dir):
+        registry.load_all()
+        rows = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("xi"))
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("xi", "o_totalprice")
+            .collect()
+        )
+        xs = [r.xi for r in rows]
+        ys = [int(round(r.o_totalprice * 10000)) for r in rows]
+        n = float(len(xs))
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        exp = (
+            int(n),
+            round(num / den / 10000.0, 6),
+            round((sy - num / den * sx) / n / 10000.0, 6),
+            round(num * num / (den * (n * syy - sy * sy)), 6),
+        )
+        [r] = registry.QUERIES["q_linreg"](spark, sf_dir).collect()
+        assert (r.n_orders, r.slope, r.intercept, r.r2) == exp
