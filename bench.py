@@ -301,6 +301,35 @@ def main() -> None:
         }
     )
     print(payload)
+    # The driver records only the LAST 2000 chars of stdout and
+    # json-parses what it finds there — the full payload above is
+    # ~4-6 KB, so every BENCH_r1-r5 record ended up "parsed": null
+    # (VERDICT r5 §Next-8).  Emit a SECOND, compact line as the very
+    # last stdout line: same metric/value/unit/sf contract, "queries"
+    # trimmed to the headline set (slowest first) under a hard size
+    # budget, full map pointer in "queries_full".
+    headline: dict[str, float] = {}
+    compact = ""
+    for n, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(headline)
+        trial[n] = t
+        line = json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": trial,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_full": "BENCH_LOCAL.json",
+                "load_poisoned": load_poisoned,
+                "calibration_ratio": calib_ratio,
+            }
+        )
+        if len(line) > 1500:
+            break
+        headline, compact = trial, line
+    print(compact)
     # also persist the full map: the driver's record keeps only the TAIL
     # of stdout, which truncated ~6 queries off BENCH_r02 (VERDICT r2) —
     # the committed file is the durable per-query baseline.

@@ -567,8 +567,12 @@ def q_event_transitions(spark, sf_dir):
 #: sums (value is 2-decimal fixed point, so s1/q1 are exact BIGINTs in
 #: cents / cent²; every double below is derived from the same integers
 #: by the same expression text → bit-equal before round(6)).
+#: the trailing `+ CAST(0 AS DOUBLE)` is the signed-zero guard (r6):
+#: a mean difference tinier than 5e-7 rounds to -0.0 in DuckDB but
+#: +0.0 in Spark — the exact class that broke q_embed_covariance's
+#: official r5 hash.  IEEE -0.0 + 0.0 = +0.0; a no-op otherwise.
 _WELCH_T = """
-round(
+(round(
   ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0)
   / sqrt(
       ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
@@ -576,7 +580,7 @@ round(
        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
         / (n2 - 1) / n2)
       / 10000.0),
-  6)
+  6) + CAST(0 AS DOUBLE))
 """
 
 

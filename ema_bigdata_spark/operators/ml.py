@@ -40,20 +40,38 @@ _ASSIGN = (
 
 def _kmeans_body(dialect: str, hist_src: str, with_hist_cte: bool) -> str:
     """Render the Lloyd iterations as one SQL text, shared verbatim by
-    both engines except for the integer-division spelling (``DIV`` vs
-    ``//`` — truncation vs floor, identical on the non-negative values
-    here; the q_sql_tpch_q2 / q_zorder_layout lesson: never CAST a
-    double quotient, DuckDB rounds where Spark truncates).
+    both engines except for the integer-division spelling (the
+    q_sql_tpch_q2 / q_zorder_layout lesson: never CAST a double
+    quotient, DuckDB rounds where Spark truncates).  Integer division
+    is FLOOR-consistent on both engines (r6, ADVICE r5): DuckDB ``//``
+    floors while Spark ``DIV`` truncates toward zero — identical for
+    non-negative operands but silently divergent on negative centroid
+    sums, so the Spark side spells floor division explicitly
+    (:func:`fdiv` below; divisors here are always positive — counts
+    and the literal 2 — so only the dividend's sign matters).
 
     Centroid updates are integer division too (fixed-point Lloyd): the
-    next centroid is ``Σ v·n DIV Σ n`` in cents, so every iteration's
-    state is a BIGINT triple and the whole fit is float-free until the
-    final reported means.  Empty clusters keep their previous centroid
-    (the standard Lloyd fallback).  Overflow headroom: ``Σ v·n`` with
-    |value| ≤ 1e6 scaled ×100 stays under 2⁶³ to ~9e10 rows; beyond
-    that sum in DECIMAL(38,0) (functions/parity.py headroom rule).
+    next centroid is ``floor(Σ v·n / Σ n)`` in cents, so every
+    iteration's state is a BIGINT triple and the whole fit is
+    float-free until the final reported means.  Empty clusters keep
+    their previous centroid (the standard Lloyd fallback).  Overflow
+    headroom: ``Σ v·n`` with |value| ≤ 1e6 scaled ×100 stays under 2⁶³
+    to ~9e10 rows; beyond that sum in DECIMAL(38,0)
+    (functions/parity.py headroom rule).
     """
-    idiv = "DIV" if dialect == "spark" else "//"
+
+    def fdiv(a: str, b: str) -> str:
+        """Floor division of BIGINTs, positive divisor, both dialects."""
+        if dialect == "duckdb":
+            return f"(({a}) // ({b}))"
+        # Spark DIV truncates toward zero; subtract 1 when a negative
+        # dividend leaves a remainder (Spark % carries the dividend's
+        # sign, so the check is exact integer arithmetic).
+        return (
+            f"(({a}) DIV ({b}) - (CASE WHEN ({a}) % ({b}) <> 0"
+            f" AND ({a}) < 0 THEN 1 ELSE 0 END))"
+        )
+
     parts: list[str] = ["WITH"]
     if with_hist_cte:
         parts += [
@@ -65,13 +83,13 @@ def _kmeans_body(dialect: str, hist_src: str, with_hist_cte: bool) -> str:
         ]
     parts += [
         "c0 AS (",
-        f"  SELECT min(v) AS c1, ((min(v) + max(v)) {idiv} 2) AS c2,",
+        f"  SELECT min(v) AS c1, {fdiv('min(v) + max(v)', '2')} AS c2,",
         f"         max(v) AS c3 FROM {hist_src}",
         "),",
     ]
     for i in range(1, _ITERS + 1):
         upd = ", ".join(
-            f"CAST(coalesce(max(CASE WHEN k = {j} THEN (sv {idiv} sn) END),"
+            f"CAST(coalesce(max(CASE WHEN k = {j} THEN {fdiv('sv', 'sn')} END),"
             f" max(p.c{j})) AS BIGINT) AS c{j}"
             for j in range(1, _K + 1)
         )
@@ -91,12 +109,16 @@ def _kmeans_body(dialect: str, hist_src: str, with_hist_cte: bool) -> str:
         f"  SELECT v, n, {_ASSIGN} AS k, c1, c2, c3",
         f"  FROM {hist_src} CROSS JOIN c{_ITERS}",
         ")",
+        # signed-zero guard (+ CAST(0 AS DOUBLE)) on every rounded float:
+        # a tiny-negative mean would round to -0.0 in DuckDB, +0.0 in
+        # Spark (the q_embed_covariance r5 lesson)
         "SELECT k AS cluster_id,",
         "       CAST(sum(n) AS BIGINT) AS n_points,",
-        "       round(CAST(sum(v * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)"
-        " / 100.0, 6) AS mean_value,",
-        "       round(CAST(max(CASE WHEN k = 1 THEN c1 WHEN k = 2 THEN c2"
-        " ELSE c3 END) AS DOUBLE) / 100.0, 6) AS centroid_value",
+        "       (round(CAST(sum(v * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)"
+        " / 100.0, 6) + CAST(0 AS DOUBLE)) AS mean_value,",
+        "       (round(CAST(max(CASE WHEN k = 1 THEN c1 WHEN k = 2 THEN c2"
+        " ELSE c3 END) AS DOUBLE) / 100.0, 6) + CAST(0 AS DOUBLE))"
+        " AS centroid_value",
         "FROM fin GROUP BY k",
     ]
     return "\n".join(parts)
@@ -151,10 +173,13 @@ _OLS_SLOPE = f"({_OLS_NUM} / {_OLS_DEN})"
 
 
 def _linreg_select(src: str) -> str:
+    # signed-zero guard on slope/intercept (they straddle zero; the
+    # engines round tiny negatives to differently-signed zeros)
     return f"""
     SELECT CAST(n AS BIGINT) AS n_orders,
-           round({_OLS_SLOPE} / 10000.0, 6) AS slope,
-           round(((sy - {_OLS_SLOPE} * sx) / n) / 10000.0, 6) AS intercept,
+           (round({_OLS_SLOPE} / 10000.0, 6) + CAST(0 AS DOUBLE)) AS slope,
+           (round(((sy - {_OLS_SLOPE} * sx) / n) / 10000.0, 6)
+            + CAST(0 AS DOUBLE)) AS intercept,
            round({_OLS_NUM} * {_OLS_NUM}
                  / ({_OLS_DEN} * (n * syy - sy * sy)), 6) AS r2
     FROM {src}

@@ -1178,11 +1178,18 @@ _ELEM_U = (
 
 #: shared covariance text over the exact integers:
 #: cov = E[xy] − E[x]E[y], every double derived from the same BIGINTs
-#: by the same expression → bit-equal before round(6).
+#: by the same expression → bit-equal before round(6).  The trailing
+#: `+ CAST(0 AS DOUBLE)` is the signed-zero guard (r5 official red
+#: row, cell i=5 j=9): for cells that round to zero, Spark's
+#: BigDecimal HALF_UP round emits +0.0 while DuckDB's round keeps
+#: -0.0 — equal values, different bits, and the driver hash is
+#: bit-sensitive.  IEEE `-0.0 + 0.0 = +0.0` canonicalizes both
+#: engines and is a no-op for every other value.
 _COV_EXPR = (
-    "round(CAST(sxy AS DOUBLE) / 1000000000.0 / n"
+    "(round(CAST(sxy AS DOUBLE) / 1000000000.0 / n"
     " - (CAST(sxi AS DOUBLE) / 1000000.0 / n)"
     " * (CAST(sxj AS DOUBLE) / 1000000.0 / n), 6)"
+    " + CAST(0 AS DOUBLE))"
 )
 
 

@@ -1,27 +1,35 @@
 """Driver-style comparison: row count + sorted-column schema + exact
 order-insensitive multiset of values.  Stricter than a hash — on
-mismatch it shows the first differing rows."""
+mismatch it shows the first differing rows.
+
+BIT-FAITHFUL for floats (r6, VERDICT r5 §What's-wrong-2): the driver's
+hash is bit-sensitive, so floats compare by their IEEE-754 bit pattern
+(``struct.pack('>d', v)``) with only NaN canonicalized.  In particular
+``-0.0`` and ``+0.0`` are DIFFERENT here, exactly as they are to the
+driver — the pre-r6 ``-0.0 → 0.0`` normalization masked the one class
+of diff the official r5 check failed on (q_embed_covariance)."""
 
 from __future__ import annotations
 
 import datetime
 import decimal
 import math
+import struct
 
 
 def _norm(v):
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+        v = float(v)  # then bit-pack below like any other float
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"  # canonicalize NaN payloads only
+        return struct.pack(">d", v)  # bit-faithful: -0.0 != +0.0
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
-    if isinstance(v, float) and v == 0.0:
-        return 0.0  # normalize -0.0
     return v
 
 

@@ -3424,3 +3424,39 @@ class TestLinreg:
         )
         [r] = registry.QUERIES["q_linreg"](spark, sf_dir).collect()
         assert (r.n_orders, r.slope, r.intercept, r.r2) == exp
+
+
+class TestSignedZeroParity:
+    """Regression guards for the r5 official red row (q_embed_covariance):
+    Spark's BigDecimal HALF_UP round(x, 6) emits +0.0 for tiny-negative x
+    while DuckDB's round keeps -0.0 — equal values, different bit
+    patterns, and the driver hash is bit-sensitive.  Two invariants:
+    the local harness must SEE the difference, and the shared-text
+    `+ CAST(0 AS DOUBLE)` guard must erase it on both engines."""
+
+    def test_norm_is_bit_faithful_for_signed_zero(self):
+        from tests.oracle import _norm
+
+        assert _norm(-0.0) != _norm(0.0)
+        assert _norm(-0.0) == _norm(-0.0)
+        assert _norm(float("nan")) == _norm(float("nan"))
+
+    def test_guard_canonicalizes_both_engines(self, spark, duck):
+        # -4e-7 rounds(6) to a signed zero; the guard must yield +0.0 bits
+        expr = "(round(CAST(-0.0000004 AS DOUBLE), 6) + CAST(0 AS DOUBLE))"
+        import struct
+
+        sv = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        dv = duck.execute(f"SELECT {expr} AS v").fetchone()[0]
+        assert struct.pack(">d", sv) == struct.pack(">d", dv)
+        assert struct.pack(">d", sv) == struct.pack(">d", 0.0)
+
+    def test_unguarded_round_diverges_cross_engine(self, spark, duck):
+        # documents WHY the guard exists: without it the engines disagree
+        # on the zero's sign for this input class
+        import struct
+
+        expr = "round(CAST(-0.0000004 AS DOUBLE), 6)"
+        sv = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        dv = duck.execute(f"SELECT {expr} AS v").fetchone()[0]
+        assert struct.pack(">d", sv) != struct.pack(">d", dv)
