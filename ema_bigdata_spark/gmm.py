@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.functions.gaussian import DENSITY_FLOOR, wdens
-from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
 #: reference converged when Δ lnP ≤ 80 absolute (Main.scala:89) — a
@@ -293,12 +292,17 @@ def gmm_fit(
     return gmm_fit_hist(value_histogram(df, x), k, tol, max_iter)
 
 
-@query("gmm_fit")  # rows-only: iterative, not SQL-expressible (SURVEY §2.2)
-def q_gmm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic EM fit on events.value → K-row parameter table.
+def q_gmm_fit_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r6 registered form of ``gmm_fit`` (numpy EM over the
+    histogram).  Since r6 the REGISTERED ``gmm_fit`` lives in
+    ``gmm_parity.py`` — a bit-exact cross-engine EM with a real DuckDB
+    oracle (libm exp/ln here diverge by 1 ulp between engines, which
+    iteration feedback amplifies; SURVEY §2.2 no longer exempts it).
+    This numpy path stays as the fast library API and equivalence
+    fixture.
 
     Fixed iteration budget (tol=0 → always exactly 15 iterations) so
-    the declared query is deterministic AND its bench cost measures
+    the query is deterministic AND its bench cost measures
     per-iteration throughput, not convergence luck."""
     model = gmm_fit(
         load_table(spark, sf_dir, "events"), "value", k=3, tol=0.0, max_iter=15
@@ -313,8 +317,7 @@ def q_gmm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_gmm_bic")  # rows-only: iterative model selection
-def q_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gmm_bic_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model selection over K via BIC = p·ln(n) − 2·lnL with
     p = 3K−1 free parameters — fits K ∈ {2, 3, 4} with the same
     one-job-per-iteration EM and reports each fit, lowest BIC first.
