@@ -148,12 +148,14 @@ def iter_ctes(dialect: str, src: str, P: dict[str, str], k: int,
     emits the snapped sufficient-statistic sums n{j}u/sx{j}u/sxx{j}u;
     mode='lnl' emits the snapped log-likelihood sum lnlu."""
     J = range(1, k + 1)
-    # On DuckDB, params are column refs from the cross-joined 1-row
-    # CTE and must be CARRIED through the stage chain; on Spark they
-    # are folded literals (nothing to carry).
-    pfwd = ""
-    if dialect == "duckdb":
-        pfwd = ", " + ", ".join(sorted(set(P.values())))
+    # Params arrive as column refs from a cross-joined 1-row relation
+    # (oracle: params CTE; Spark: 1-row temp view — IDENTICAL statement
+    # text across iterations so whole-stage-codegen's compile cache
+    # hits, vs ~300 ms of fresh JIT per literal-folded statement) and
+    # must be CARRIED through the stage chain.  Literal params (no
+    # carry) remain supported for single-shot use.
+    pnames = sorted({v for v in P.values() if v.isidentifier()})
+    pfwd = (", " + ", ".join(pnames)) if pnames else ""
     zc = ", ".join(
         f"least(((x - {P[f'mu{j}']}) * (x - {P[f'mu{j}']}))"
         f" / (2.0 * {P[f's2{j}']}), {X.dlit(X.EXP_CLAMP)}) AS zc{j}"
@@ -367,23 +369,45 @@ def _with(ctes: list[tuple[str, str]], final_sql: str,
     return f"WITH {body} {final_sql}"
 
 
-def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
-                    want_lnl: bool = False):
-    """Run the bit-exact EM on Spark: one histogram scan, one tiny
-    aggregation job per iteration (SURVEY §4.3), params folded
-    driver-side with the Python mirrors.  Returns ``(nd, P, lnl)``."""
+def prepare_hist(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the (value, count) histogram once and return its
+    temp-view name.  ``coalesce(4)``: post-aggregation the histogram
+    is domain-bounded (~60 k bins for 2-decimal data regardless of row
+    count — gmm.py module docstring), so the 32 shuffle partitions
+    would cost 15-24 × 32 near-empty tasks across the iteration jobs;
+    four partitions keep per-iteration overhead at ~30 ms without
+    giving up distribution headroom for wide domains."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("v_gmm_events")
-    hist = spark.sql(hist_sql("v_gmm_events")).localCheckpoint()
+    hist = spark.sql(hist_sql("v_gmm_events")).coalesce(4).localCheckpoint()
     hist.createOrReplaceTempView("v_gmm_hist")
+    return "v_gmm_hist"
 
-    ctes, fin = init_ctes("v_gmm_hist", k, "ini")
+
+def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
+                    want_lnl: bool = False, hist_view: str | None = None):
+    """Run the bit-exact EM on Spark: one histogram scan, one tiny
+    aggregation job per iteration (SURVEY §4.3), params folded
+    driver-side with the Python mirrors.  Returns ``(nd, P, lnl)``.
+
+    Params fold as literals — measured against the alternative (1-row
+    params temp view cross-joined for constant statement text): the
+    view costs a createDataFrame round-trip + a broadcast join per
+    iteration and times WORSE (9 s vs 5.5 s for the 15-iteration fit
+    at sf0.1); ~0.2 s/iteration of fresh whole-stage-codegen JIT is
+    the irreducible price of literal folding and is amortized to
+    nothing at real scale (one statement per iteration regardless of
+    data size)."""
+    if hist_view is None:
+        hist_view = prepare_hist(spark, sf_dir)
+
+    ctes, fin = init_ctes(hist_view, k, "ini")
     row = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
     nd, P = init_fold(row, k)
 
     for _ in range(iters):
         pt = {key: X.dlit(val) for key, val in P.items()}
-        ctes, fin = iter_ctes("spark", "v_gmm_hist", pt, k, "it", "fit")
+        ctes, fin = iter_ctes("spark", hist_view, pt, k, "it", "fit")
         srow = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
         P = update_fold(srow, nd, k)
 
@@ -392,7 +416,7 @@ def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
         pt = {key: X.dlit(val) for key, val in P.items()}
         for j in range(1, k + 1):
             pt[f"lnc{j}"] = X.dlit(X.xln(P[f"nrm{j}"]))
-        ctes, fin = iter_ctes("spark", "v_gmm_hist", pt, k, "ll", "lnl")
+        ctes, fin = iter_ctes("spark", hist_view, pt, k, "ll", "lnl")
         lrow = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
         lnl = float(lrow["lnlu"]) / 1000000.0
     return nd, P, lnl
@@ -542,9 +566,10 @@ def q_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-NULL values the likelihood actually sees — not the raw row
     count."""
     rows = []
+    hv = prepare_hist(spark, sf_dir)  # ONE histogram scan for all K
     for k in (2, 3, 4):
         nd, P, lnl = parity_em_spark(spark, sf_dir, k, ITERS_BIC,
-                                     want_lnl=True)
+                                     want_lnl=True, hist_view=hv)
         pd_ = float(3 * k - 1)
         bic = pd_ * X.xln(nd) - 2.0 * lnl
         rows.append((k, _round3(lnl), _round3(bic)))
