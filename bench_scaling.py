@@ -195,6 +195,85 @@ def decade_scaling(spark, work_dir: str) -> dict:
     return out
 
 
+#: r6 probes (VERDICT r5 §Next-7): the two heaviest remaining unprobed
+#: ops.  q_pagerank's per-iteration cost is edges⋈ranks — a 10× graph
+#: (orders+lineitem replicated with shifted keys → 10× nodes AND 10×
+#: edges) must show ~linear growth or the checkpointed-invariant
+#: design is leaking; q_embed_covariance is d²/2 multiplies per row
+#: with a ≤2 080-key exchange — 10× embeddings rows must be ~linear
+#: (its r5 exponent 0.47 was measured once, under load).
+def _make_big_graph(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    mo = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    mc = o.agg(F.max("o_custkey")).collect()[0][0] + 1
+    ms = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    big_o = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * mo))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * mc))
+            for i in range(factor)
+        ],
+    )
+    big_li = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * mo))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * ms))
+            for i in range(factor)
+        ],
+    )
+    big_o.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+
+def _make_big_embeddings(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    big = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * mx))
+            for i in range(factor)
+        ],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def r6_scaling(spark, work_dir: str) -> dict:
+    import math
+
+    from ema_bigdata_spark import registry
+
+    registry.load_all()
+    _make_big_graph(spark, f"{work_dir}/sf1", 10)
+    _make_big_embeddings(spark, f"{work_dir}/sf1", 10)
+    out = {}
+    for name in ("q_pagerank", "q_embed_covariance"):
+        fn = registry.QUERIES[name]
+        t_01 = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
+        t_1 = _timed(lambda: _noop(fn(spark, f"{work_dir}/sf1")))
+        out[name] = {
+            "sec_sf0.1": t_01,
+            "sec_sf1_10x": t_1,
+            "exponent_10x": round(
+                math.log10(max(t_1, 1e-3) / max(t_01, 1e-3)), 2
+            ),
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=32)
@@ -220,6 +299,12 @@ def main() -> None:
         help="skip the events-replication base ops (for a fast"
         " --families/--decade-only run)",
     )
+    ap.add_argument(
+        "--r6-probes",
+        action="store_true",
+        help="probe q_pagerank (10x graph) and q_embed_covariance"
+        " (10x embeddings) — VERDICT r5 Next-7",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -235,6 +320,8 @@ def main() -> None:
             out["decade_sf01_to_sf1"] = decade_scaling(
                 spark, args.decade_dir
             )
+        if args.r6_probes:
+            out["r6_probes"] = r6_scaling(spark, args.decade_dir)
         print(json.dumps(out))
         spark.stop()
         return
@@ -285,6 +372,8 @@ def main() -> None:
         out["families_sf001_to_sf01"] = family_scaling(spark)
     if args.decade:
         out["decade_sf01_to_sf1"] = decade_scaling(spark, args.decade_dir)
+    if args.r6_probes:
+        out["r6_probes"] = r6_scaling(spark, args.decade_dir)
     print(json.dumps(out))
     spark.stop()
 
