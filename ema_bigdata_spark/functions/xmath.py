@@ -36,11 +36,18 @@ hangs.  Therefore:
   only ever applied to 1-row scalar CTEs (DuckDB) or Python floats
   (Spark side), never per data row.
 
-Every numeric literal is the ``repr`` of a Python double — shortest
-round-trip form, so both SQL parsers recover the identical bit
-pattern.  Cross-engine identity is property-tested over dense grids
-in ``tests/test_properties.py::TestXMath`` (Spark ≡ DuckDB ≡ Python,
-compared by ``struct.pack`` bits).
+LITERAL DISCIPLINE (also hard-won): DuckDB 1.0's double-literal
+parser is NOT correctly rounded — some 17-digit ``repr`` strings
+(measured: 1/11, 1/53) parse 1 ulp off, while its arithmetic and
+parameter binding are exact.  Every literal emitted into SHARED text
+therefore uses :func:`dlit_exact` — (integer mantissa) × 2^k built
+from integer literals ≤ 2⁵³ and exact power-of-two divisions, which
+parses bit-exact on any IEEE engine.  Plain ``repr`` literals
+(:func:`dlit`) are safe only where Spark alone parses them (its
+BigDecimal parser is correctly rounded).  Cross-engine identity is
+property-tested over dense AND randomized grids in
+``tests/test_properties.py`` (Spark ≡ DuckDB ≡ Python, compared by
+``struct.pack`` bits).
 
 No reference counterpart (``/root/reference`` ``Main.scala`` uses
 Scala's ``math.exp`` — single-engine, never hash-checked).
@@ -63,8 +70,45 @@ _LN_POWS = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
 
 def dlit(v: float) -> str:
-    """Double literal with identical parse on both engines."""
+    """Double literal via ``repr`` — SPARK-SIDE ONLY in bit-sensitive
+    texts: Spark parses through BigDecimal (correctly rounded), but
+    DuckDB 1.0's float parser is 1 ulp off for some 17-digit strings
+    (measured: 1/11, 1/53 — found by the randomized cross-engine
+    test).  Any literal an ORACLE will parse must use
+    :func:`dlit_exact` instead."""
     return f"CAST({v!r} AS DOUBLE)"
+
+
+def dlit_exact(v: float) -> str:
+    """Double literal that parses BIT-EXACT on any IEEE engine: render
+    v as (integer mantissa) × 2^k using only integer literals ≤ 2⁵³
+    (exact in every parser) and divisions/multiplications by exact
+    power-of-two doubles (each op exact, final correctly-rounded step
+    lands on the representable v itself).  Immune to the DuckDB 1.0
+    literal-parser ulp bug."""
+    import math
+
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal: {v}")
+    if v == 0.0:
+        # IEEE: 0.0 - 0.0 = +0.0, so negative zero needs a division
+        if math.copysign(1.0, v) < 0:
+            return "(CAST(0 AS DOUBLE) / CAST(-1 AS DOUBLE))"
+        return "CAST(0 AS DOUBLE)"
+    neg = v < 0
+    m, e = math.frexp(abs(v))  # m ∈ [0.5, 1)
+    mant = int(m * (1 << 53))  # exact 53-bit integer
+    ex = e - 53
+    expr = f"CAST({mant} AS DOUBLE)"
+    while ex > 0:
+        k = min(ex, 62)
+        expr = f"({expr} * CAST({1 << k} AS DOUBLE))"
+        ex -= k
+    while ex < 0:
+        k = min(-ex, 62)
+        expr = f"({expr} / CAST({1 << k} AS DOUBLE))"
+        ex += k
+    return f"(0.0 - {expr})" if neg else expr
 
 
 # ---- Python mirrors (op-for-op identical to the SQL text) ---------------
@@ -126,10 +170,10 @@ def exp_neg_arr(z_arr_expr: str, dialect: str, var: str = "zz") -> str:
     17 nested ``transform``s, LINEAR tree size (see module docstring).
     Inputs must already be non-negative; the 708 clamp is applied
     here, mirroring :func:`xexp_neg` exactly."""
-    u = f"(least({var}, {dlit(EXP_CLAMP)}) * {dlit(INV_2_16)})"
+    u = f"(least({var}, {dlit_exact(EXP_CLAMP)}) * {dlit_exact(INV_2_16)})"
     taylor = (
         f"(1.0 + {u} * (-1.0 + {u} * (0.5 + {u} *"
-        f" (-{dlit(_EXP_C3)} + {u} * {dlit(_EXP_C4)}))))"
+        f" (-{dlit_exact(_EXP_C3)} + {u} * {dlit_exact(_EXP_C4)}))))"
     )
     out = _lt(z_arr_expr, var, taylor, dialect)
     for _ in range(16):
@@ -152,11 +196,11 @@ def sql_xln_scalar(v_expr: str, tag: str) -> list[tuple[str, str]]:
     ]
     prev_w, prev_k = f"{tag}_w0", f"{tag}_k0"
     for m, p in enumerate(_LN_POWS, start=1):
-        pw = dlit(float(2**p))
+        pw = dlit_exact(float(2**p))
         steps.append(
             (f"{tag}_k{m}",
              f"({prev_k} + CASE WHEN {prev_w} >= {pw}"
-             f" THEN {dlit(float(p))} ELSE 0.0 END)")
+             f" THEN {dlit_exact(float(p))} ELSE 0.0 END)")
         )
         steps.append(
             (f"{tag}_w{m}",
@@ -166,15 +210,15 @@ def sql_xln_scalar(v_expr: str, tag: str) -> list[tuple[str, str]]:
         prev_w, prev_k = f"{tag}_w{m}", f"{tag}_k{m}"
     steps.append((f"{tag}_t", f"(({prev_w} - 1.0) / ({prev_w} + 1.0))"))
     steps.append((f"{tag}_t2", f"({tag}_t * {tag}_t)"))
-    horner = dlit(ATANH_C[-1])
+    horner = dlit_exact(ATANH_C[-1])
     for c in reversed(ATANH_C[:-1]):
-        horner = f"({dlit(c)} + {tag}_t2 * {horner})"
+        horner = f"({dlit_exact(c)} + {tag}_t2 * {horner})"
     steps.append(
         (f"{tag}_lr",
          f"(2.0 * ({tag}_t * (1.0 + {tag}_t2 * {horner})))")
     )
     steps.append(
-        (f"{tag}_v", f"({tag}_sg * ({prev_k} * {dlit(LN2)} + {tag}_lr))")
+        (f"{tag}_v", f"({tag}_sg * ({prev_k} * {dlit_exact(LN2)} + {tag}_lr))")
     )
     return steps
 
@@ -190,9 +234,9 @@ def atanh_ln_series(s_expr: str, tag: str, terms: int = 26
         (f"{tag}_t", f"(({s_expr} - 1.0) / ({s_expr} + 1.0))"),
         (f"{tag}_t2", f"({tag}_t * {tag}_t)"),
     ]
-    horner = dlit(coefs[-1])
+    horner = dlit_exact(coefs[-1])
     for c in reversed(coefs[:-1]):
-        horner = f"({dlit(c)} + {tag}_t2 * {horner})"
+        horner = f"({dlit_exact(c)} + {tag}_t2 * {horner})"
     steps.append(
         (f"{tag}_v",
          f"(2.0 * ({tag}_t * (1.0 + {tag}_t2 * {horner})))")

@@ -57,8 +57,8 @@ SX_SC = "1000000.0"
 SXX_SC = "10000.0"
 LNL_SC = "1000000.0"
 
-_FLOOR = X.dlit(1e-300)
-_VAR_FLOOR = X.dlit(1e-12)
+_FLOOR = X.dlit_exact(1e-300)
+_VAR_FLOOR = X.dlit_exact(1e-12)
 
 K_FIT = 3
 ITERS_FIT = 15
@@ -158,7 +158,7 @@ def iter_ctes(dialect: str, src: str, P: dict[str, str], k: int,
     pfwd = (", " + ", ".join(pnames)) if pnames else ""
     zc = ", ".join(
         f"least(((x - {P[f'mu{j}']}) * (x - {P[f'mu{j}']}))"
-        f" / (2.0 * {P[f's2{j}']}), {X.dlit(X.EXP_CLAMP)}) AS zc{j}"
+        f" / (2.0 * {P[f's2{j}']}), {X.dlit_exact(X.EXP_CLAMP)}) AS zc{j}"
         for j in J
     )
     zarr = X.arr([f"zc{j}" for j in J], dialect)
@@ -219,7 +219,7 @@ def iter_ctes(dialect: str, src: str, P: dict[str, str], k: int,
     sel = f"CASE {' '.join(cases)} END"
     lnb = (
         f"(CASE WHEN {' + '.join(f'w{j}' for j in J)} <= {_FLOOR}"
-        f" THEN {X.dlit(math.log(1e-300))} ELSE {sel} END)"
+        f" THEN {X.dlit_exact(math.log(1e-300))} ELSE {sel} END)"
     )
     ctes.append(
         (f"{tag}_l0", f"SELECT c, lnbv, (rs / bg) AS sv FROM"
@@ -305,7 +305,7 @@ def update_ctes(sums_cte: str, tot_cte: str, k: int, tag: str
     )
     ps2_fwd = ", ".join(f"s2{j}" for j in J)
     pn = ", ".join(
-        f"greatest(phi{j} / sqrt({X.dlit(X.TWO_PI)} * s2{j}), {_FLOOR})"
+        f"greatest(phi{j} / sqrt({X.dlit_exact(X.TWO_PI)} * s2{j}), {_FLOOR})"
         f" AS nrm{j}"
         for j in J
     )
@@ -336,7 +336,7 @@ def init_param_ctes(init_cte: str, k: int, tag: str
     )
     fwd = ", ".join(f"phi{j}, mu{j}, s2{j}" for j in J)
     pn = ", ".join(
-        f"greatest(phi{j} / sqrt({X.dlit(X.TWO_PI)} * s2{j}), {_FLOOR})"
+        f"greatest(phi{j} / sqrt({X.dlit_exact(X.TWO_PI)} * s2{j}), {_FLOOR})"
         f" AS nrm{j}"
         for j in J
     )
@@ -406,16 +406,16 @@ def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
     nd, P = init_fold(row, k)
 
     for _ in range(iters):
-        pt = {key: X.dlit(val) for key, val in P.items()}
+        pt = {key: X.dlit_exact(val) for key, val in P.items()}
         ctes, fin = iter_ctes("spark", hist_view, pt, k, "it", "fit")
         srow = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
         P = update_fold(srow, nd, k)
 
     lnl = None
     if want_lnl:
-        pt = {key: X.dlit(val) for key, val in P.items()}
+        pt = {key: X.dlit_exact(val) for key, val in P.items()}
         for j in range(1, k + 1):
-            pt[f"lnc{j}"] = X.dlit(X.xln(P[f"nrm{j}"]))
+            pt[f"lnc{j}"] = X.dlit_exact(X.xln(P[f"nrm{j}"]))
         ctes, fin = iter_ctes("spark", hist_view, pt, k, "ll", "lnl")
         lrow = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
         lnl = float(lrow["lnlu"]) / 1000000.0
@@ -520,7 +520,7 @@ def gmm_bic_oracle_sql() -> str:
             )
             carry.append(n)
             prev = f"c_{n}"
-        pd_lit = X.dlit(float(3 * k - 1))
+        pd_lit = X.dlit_exact(float(3 * k - 1))
         lnl = f"(CAST(lnlu AS DOUBLE) / {LNL_SC})"
         bic = f"({pd_lit} * {tag}_ln_v - 2.0 * {lnl})"
         parts.append(

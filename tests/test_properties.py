@@ -3584,3 +3584,141 @@ class TestXMath:
             p = X.py_atanh_ln(s)
             assert self._bits(sv) == self._bits(dv) == self._bits(p), s
             assert abs(p - math.log(s)) < 4e-13
+
+
+class TestParityEMInvariants:
+    """r6: invariants of the oracled parity EM beyond the DuckDB hash."""
+
+    def test_partitioning_independence(self, spark, sf_dir):
+        """The snapped-integer sufficient-statistic sums make every
+        iteration order-free, so the fit must be bit-identical under
+        any histogram partitioning (the same invariant gmm.py's
+        DECIMAL path guarantees for the numpy engine)."""
+        from ema_bigdata_spark import gmm_parity as G
+        from ema_bigdata_spark.sources.tables import load_table
+
+        base = G.parity_em_spark(spark, sf_dir, 3, 4)
+        ev = load_table(spark, sf_dir, "events")
+        ev.createOrReplaceTempView("v_gmm_events")
+        for parts in (1, 13):
+            hist = (
+                spark.sql(G.hist_sql("v_gmm_events"))
+                .repartition(parts)
+                .localCheckpoint()
+            )
+            hist.createOrReplaceTempView("v_gmm_hist_t")
+            got = G.parity_em_spark(
+                spark, sf_dir, 3, 4, hist_view="v_gmm_hist_t"
+            )
+            assert got[0] == base[0]
+            assert got[1] == base[1], parts  # dict of floats, bit-exact
+
+    def test_randomized_xmath_cross_engine(self, spark, duck):
+        """Seeded random doubles through the shared exp/ln texts,
+        delivered as COLUMN VALUES (a temp view / a DuckDB table) —
+        the production shape: in the registered queries, per-row
+        inputs and oracle params are always columns, never arbitrary
+        DuckDB literals (see
+        test_duckdb_literal_parser_not_correctly_rounded)."""
+        import random
+        import struct
+
+        from ema_bigdata_spark.functions import xmath as X
+
+        rng = random.Random(20260814)
+        zs = [rng.uniform(0.0, 750.0) for _ in range(200)] + [
+            rng.uniform(0.0, 1e-3) for _ in range(50)
+        ]
+        ss = [rng.uniform(1.0, 4.0) for _ in range(100)]
+
+        spark.createDataFrame(
+            [(z, s) for z, s in zip(zs, ss + [1.0] * (len(zs) - len(ss)))],
+            "z DOUBLE, s DOUBLE",
+        ).createOrReplaceTempView("v_xmath_rand")
+        duck.execute("CREATE OR REPLACE TABLE t_xmath_rand AS SELECT 1 WHERE 0")
+        duck.execute(
+            "CREATE OR REPLACE TABLE t_xmath_rand(z DOUBLE, s DOUBLE)"
+        )
+        duck.executemany(
+            "INSERT INTO t_xmath_rand VALUES (?, ?)",
+            [(z, s) for z, s in zip(zs, ss + [1.0] * (len(zs) - len(ss)))],
+        )
+
+        a_steps = X.atanh_ln_series("s", "a")
+        for dialect, src, run in (
+            ("spark", "v_xmath_rand",
+             lambda q: [tuple(r) for r in spark.sql(q).collect()]),
+            ("duckdb", "t_xmath_rand",
+             lambda q: duck.execute(q).fetchall()),
+        ):
+            e = X.exp_neg_arr(X.arr(["z"], dialect), dialect)
+            body = X.chain_sql(src, ["z", "s"], [a_steps])
+            q = (
+                f"SELECT z, s, {X.ix(e, 1, dialect)} AS ez, a_v"
+                f" FROM {body}"
+            )
+            for z, s, ez, av in run(q):
+                assert struct.pack(">d", ez) == struct.pack(
+                    ">d", X.xexp_neg(z)
+                ), (dialect, z)
+                assert struct.pack(">d", av) == struct.pack(
+                    ">d", X.py_atanh_ln(s)
+                ), (dialect, s)
+
+    def test_duckdb_literal_parser_not_correctly_rounded(self, duck):
+        """Documents the hazard the xmath design must respect: DuckDB
+        1.0 parses SOME 17-digit double literals 1 ulp off (its float
+        parser is fast, not correctly rounded), while its arithmetic
+        and parameter binding are exact.  Production texts therefore
+        never put arbitrary doubles in DuckDB literals — oracle params
+        are column refs; only the FIXED xmath constants are literals,
+        each pinned bit-exact by the test below."""
+        import struct
+
+        v = 2.4635071984458166  # known 1-ulp misparse in duckdb 1.0
+        lit = duck.execute(f"SELECT CAST({v!r} AS DOUBLE)").fetchone()[0]
+        bound = duck.execute("SELECT ?", [v]).fetchone()[0]
+        assert struct.pack(">d", bound) == struct.pack(">d", v)
+        if struct.pack(">d", lit) == struct.pack(">d", v):
+            # a fixed/upgraded DuckDB would erase the hazard — fine,
+            # but flag it so the guard rationale can be retired
+            import warnings
+
+            warnings.warn("duckdb literal parser now correctly rounded")
+
+    def test_dlit_exact_round_trips_both_engines(self, spark, duck):
+        """``dlit_exact`` (mantissa × 2^k) must reconstruct the exact
+        bits of every shared-text constant AND arbitrary doubles on
+        both engines — the defense against DuckDB 1.0's non-correctly-
+        rounded literal parser (which demonstrably misparses the raw
+        repr of 1/11 and 1/53)."""
+        import math
+        import random
+        import struct
+
+        from ema_bigdata_spark.functions import xmath as X
+
+        consts = [
+            X.TWO_PI, X.LN2, X.EXP_CLAMP, X.INV_2_16,
+            X._EXP_C3, X._EXP_C4,
+            1e-300, 1e-12, 0.5, 1.0, -1.0, 2.0,
+            1000000000.0, 1000000.0, 10000.0, 1000.0, 708.0,
+            math.log(1e-300),
+        ]
+        consts += [1.0 / float(2 * m + 1) for m in range(1, 27)]
+        consts += [float(2**p)
+                   for p in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)]
+        rng = random.Random(414213562)
+        consts += [rng.uniform(-1e6, 1e6) for _ in range(60)]
+        consts += [rng.uniform(-1e-8, 1e-8) for _ in range(20)]
+        consts += [5e-324, 1.7976931348623157e308, -0.0]
+        q = "SELECT " + ", ".join(
+            f"{X.dlit_exact(c)} AS c{i}" for i, c in enumerate(consts)
+        )
+        svals = list(spark.sql(q).collect()[0])
+        dvals = list(duck.execute(q).fetchone())
+        for c, sv, dv in zip(consts, svals, dvals):
+            # NaN-free set, so value bits are the whole contract
+            want = struct.pack(">d", c)
+            assert struct.pack(">d", sv) == want, ("spark", c, sv)
+            assert struct.pack(">d", dv) == want, ("duckdb", c, dv)
