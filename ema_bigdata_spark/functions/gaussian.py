@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import math
 
-from ema_bigdata_spark.functions.parity import dlit
+# r6: literals here are parsed by BOTH engines (the *_fixed oracle
+# texts), and DuckDB 1.0's literal parser is 1 ulp off for some
+# 17-digit reprs (xmath module docstring) — the folded normalizers
+# phi/sqrt(2π·s2) are exactly that shape, so render them in the
+# bit-exact mantissa×2^k form.
+from ema_bigdata_spark.functions.xmath import dlit_exact as dlit
 
 #: density floor replacing the reference's −∞ filter (Main.scala:112)
 DENSITY_FLOOR = 1e-300

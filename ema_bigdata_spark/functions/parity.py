@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 
 def dlit(v: float) -> str:
-    """SQL double literal, identical parse on both engines."""
+    """SQL double literal via ``repr`` — safe where SPARK alone parses
+    it (BigDecimal, correctly rounded).  DuckDB 1.0's literal parser
+    is 1 ulp off for some 17-digit reprs, so any literal an ORACLE
+    text will parse must use ``functions.xmath.dlit_exact``
+    (mantissa×2^k) instead — see gaussian.py, which switched in r6."""
     return f"CAST({v!r} AS DOUBLE)"
 
 
