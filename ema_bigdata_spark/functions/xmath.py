@@ -69,14 +69,9 @@ ATANH_C = tuple(1.0 / float(2 * m + 1) for m in range(1, 12))
 _LN_POWS = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
 
-def dlit(v: float) -> str:
-    """Double literal via ``repr`` — SPARK-SIDE ONLY in bit-sensitive
-    texts: Spark parses through BigDecimal (correctly rounded), but
-    DuckDB 1.0's float parser is 1 ulp off for some 17-digit strings
-    (measured: 1/11, 1/53 — found by the randomized cross-engine
-    test).  Any literal an ORACLE will parse must use
-    :func:`dlit_exact` instead."""
-    return f"CAST({v!r} AS DOUBLE)"
+# repr-literal helper lives in functions/parity.py (one copy); safe
+# only where Spark alone parses it — see its docstring and dlit_exact
+from ema_bigdata_spark.functions.parity import dlit  # noqa: F401,E402
 
 
 def dlit_exact(v: float) -> str:

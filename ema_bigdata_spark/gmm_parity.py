@@ -13,7 +13,8 @@ Parity posture:
 - per-row density math is SHARED SQL text (dialect differences limited
   to ``transform``/``list_transform``, array constructor/indexing, and
   parameters appearing as folded literals on Spark vs CTE column refs
-  on DuckDB — ``repr`` literals round-trip to identical doubles);
+  on DuckDB — literals render via ``xmath.dlit_exact``, the
+  mantissa×2^k form immune to DuckDB's literal-parser ulp bug);
 - sufficient statistics are snapped to integers per bin
   (``floor(v·scale + 0.5)``) BEFORE summation, so the sums are
   order-free (partitioning-independent on Spark, identical on DuckDB);
@@ -56,9 +57,15 @@ N_SC = "1000000000.0"
 SX_SC = "1000000.0"
 SXX_SC = "10000.0"
 LNL_SC = "1000000.0"
-
-_FLOOR = X.dlit_exact(1e-300)
-_VAR_FLOOR = X.dlit_exact(1e-12)
+#: Python-side mirrors derived from the SQL texts — ONE source of
+#: truth, so retuning a scale cannot silently split the engines
+_N_SCF, _SX_SCF, _SXX_SCF, _LNL_SCF = (
+    float(N_SC), float(SX_SC), float(SXX_SC), float(LNL_SC)
+)
+_FLOOR_F = 1e-300
+_VAR_FLOOR_F = 1e-12
+_FLOOR = X.dlit_exact(_FLOOR_F)
+_VAR_FLOOR = X.dlit_exact(_VAR_FLOOR_F)
 
 K_FIT = 3
 ITERS_FIT = 15
@@ -157,12 +164,11 @@ def iter_ctes(dialect: str, src: str, P: dict[str, str], k: int,
     emits the snapped sufficient-statistic sums n{j}u/sx{j}u/sxx{j}u;
     mode='lnl' emits the snapped log-likelihood sum lnlu."""
     J = range(1, k + 1)
-    # Params arrive as column refs from a cross-joined 1-row relation
-    # (oracle: params CTE; Spark: 1-row temp view — IDENTICAL statement
-    # text across iterations so whole-stage-codegen's compile cache
-    # hits, vs ~300 ms of fresh JIT per literal-folded statement) and
-    # must be CARRIED through the stage chain.  Literal params (no
-    # carry) remain supported for single-shot use.
+    # Param texts are either plain column refs (oracle: the
+    # cross-joined 1-row params CTE — these must be CARRIED through
+    # the stage chain) or folded literal expressions (Spark — nothing
+    # to carry; see parity_em_spark's docstring for the measured
+    # literal-vs-view decision).
     pnames = sorted({v for v in P.values() if v.isidentifier()})
     pfwd = (", " + ", ".join(pnames)) if pnames else ""
     zc = ", ".join(
@@ -267,7 +273,7 @@ def init_fold(row, k: int) -> tuple[float, dict[str, float]]:
         P[f"s2{j}"] = s20
         P[f"phi{j}"] = phi0
         P[f"nrm{j}"] = max(
-            phi0 / math.sqrt(X.TWO_PI * s20), 1e-300
+            phi0 / math.sqrt(X.TWO_PI * s20), _FLOOR_F
         )
     return nd, P
 
@@ -277,14 +283,14 @@ def update_fold(row, nd: float, k: int) -> dict[str, float]:
     oracle's pa/pb/pc/pd CTE chain)."""
     P: dict[str, float] = {}
     for j in range(1, k + 1):
-        nf = max(float(row[f"n{j}u"]) / 1000000000.0, 1e-300)
+        nf = max(float(row[f"n{j}u"]) / _N_SCF, _FLOOR_F)
         phi = nf / nd
-        mu = (float(row[f"sx{j}u"]) / 1000000.0) / nf
-        s2 = max((float(row[f"sxx{j}u"]) / 10000.0) / nf - mu * mu, 1e-12)
+        mu = (float(row[f"sx{j}u"]) / _SX_SCF) / nf
+        s2 = max((float(row[f"sxx{j}u"]) / _SXX_SCF) / nf - mu * mu, _VAR_FLOOR_F)
         P[f"phi{j}"] = phi
         P[f"mu{j}"] = mu
         P[f"s2{j}"] = s2
-        P[f"nrm{j}"] = max(phi / math.sqrt(X.TWO_PI * s2), 1e-300)
+        P[f"nrm{j}"] = max(phi / math.sqrt(X.TWO_PI * s2), _FLOOR_F)
     return P
 
 
@@ -427,7 +433,7 @@ def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
             pt[f"lnc{j}"] = X.dlit_exact(X.xln(P[f"nrm{j}"]))
         ctes, fin = iter_ctes("spark", hist_view, pt, k, "ll", "lnl")
         lrow = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
-        lnl = float(lrow["lnlu"]) / 1000000.0
+        lnl = float(lrow["lnlu"]) / _LNL_SCF
     return nd, P, lnl
 
 
@@ -516,7 +522,7 @@ def parity_em_spark_multi(spark: SparkSession, sf_dir: str,
         row = spark.sql(q).collect()[0]
         for k in ks:
             nd, P = state[k]
-            out[k] = (nd, P, float(row[f"k{k}_lnlu"]) / 1000000.0)
+            out[k] = (nd, P, float(row[f"k{k}_lnlu"]) / _LNL_SCF)
     else:
         for k in ks:
             nd, P = state[k]

@@ -40,15 +40,16 @@ _ASSIGN = (
 
 def _kmeans_body(dialect: str, hist_src: str, with_hist_cte: bool) -> str:
     """Render the Lloyd iterations as one SQL text, shared verbatim by
-    both engines except for the integer-division spelling (the
+    both engines except for the integer-division operator token (the
     q_sql_tpch_q2 / q_zorder_layout lesson: never CAST a double
     quotient, DuckDB rounds where Spark truncates).  Integer division
-    is FLOOR-consistent on both engines (r6, ADVICE r5): DuckDB ``//``
-    floors while Spark ``DIV`` truncates toward zero — identical for
-    non-negative operands but silently divergent on negative centroid
-    sums, so the Spark side spells floor division explicitly
-    (:func:`fdiv` below; divisors here are always positive — counts
-    and the literal 2 — so only the dividend's sign matters).
+    is FLOOR-consistent on both engines (r6, ADVICE r5; corrected by
+    the r6 review): both Spark ``DIV`` and DuckDB ``//`` truncate
+    toward zero — identical for non-negative operands but undefined
+    territory for negative centroid sums, so BOTH sides spell floor
+    division explicitly (:func:`fdiv` below; divisors here are always
+    positive — counts and the literal 2 — so only the dividend's sign
+    matters).
 
     Centroid updates are integer division too (fixed-point Lloyd): the
     next centroid is ``floor(Σ v·n / Σ n)`` in cents, so every
@@ -61,14 +62,18 @@ def _kmeans_body(dialect: str, hist_src: str, with_hist_cte: bool) -> str:
     """
 
     def fdiv(a: str, b: str) -> str:
-        """Floor division of BIGINTs, positive divisor, both dialects."""
-        if dialect == "duckdb":
-            return f"(({a}) // ({b}))"
-        # Spark DIV truncates toward zero; subtract 1 when a negative
-        # dividend leaves a remainder (Spark % carries the dividend's
-        # sign, so the check is exact integer arithmetic).
+        """Floor division of BIGINTs, positive divisor, both dialects.
+
+        BOTH engines' native integer division truncates toward zero
+        (Spark ``DIV``; DuckDB ``//`` — verified on 1.0: ``(-7) // 2 =
+        -3``, NOT floor, contrary to ADVICE r5's premise), so BOTH
+        sides spell the same truncate-then-correct form: subtract 1
+        when a negative dividend leaves a remainder (``%`` carries the
+        dividend's sign on both engines, so the check is exact integer
+        arithmetic)."""
+        idiv = "//" if dialect == "duckdb" else "DIV"
         return (
-            f"(({a}) DIV ({b}) - (CASE WHEN ({a}) % ({b}) <> 0"
+            f"(({a}) {idiv} ({b}) - (CASE WHEN ({a}) % ({b}) <> 0"
             f" AND ({a}) < 0 THEN 1 ELSE 0 END))"
         )
 

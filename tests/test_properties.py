@@ -3425,6 +3425,65 @@ class TestKMeans:
         out = registry.QUERIES["q_kmeans"](spark, sf_dir).collect()
         assert sum(r.n_points for r in out) == total
 
+    def test_negative_values_floor_division_cross_engine(self, spark, duck):
+        """r6 review regression: both engines' native integer division
+        TRUNCATES toward zero (Spark DIV; DuckDB // — verified on 1.0,
+        contrary to ADVICE r5's floor claim), so fdiv spells explicit
+        floor division on BOTH sides.  On a negative-value fixture with
+        odd negative cluster sums, Spark SQL, DuckDB SQL, and the
+        Python floor recompute must agree exactly — pre-fix the two
+        SQL dialects diverged (e.g. centroid -3.02 vs -3.01)."""
+        from collections import Counter
+
+        from ema_bigdata_spark.operators.ml import _kmeans_body
+
+        cents_vals = [-701, 100, -301, -302, -302, 455, -99]
+        hist = Counter(cents_vals)
+        rows = [(v, n) for v, n in sorted(hist.items())]
+        spark.createDataFrame(rows, "v LONG, n LONG").createOrReplaceTempView(
+            "v_kmeans_hist_neg"
+        )
+        sgot = {
+            r.cluster_id: (r.n_points, r.mean_value, r.centroid_value)
+            for r in spark.sql(
+                _kmeans_body("spark", "v_kmeans_hist_neg", with_hist_cte=False)
+            ).collect()
+        }
+        duck.execute("CREATE OR REPLACE TABLE t_kmeans_hist_neg(v BIGINT, n BIGINT)")
+        duck.executemany("INSERT INTO t_kmeans_hist_neg VALUES (?, ?)", rows)
+        dgot = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duck.execute(
+                _kmeans_body("duckdb", "t_kmeans_hist_neg", with_hist_cte=False)
+            ).fetchall()
+        }
+        # python floor recompute (// IS floor in Python)
+        c = [min(hist), (min(hist) + max(hist)) // 2, max(hist)]
+        for _ in range(3):
+            sv, sn = [0, 0, 0], [0, 0, 0]
+            for v, n in hist.items():
+                d = [abs(v - ck) for ck in c]
+                k = d.index(min(d))
+                sv[k] += v * n
+                sn[k] += n
+            c = [sv[k] // sn[k] if sn[k] else c[k] for k in range(3)]
+        exp = {}
+        sv, sn = [0, 0, 0], [0, 0, 0]
+        for v, n in hist.items():
+            d = [abs(v - ck) for ck in c]
+            k = d.index(min(d))
+            sv[k] += v * n
+            sn[k] += n
+        for k in range(3):
+            if sn[k]:
+                exp[k + 1] = (
+                    sn[k],
+                    round(sv[k] / sn[k] / 100.0, 6) + 0.0,
+                    round(c[k] / 100.0, 6) + 0.0,
+                )
+        assert sgot == exp, (sgot, exp)
+        assert dgot == exp, (dgot, exp)
+
 
 class TestLinreg:
     def test_full_match_vs_numpy_moments(self, spark, sf_dir):
@@ -3520,7 +3579,7 @@ class TestXMath:
             ("spark", lambda q: list(spark.sql(q).collect()[0])),
             ("duckdb", lambda q: list(duck.execute(q).fetchone())),
         ):
-            zarr = X.arr([X.dlit(z) for z in self.ZS], dialect)
+            zarr = X.arr([X.dlit_exact(z) for z in self.ZS], dialect)
             e = X.exp_neg_arr(zarr, dialect)
             q = "SELECT " + ", ".join(
                 f"{X.ix(e, i + 1, dialect)} AS r{i}"
@@ -3553,7 +3612,7 @@ class TestXMath:
         from ema_bigdata_spark.functions import xmath as X
 
         for v in self.VS:
-            steps = X.sql_xln_scalar(X.dlit(v), "l")
+            steps = X.sql_xln_scalar(X.dlit_exact(v), "l")
             ctes, prev, cols = [], None, ["one"]
             for i, (n, e) in enumerate(steps):
                 src = "(SELECT 1 AS one)" if prev is None else prev
@@ -3575,7 +3634,7 @@ class TestXMath:
         from ema_bigdata_spark.functions import xmath as X
 
         for s in self.SS:
-            steps = X.atanh_ln_series(X.dlit(s), "a")
+            steps = X.atanh_ln_series(X.dlit_exact(s), "a")
             q = "SELECT a_v FROM " + X.chain_sql(
                 "(SELECT 1 AS one)", ["one"], [steps]
             )
@@ -3584,6 +3643,14 @@ class TestXMath:
             p = X.py_atanh_ln(s)
             assert self._bits(sv) == self._bits(dv) == self._bits(p), s
             assert abs(p - math.log(s)) < 4e-13
+
+
+def _packed(d):
+    """Dict of floats → dict of IEEE bit patterns (Python == treats
+    -0.0 == +0.0; the driver hash does not)."""
+    import struct
+
+    return {k: struct.pack(">d", v) for k, v in d.items()}
 
 
 class TestParityEMInvariants:
@@ -3611,7 +3678,9 @@ class TestParityEMInvariants:
                 spark, sf_dir, 3, 4, hist_view="v_gmm_hist_t"
             )
             assert got[0] == base[0]
-            assert got[1] == base[1], parts  # dict of floats, bit-exact
+            # compare by IEEE bits: Python == treats -0.0 == +0.0,
+            # exactly the class the driver hash distinguishes
+            assert _packed(got[1]) == _packed(base[1]), parts
 
     def test_randomized_xmath_cross_engine(self, spark, duck):
         """Seeded random doubles through the shared exp/ln texts,
@@ -3635,7 +3704,6 @@ class TestParityEMInvariants:
             [(z, s) for z, s in zip(zs, ss + [1.0] * (len(zs) - len(ss)))],
             "z DOUBLE, s DOUBLE",
         ).createOrReplaceTempView("v_xmath_rand")
-        duck.execute("CREATE OR REPLACE TABLE t_xmath_rand AS SELECT 1 WHERE 0")
         duck.execute(
             "CREATE OR REPLACE TABLE t_xmath_rand(z DOUBLE, s DOUBLE)"
         )
@@ -3738,5 +3806,5 @@ class TestParityEMInvariants:
                 spark, sf_dir, k, 3, want_lnl=True, hist_view=hv
             )
             assert multi[k][0] == nd
-            assert multi[k][1] == P, k
-            assert multi[k][2] == lnl, k
+            assert _packed(multi[k][1]) == _packed(P), k
+            assert _packed({"l": multi[k][2]}) == _packed({"l": lnl}), k
