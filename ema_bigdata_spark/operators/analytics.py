@@ -571,6 +571,21 @@ def q_event_transitions(spark, sf_dir):
 #: a mean difference tinier than 5e-7 rounds to -0.0 in DuckDB but
 #: +0.0 in Spark — the exact class that broke q_embed_covariance's
 #: official r5 hash.  IEEE -0.0 + 0.0 = +0.0; a no-op otherwise.
+#:
+#: shared variance-sum text for the degenerate gate (r6, found by the
+#: adversarial-domain suite): on a zero-variance dataset the t
+#: denominator is sqrt(0) and ANSI Spark (the Spark-4 default) THROWS
+#: DIVIDE_BY_ZERO where DuckDB returns inf — engine-divergent AND a
+#: crash.  A t-test is undefined without variance, so both engines
+#: filter on `_WELCH_S > 0` (which also excludes the
+#: tiny-negative-rounding → sqrt(NaN) corner).
+_WELCH_S = """
+  ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+    / (n1 - 1) / n1
+   + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+    / (n2 - 1) / n2)
+"""
+
 _WELCH_T = """
 (round(
   ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0)
@@ -612,7 +627,7 @@ _WELCH_T = """
            round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean2,
            {_WELCH_T} AS t_stat,
            abs({_WELCH_T}) > 1.96 AS significant
-    FROM w WHERE n1 > 1 AND n2 > 1
+    FROM w WHERE n1 > 1 AND n2 > 1 AND {_WELCH_S} > 0
     """,
 )
 def q_ab_ttest(spark, sf_dir):
@@ -628,9 +643,12 @@ def q_ab_ttest(spark, sf_dir):
     rule (cent² terms reach ~1e10/row, so a BIGINT sum would wrap
     silently past ~1e9 rows/arm; DuckDB's BIGINT sums already widen
     to HUGEINT, and both widen to the identical double in
-    `_WELCH_T`).  Degenerate single-row arms are filtered out
-    (n > 1) rather than dividing by zero with engine-divergent
-    semantics.  Driver-mandated surface (SURVEY §2.4); no Main.scala
+    `_WELCH_T`).  Degenerate inputs are filtered out rather than
+    dividing by zero with engine-divergent semantics: single-row arms
+    (n > 1) and, since r6, zero-variance datasets (`_WELCH_S > 0` —
+    ANSI Spark throws DIVIDE_BY_ZERO where DuckDB returns inf; found
+    by the adversarial-domain suite's constant fixture).
+    Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
     c = cents("value")
     g = (
@@ -655,7 +673,7 @@ def q_ab_ttest(spark, sf_dir):
         pick("s", "view").alias("s2"),
         pick("q", "view").alias("q2"),
     )
-    return w.where("n1 > 1 AND n2 > 1").select(
+    return w.where(f"n1 > 1 AND n2 > 1 AND {_WELCH_S} > 0").select(
         "n1",
         "n2",
         F.expr("round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6)").alias("mean1"),

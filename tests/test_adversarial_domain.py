@@ -28,6 +28,12 @@ _EVENTS_QUERIES = (
     "q_kmeans",
     "gmm_fit",
     "q_gmm_bic",
+    # Welch t on click-vs-view (degenerate arms filter to zero rows on
+    # the tiny fixture — both engines must agree on that too)
+    "q_ab_ttest",
+    # per-user z-scores / MAD outliers over adversarial magnitudes
+    "q_value_outliers",
+    "q_outlier_mad",
 )
 
 
