@@ -389,7 +389,7 @@ def _build_codecs():
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
              {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     g AS (
       SELECT doc_id, hx, bl, w,
@@ -449,8 +449,12 @@ def q_mm_features(spark, sf_dir):
                 out["sum_r"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text has no synthesizable payload: bytes(None)
+        # crashes the Arrow worker; both engines skip the row
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = (
         "doc_id BIGINT, width BIGINT, height BIGINT, media_bytes BIGINT,"
@@ -481,7 +485,7 @@ def q_mm_features(spark, sf_dir):
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
              {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     g AS (
       SELECT doc_id, hx, bl, w,
@@ -541,8 +545,12 @@ def q_mm_png(spark, sf_dir):
                 out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text has no synthesizable payload: bytes(None)
+        # crashes the Arrow worker; both engines skip the row
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = (
         "doc_id BIGINT, width BIGINT, height BIGINT, pixel_bytes BIGINT,"
@@ -616,7 +624,7 @@ _DUCK_ABS_SAMPLE = (
     WITH d AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     s AS (
       SELECT doc_id,
@@ -672,8 +680,12 @@ def q_mm_frames(spark, sf_dir):
                     )
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text has no synthesizable payload: bytes(None)
+        # crashes the Arrow worker; both engines skip the row
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = (
         "doc_id BIGINT, frame_idx BIGINT, frame_samples BIGINT,"
@@ -707,7 +719,7 @@ def _mm_histogram_oracle() -> str:
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
              {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     g AS (
       SELECT doc_id, hx, bl, w,
@@ -760,8 +772,12 @@ def q_mm_histogram(spark, sf_dir):
                     out[f"h{k}"].append(int(counts[k]))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text has no synthesizable payload: bytes(None)
+        # crashes the Arrow worker; both engines skip the row
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = "doc_id BIGINT, n_px BIGINT, " + ", ".join(
         f"h{k} BIGINT" for k in range(_HIST_BINS)

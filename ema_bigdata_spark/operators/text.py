@@ -109,8 +109,15 @@ def q_lang_id(spark, sf_dir):
     hit_cols = []
     for lang in langs:
         arr = "array(" + ", ".join(f"'{w}'" for w in LEXICON[lang]) + ")"
+        # coalesce: a NULL text must count as zero hits → 'und', the
+        # same semantics as the oracle's LEFT JOIN + coalesce (r6,
+        # found by the adversarial-documents probe: size(split(NULL))
+        # is NULL, which NULLed pred_lang/n_hits on Spark only)
         hit_cols.append(
-            F.expr(f"size(filter({toks}, t -> array_contains({arr}, t)))")
+            F.expr(
+                f"coalesce(size(filter({toks},"
+                f" t -> array_contains({arr}, t))), 0)"
+            )
             .cast("long")
             .alias(f"_h_{lang}")
         )
@@ -1208,7 +1215,7 @@ _TOPK_NGRAMS = 20
     WITH grid AS (
       SELECT doc_id, sh, count(*) AS c_in_doc FROM (
         {_DUCK_SHINGLES}
-      ) GROUP BY doc_id, sh
+      ) WHERE sh IS NOT NULL GROUP BY doc_id, sh
     )
     SELECT sh AS ngram,
            CAST(sum(c_in_doc) AS BIGINT) AS n_occurrences,
@@ -1233,10 +1240,15 @@ def q_topk_ngrams(spark, sf_dir):
     from ema_bigdata_spark.operators.dedup import _shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs yield a [NULL] shingle fallback; drop it on both
+    # engines — otherwise a NULL ngram ties at the top-k boundary and
+    # the engines' opposite NULL orderings pick different rows (r6,
+    # adversarial-documents probe)
     grid = (
         docs.select(
             "doc_id", F.explode(_shingles()).alias("ngram")
         )
+        .where(F.col("ngram").isNotNull())
         .groupBy("doc_id", "ngram")
         .agg(F.count(F.lit(1)).alias("c_in_doc"))
     )
@@ -1438,9 +1450,14 @@ _ENT_TERM_U = (
 
 #: H = ln L − (Σ n_c·ln n_c)/L — the identical final expression text
 #: on both engines over identical integers.
+#: trailing `+ CAST(0 AS DOUBLE)` = the signed-zero guard (r6): a
+#: single-symbol doc's entropy is a tiny negative residual of the
+#: 1e-6 snap, which DuckDB rounds to -0.0 and Spark to +0.0 — found
+#: by the adversarial-domain probe on a repeated-char fixture.
 _ENT_FINAL = (
-    "round(ln(CAST(n_chars AS DOUBLE))"
+    "(round(ln(CAST(n_chars AS DOUBLE))"
     " - CAST(sum_u AS DOUBLE) / 1000000 / CAST(n_chars AS DOUBLE), 6)"
+    " + CAST(0 AS DOUBLE))"
 )
 
 
@@ -1662,7 +1679,11 @@ def q_filter_report(spark, sf_dir):
 def _source_interleave_oracle() -> str:
     from ema_bigdata_spark.operators.dedup import _DUCK_H60
 
-    h = _DUCK_H60.format(x="text")
+    # coalesce(-1): md5(NULL text) is NULL, and the engines disagree
+    # on window NULL ordering (Spark NULLS FIRST, DuckDB NULLS LAST)
+    # — pin NULL-text docs first with a concrete key (r6, found by
+    # the adversarial-documents probe)
+    h = f"coalesce({_DUCK_H60.format(x='text')}, -1)"
     return f"""
     WITH h AS (
       SELECT doc_id, source, {h} AS h FROM documents
@@ -1707,7 +1728,9 @@ def q_source_interleave(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
-        "doc_id", "source", F.expr(_SPARK_H60.format(x="text")).alias("h")
+        "doc_id",
+        "source",
+        F.expr(f"coalesce({_SPARK_H60.format(x='text')}, -1)").alias("h"),
     )
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     r = h.select(

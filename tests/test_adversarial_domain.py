@@ -130,3 +130,85 @@ class TestAdversarialDomains:
         components at K=4 (nf/nrm floors), 1-2 member k-means
         clusters."""
         _compare(spark, adv_dirs["tiny"], _EVENTS_QUERIES)
+
+
+#: documents-reachable queries exercised on the degenerate corpus
+#: (everything in the registry that needs ONLY the documents table)
+_DOC_QUERIES = (
+    "q_text_tokens", "q_lang_id", "q_quality_score", "q_token_count",
+    "q_doc_fingerprint", "q_tfidf", "q_normalize_text",
+    "q_repetition_score", "q_source_mix", "q_token_histogram",
+    "q_char_entropy", "q_filter_report", "q_source_interleave",
+    "q_topk_ngrams", "q_bpe_pairs", "q_bigram_lm", "q_unigram_lm",
+    "q_bm25", "q_rag_chunk", "q_pii_scrub", "q_mix_weights",
+    "q_stratified_sample", "q_train_val_split", "q_weighted_sample",
+    "q_corpus_clean", "q_contamination", "q_pack_sequences",
+    "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_minhash",
+    "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_fuzzy",
+    "q_dedup_cluster", "q_dedup_keep_best", "q_minhash_jaccard_est",
+    "q_dup_spans",
+    "q_mm_features", "q_mm_png", "q_mm_frames", "q_mm_histogram",
+)
+
+
+@pytest.fixture(scope="module")
+def adv_docs_dir(spark, tmp_path_factory):
+    """Degenerate documents corpus: empty / whitespace-only /
+    punctuation-only / single-char / repeated-char / unicode / huge /
+    exact-duplicate / NULL-text docs plus a few normal ones."""
+    d = str(tmp_path_factory.mktemp("advdocs"))
+    docs = [
+        (0, "", "en", "web", 0),
+        (1, "   ", "en", "web", 3),
+        (2, "x", "en", "web", 1),
+        (3, "!!! ... ???", "en", "books", 11),
+        (4, "héllo wörld héllo wörld", "de", "web", 23),
+        (5, "the quick brown fox jumps over the lazy dog", "en",
+         "books", 43),
+        (6, "the quick brown fox jumps over the lazy dog", "en",
+         "web", 43),
+        (7, "word " * 2000, "en", "code", 10000),
+        (8, None, "en", "web", 0),
+        (9, "normal document with several words of content here", "en",
+         "wiki", 50),
+        (10, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en", "web", 29),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+class TestAdversarialDocuments:
+    """r6: the probe behind four real fixes — a signed-zero entropy
+    (single-symbol doc), NULL-text semantics in q_lang_id, opposite
+    NULL window-ordering in q_source_interleave, a NULL ngram at
+    q_topk_ngrams' top-k boundary — and a NULL-payload crash in the
+    four multimodal codecs."""
+
+    def test_documents_queries_on_degenerate_corpus(
+        self, spark, adv_docs_dir
+    ):
+        import duckdb
+
+        from tests.oracle import rowset
+
+        duck = duckdb.connect()
+        duck.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{adv_docs_dir}/documents.parquet/*.parquet')"
+        )
+        failures = []
+        for name in _DOC_QUERIES:
+            sdf = registry.QUERIES[name](spark, adv_docs_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            ores = duck.execute(registry.ORACLES[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+            sn, ss = rowset(sdf.columns, srows)
+            on, os_ = rowset(ocols, orows)
+            if not (len(srows) == len(orows) and sn == on and ss == os_):
+                failures.append(name)
+        assert not failures, failures
