@@ -111,6 +111,7 @@ def _cosine_to_probe(probe: list[float]) -> F.Column:
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
              6) AS cosine
       FROM embeddings e, p
+      WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0
     )
     SELECT vec_id, label, cosine FROM scored
     ORDER BY cosine DESC, vec_id
@@ -128,8 +129,13 @@ def cosine_topk(emb, probe: list[float], k: int = _TOPK):
     point.  Narrow scan + per-row fold + TakeOrdered(k): no shuffle of
     vectors; at 100 TB each partition returns its local top-k and the
     driver merges k·partitions rows."""
+    # cosine is undefined for zero-norm or NULL vectors — both engines
+    # exclude them (NULL dot-self fails the > 0 gate too); under ANSI
+    # Spark an ungated zero norm is a DIVIDE_BY_ZERO crash (r6,
+    # adversarial-embeddings probe)
     return (
-        emb.select(
+        emb.where(F.expr(f"{_DOT_SELF} > 0"))
+        .select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
             F.round(_cosine_to_probe(probe), 6).alias("cosine"),
@@ -205,7 +211,8 @@ def _ann_lsh_oracle() -> str:
     ps AS (SELECT {_duck_signature('pe')} AS psig FROM p),
     sigs AS (SELECT e.vec_id, e.label, e.embedding,
                     {_duck_signature('e.embedding')} AS sig
-             FROM embeddings e),
+             FROM embeddings e
+             WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0),
     cand AS (SELECT s.vec_id, s.label, s.embedding FROM sigs s, ps
              WHERE bit_count(xor(s.sig, ps.psig)) <= 1)
     SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
@@ -229,7 +236,11 @@ def q_ann_lsh(spark, sf_dir):
     for p, w in enumerate(planes):
         if sum(a * b for a, b in zip(probe, w)) > 0:
             psig |= 1 << p
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        # mirror the oracle's sigs gate: zero-norm / NULL vectors have
+        # no cosine and must never reach the rerank (r6)
+        F.expr(f"{_DOT_SELF} > 0")
+    )
     sig = emb.withColumn("sig", _signature("embedding", planes))
     cand = sig.where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(psig))) <= 1
@@ -323,7 +334,10 @@ def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
         return _IVF_CACHE[sf_dir]
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        # NULL embeddings crash the numpy training batch (r6)
+        F.col("embedding").isNotNull()
+    )
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
         .limit(_IVF_TRAIN_SAMPLE)
@@ -366,7 +380,10 @@ def ann_ivf_topk(spark, sf_dir):
         range(1, _IVF_LISTS + 1), key=lambda i: (pdists[i - 1], i)
     )[:_IVF_NPROBE]
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # cosine rerank is undefined for zero-norm / NULL vectors (r6)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(f"{_DOT_SELF} > 0")
+    )
     cand = _with_assignment(spark, emb, cents).where(
         F.col("ivf_list").isin(probe_lists)
     )
@@ -393,6 +410,7 @@ _IVF_RECALL_FLOOR = 3
       SELECT e.vec_id,
              round({_duck_cosine('e.embedding', 'p.pe')}, 6) AS cosine
       FROM embeddings e, p
+      WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0
     ),
     topk AS (SELECT vec_id FROM scored
              ORDER BY cosine DESC, vec_id LIMIT {_TOPK})
@@ -446,6 +464,9 @@ def _blocked_pairs(emb):
     unrelated vectors ≈ 0.5⁸ ≈ 0.4%, and → 1 as cosine → 1)."""
     planes = _plane_weights()
     norm = F.expr(_DOT_SELF)
+    # zero-norm / NULL vectors have no cosine: exclude before pairing
+    # (ANSI Spark crashes on the 0-norm denominator otherwise)
+    emb = emb.where(F.expr(f"{_DOT_SELF} > 0"))
     sig = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
@@ -485,6 +506,7 @@ def embed_dup_pairs(emb, threshold: float = _DUP_COS):
              sqrt({_SQL_DOT_SELF}) AS nrm,
              {_duck_signature('embedding')} AS sig
       FROM embeddings
+      WHERE {_SQL_DOT_SELF} > 0
     ),
     scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -532,7 +554,7 @@ def q_embed_dup(spark, sf_dir):
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) AS scale0
@@ -545,10 +567,10 @@ def q_embed_dup(spark, sf_dir):
       FROM s
     )
     SELECT vec_id, CAST(len(q8) AS BIGINT) AS dim,
-           round(scale0, 6) AS scale,
-           round(list_max(list_transform(list_zip(e, q8),
+           (round(scale0, 6) + CAST(0 AS DOUBLE)) AS scale,
+           (round(list_max(list_transform(list_zip(e, q8),
                  t -> abs(t[1] - t[2] * scale0 / 127.0))), 6)
-             AS max_abs_err
+             + CAST(0 AS DOUBLE)) AS max_abs_err
     FROM qq ORDER BY vec_id
     """,
 )
@@ -585,7 +607,11 @@ def q_embed_quantize(spark, sf_dir):
         ).astype(np.int8)
         return pd.Series(list(q))
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings")).where(
+        # NULL embeddings have nothing to quantize and crash the Arrow
+        # worker (np.stack over None); both engines drop them
+        F.col("embedding").isNotNull()
+    )
     q = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
@@ -604,8 +630,11 @@ def q_embed_quantize(spark, sf_dir):
     return q.select(
         "vec_id",
         F.size("q8").cast("long").alias("dim"),
-        F.round(F.col("scale"), 6).alias("scale"),
-        F.round(F.expr(err), 6).alias("max_abs_err"),
+        # + 0.0 = the signed-zero guard: DuckDB abs(-0.0) returns
+        # -0.0 (Spark returns +0.0), so an all-negative-zero vector
+        # would differ by sign bit without it (r6 adversarial probe)
+        (F.round(F.col("scale"), 6) + F.lit(0.0)).alias("scale"),
+        (F.round(F.expr(err), 6) + F.lit(0.0)).alias("max_abs_err"),
     ).orderBy("vec_id")
 
 
@@ -714,6 +743,9 @@ _BATCH_K = 5
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
              6) DESC, e.vec_id) AS rn
       FROM embeddings e CROSS JOIN p
+      WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0
+        AND list_aggregate(list_transform(p.pe,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     )
     SELECT probe_id, vec_id, cosine FROM scored WHERE rn <= {_BATCH_K}
     """,
@@ -727,7 +759,11 @@ def q_similarity_batch(spark, sf_dir):
     the ROUNDED score keeps cross-engine ties identical."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # zero-norm / NULL vectors carry no cosine: gate BOTH the corpus
+    # and the probe set (ANSI Spark would crash on the 0 denominator)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.expr(f"{_DOT_SELF} > 0")
+    )
     probes = emb.where(F.col("vec_id").isin(list(_BATCH_PROBE_IDS))).select(
         F.col("vec_id").alias("probe_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("pe"),
@@ -799,6 +835,9 @@ def semdedup_pairs(emb):
     volume is governed by the LSH match rate exactly as in
     q_embed_dup, and vectors shuffle only within blocks."""
     cent = _centroid_array(emb)
+    # zero-norm / NULL vectors have no centroid- or pair-cosine: gate
+    # them out before any division (ANSI Spark crashes otherwise)
+    emb = emb.where(F.expr(f"{_DOT_SELF} > 0"))
     base = (
         emb.select(
             "vec_id",
@@ -896,6 +935,7 @@ def _duck_semdedup_sql() -> str:
              sqrt({_SQL_DOT_SELF}) AS nrm,
              {_duck_signature('embedding')} AS sig
       FROM embeddings
+      WHERE {_SQL_DOT_SELF} > 0
     ),
     wc AS (
       SELECT b.*,
@@ -965,7 +1005,10 @@ def _pq_codebooks(spark, sf_dir) -> list[list[list[float]]]:
         return _PQ_CACHE[sf_dir]
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        # NULL embeddings crash the numpy training batch (r6)
+        F.col("embedding").isNotNull()
+    )
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
         .limit(_IVF_TRAIN_SAMPLE)
@@ -1041,7 +1084,9 @@ def ann_pq_topk(spark, sf_dir):
         " (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # NULL codes poison the ADC order
+    )
     shortlist = (
         emb.crossJoin(F.broadcast(cdf))
         .withColumn("_d", F.expr(dists))
@@ -1096,6 +1141,7 @@ _DUCK_L2 = (
       SELECT e.vec_id,
              round({_DUCK_L2.format(e='e.embedding', p='p.pe')}, 6) AS d2
       FROM embeddings e, p
+      WHERE e.embedding IS NOT NULL
     ),
     topk AS (SELECT vec_id FROM scored
              ORDER BY d2 ASC, vec_id LIMIT {_TOPK})
@@ -1117,7 +1163,11 @@ def q_ann_pq(spark, sf_dir):
     — a broken codebook, encoder, or LUT drops it to ~0 and flips the
     bool.  The oracle recomputes the exact L2 top-k and emits literal
     TRUE.  Driver-mandated surface (SURVEY §2.4)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        # L2 of a NULL embedding is NULL, and the engines order NULLs
+        # oppositely at the top-k boundary (r6 adversarial probe)
+        F.col("embedding").isNotNull()
+    )
     probe = _probe_vector(spark, sf_dir)
     parr = "array(" + ", ".join(
         f"CAST({v!r} AS DOUBLE)" for v in probe

@@ -212,3 +212,87 @@ class TestAdversarialDocuments:
             if not (len(srows) == len(orows) and sn == on and ss == os_):
                 failures.append(name)
         assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(spark, tmp_path_factory):
+    """Degenerate embeddings: zero vector, negative-zero vector, exact
+    duplicate, tiny-magnitude components, NULL embedding."""
+    import random
+
+    d = str(tmp_path_factory.mktemp("advemb"))
+    D = 64
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [round(r.uniform(-1, 1), 4) for _ in range(D)]
+
+    rows = [(i, vec(i), i % 4) for i in range(40)]
+    rows += [
+        (40, [0.0] * D, 0),
+        (41, [-0.0] * D, 1),
+        (42, vec(7), 2),
+        (44, [1e-30] * D, 0),
+        (45, None, 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+class TestAdversarialEmbeddings:
+    """r6: the probe behind the similarity-family domain gates — under
+    ANSI Spark (the driver's default) an ungated zero-norm vector was
+    a DIVIDE_BY_ZERO crash in every cosine path, NULL embeddings
+    crashed the numpy training samples and the quantize Arrow worker,
+    and DuckDB's abs(-0.0) = -0.0 flipped q_embed_quantize's scale
+    sign bit."""
+
+    FAM = (
+        "q_embed_norm", "q_similarity_topk", "q_similarity_batch",
+        "q_embed_dup", "q_embed_quantize", "q_ann_lsh", "q_ann_ivf",
+        "q_ann_pq", "q_embed_centroid", "q_embed_covariance",
+        "q_semdedup",
+    )
+
+    def test_family_on_degenerate_embeddings(self, spark, adv_emb_dir):
+        import duckdb
+
+        from tests.oracle import rowset
+
+        duck = duckdb.connect()
+        duck.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{adv_emb_dir}/embeddings.parquet/*.parquet')"
+        )
+        failures = []
+        for name in self.FAM:
+            sdf = registry.QUERIES[name](spark, adv_emb_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            ores = duck.execute(registry.ORACLES[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+            sn, ss = rowset(sdf.columns, srows)
+            on, os_ = rowset(ocols, orows)
+            if not (len(srows) == len(orows) and sn == on and ss == os_):
+                failures.append(name)
+        assert not failures, failures
+
+    def test_out_of_envelope_magnitudes_fail_loudly(
+        self, spark, tmp_path_factory
+    ):
+        """Components at 1e30 exceed the documented fixed-point
+        envelope (|x| ≤ ~1e3, functions/parity.py headroom rule) —
+        the ANSI CAST_OVERFLOW error is the CORRECT posture: loud
+        refusal instead of silent integer wrap-around."""
+        d = str(tmp_path_factory.mktemp("advhuge"))
+        rows = [(i, [1e30] * 64, i % 4) for i in range(8)]
+        spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        with pytest.raises(Exception) as ei:
+            registry.QUERIES["q_embed_centroid"](spark, d).collect()
+        assert "CAST_OVERFLOW" in str(ei.value)
