@@ -54,12 +54,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     the signed-zero guard this round;
 #: (5) the four pre-declared r6 holdovers (q_contamination,
 #:     q_pack_sequences, q_corpus_clean, q_unigram_lm);
-#: (6) 40 of the 43 remaining r3-official rows.  Three similarity
-#:     singletons (q_embed_norm, q_embed_dup, q_embed_centroid) defer
-#:     to r7 — the window is oversubscribed by exactly 3 and their
-#:     five in-window family siblings (topk/batch/lsh/ivf/quantize)
-#:     plus untouched code since r3 make them the lowest-risk slip;
-#:     all three are green in this round's full local driver-sim.
+#: (6) 40 of the 43 remaining r3-official rows.  Three names defer to
+#:     r7: q_embed_norm and q_embed_centroid (similarity singletons —
+#:     in-window family siblings plus near-untouched code make them
+#:     the lowest-risk slip) and q_multimodal_join (displaced
+#:     late-r6 by q_embed_dup, whose blocking gained the r6
+#:     vector-domain gate on an r3 official row — changed code
+#:     outranks unchanged).  All deferred names are green in this
+#:     round's full local driver-sims.
 _CHECK_WINDOW: tuple[str, ...] = (
     # — (1) never driver-checked + (2) first-ever oracles —
     "q_kmeans", "q_linreg", "gmm_fit", "q_gmm_bic",
@@ -86,11 +88,12 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_fuzzy",
     "q_dedup_cluster", "q_dedup_keep_best", "q_dup_spans",
     "q_dedup_incremental_near",
-    # — r3 similarity/ANN (5; norm/dup/centroid → r7) —
+    # — r3 similarity/ANN (6; norm/centroid → r7; q_embed_dup swapped
+    # IN late-r6: its blocking gained the vector-domain gate this
+    # round on an r3 official row — changed-code outranks the
+    # unchanged q_multimodal_join (r3 row, → r7) it displaces —
     "q_similarity_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_embed_quantize", "q_similarity_batch",
-    # — r3 multimodal join (1) —
-    "q_multimodal_join",
+    "q_embed_quantize", "q_similarity_batch", "q_embed_dup",
     # — r3 streaming family (7) —
     "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
     "s_stream_dedup", "s_stream_join", "s_stream_static_join",
