@@ -586,14 +586,15 @@ _WELCH_S = """
     / (n2 - 1) / n2)
 """
 
-_WELCH_T = """
+#: the t denominator interpolates _WELCH_S — ONE copy of the
+#: variance-sum formula shared with the degenerate gate (r6 review:
+#: two divergent copies would let a future edit silently reopen the
+#: crash the gate closed)
+_WELCH_T = f"""
 (round(
   ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0)
   / sqrt(
-      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
-        / (n1 - 1) / n1
-       + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
-        / (n2 - 1) / n2)
+      {_WELCH_S}
       / 10000.0),
   6) + CAST(0 AS DOUBLE))
 """

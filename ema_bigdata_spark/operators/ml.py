@@ -179,7 +179,12 @@ _OLS_SLOPE = f"({_OLS_NUM} / {_OLS_DEN})"
 
 def _linreg_select(src: str) -> str:
     # signed-zero guard on slope/intercept (they straddle zero; the
-    # engines round tiny negatives to differently-signed zeros)
+    # engines round tiny negatives to differently-signed zeros).
+    # The y-variance gate (n·syy − sy² > 0, r6 review): with a
+    # constant y the r2 denominator is zero — ANSI Spark throws
+    # DIVIDE_BY_ZERO where DuckDB emits inf/NaN, the q_ab_ttest crash
+    # class; R² is undefined without y-variance, so both engines
+    # filter the degenerate row out.
     return f"""
     SELECT CAST(n AS BIGINT) AS n_orders,
            (round({_OLS_SLOPE} / 10000.0, 6) + CAST(0 AS DOUBLE)) AS slope,
@@ -188,7 +193,7 @@ def _linreg_select(src: str) -> str:
            round({_OLS_NUM} * {_OLS_NUM}
                  / ({_OLS_DEN} * (n * syy - sy * sy)), 6) AS r2
     FROM {src}
-    WHERE n > 1 AND {_OLS_DEN} <> 0
+    WHERE n > 1 AND {_OLS_DEN} <> 0 AND (n * syy - sy * sy) > 0
     """
 
 

@@ -36,6 +36,14 @@ _SQL_DOT_SELF = (
 )
 
 
+def _norm_gated(df):
+    """ONE source of truth for the family's vector domain on the Spark
+    side (r6): keep rows with Σx² > 0 — zero-norm vectors have no
+    cosine, and a NULL embedding fails the comparison too.  The oracle
+    texts spell the same gate as `WHERE {_SQL_DOT_SELF…} > 0`."""
+    return df.where(F.expr(f"{_DOT_SELF} > 0"))
+
+
 # -- q_embed_norm: L2 norm via higher-order fold (SQL-oracled) ------------
 
 
@@ -77,7 +85,19 @@ def _probe_vector(spark, sf_dir) -> list[float]:
         raise ValueError(
             f"probe vec_id={_PROBE_ID} not found in {sf_dir}/embeddings"
         )
+    # same loud refusal for a probe outside the family's vector domain
+    # (r6 review): a NULL or zero-norm probe has no cosine — without
+    # this, ANSI Spark dies on the folded 0.0 denominator while the
+    # oracles return NaN rows (engine-divergent)
+    if rows[0].embedding is None:
+        raise ValueError(
+            f"probe vec_id={_PROBE_ID} has a NULL embedding"
+        )
     out = [float(x) for x in rows[0].embedding]
+    if not any(v != 0.0 for v in out):
+        raise ValueError(
+            f"probe vec_id={_PROBE_ID} is the zero vector (no cosine)"
+        )
     _PROBE_CACHE[sf_dir] = out
     return out
 
@@ -134,7 +154,7 @@ def cosine_topk(emb, probe: list[float], k: int = _TOPK):
     # Spark an ungated zero norm is a DIVIDE_BY_ZERO crash (r6,
     # adversarial-embeddings probe)
     return (
-        emb.where(F.expr(f"{_DOT_SELF} > 0"))
+        _norm_gated(emb)
         .select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
@@ -236,11 +256,7 @@ def q_ann_lsh(spark, sf_dir):
     for p, w in enumerate(planes):
         if sum(a * b for a, b in zip(probe, w)) > 0:
             psig |= 1 << p
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        # mirror the oracle's sigs gate: zero-norm / NULL vectors have
-        # no cosine and must never reach the rerank (r6)
-        F.expr(f"{_DOT_SELF} > 0")
-    )
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
     sig = emb.withColumn("sig", _signature("embedding", planes))
     cand = sig.where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(psig))) <= 1
@@ -381,9 +397,7 @@ def ann_ivf_topk(spark, sf_dir):
     )[:_IVF_NPROBE]
 
     # cosine rerank is undefined for zero-norm / NULL vectors (r6)
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.expr(f"{_DOT_SELF} > 0")
-    )
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
     cand = _with_assignment(spark, emb, cents).where(
         F.col("ivf_list").isin(probe_lists)
     )
@@ -466,7 +480,7 @@ def _blocked_pairs(emb):
     norm = F.expr(_DOT_SELF)
     # zero-norm / NULL vectors have no cosine: exclude before pairing
     # (ANSI Spark crashes on the 0-norm denominator otherwise)
-    emb = emb.where(F.expr(f"{_DOT_SELF} > 0"))
+    emb = _norm_gated(emb)
     sig = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
@@ -761,9 +775,7 @@ def q_similarity_batch(spark, sf_dir):
 
     # zero-norm / NULL vectors carry no cosine: gate BOTH the corpus
     # and the probe set (ANSI Spark would crash on the 0 denominator)
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.expr(f"{_DOT_SELF} > 0")
-    )
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
     probes = emb.where(F.col("vec_id").isin(list(_BATCH_PROBE_IDS))).select(
         F.col("vec_id").alias("probe_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("pe"),
@@ -837,7 +849,7 @@ def semdedup_pairs(emb):
     cent = _centroid_array(emb)
     # zero-norm / NULL vectors have no centroid- or pair-cosine: gate
     # them out before any division (ANSI Spark crashes otherwise)
-    emb = emb.where(F.expr(f"{_DOT_SELF} > 0"))
+    emb = _norm_gated(emb)
     base = (
         emb.select(
             "vec_id",

@@ -59,31 +59,44 @@ def _write_events(spark, path: str, values) -> None:
     ).coalesce(2).write.mode("overwrite").parquet(f"{path}/events.parquet")
 
 
-def _compare(spark, sf_dir: str, names) -> None:
+def _make_duck(sf_dir: str, table: str):
+    """DuckDB connection with one view over a Spark-written parquet
+    DIRECTORY (glob its part files)."""
     import duckdb
 
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/{table}.parquet/*.parquet')"
+    )
+    return duck
+
+
+def _check_parity(spark, duck, sf_dir: str, name: str) -> None:
+    """ONE copy of the driver-style compare for every adversarial
+    suite in this file (r6 review: this loop was hand-rolled three
+    times)."""
     from tests.oracle import rowset
 
-    duck = duckdb.connect()
-    # Spark writes a parquet DIRECTORY; glob its part files for DuckDB
-    duck.execute(
-        "CREATE VIEW events AS SELECT * FROM"
-        f" read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    sdf = registry.QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    ores = duck.execute(registry.ORACLES[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert len(srows) == len(orows), (name, len(srows), len(orows))
+    sn, sset = rowset(sdf.columns, srows)
+    on, oset = rowset(ocols, orows)
+    assert sn == on, (name, sn, on)
+    assert sset == oset, (
+        name,
+        [(a, b) for a, b in zip(sset, oset) if a != b][:3],
     )
+
+
+def _compare(spark, sf_dir: str, names) -> None:
+    duck = _make_duck(sf_dir, "events")
     for name in names:
-        sdf = registry.QUERIES[name](spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        ores = duck.execute(registry.ORACLES[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
-        assert len(srows) == len(orows), (name, len(srows), len(orows))
-        sn, sset = rowset(sdf.columns, srows)
-        on, oset = rowset(ocols, orows)
-        assert sn == on, (name, sn, on)
-        assert sset == oset, (
-            name,
-            [(a, b) for a, b in zip(sset, oset) if a != b][:3],
-        )
+        _check_parity(spark, duck, sf_dir, name)
 
 
 @pytest.fixture(scope="module")
@@ -191,25 +204,12 @@ class TestAdversarialDocuments:
     def test_documents_queries_on_degenerate_corpus(
         self, spark, adv_docs_dir
     ):
-        import duckdb
-
-        from tests.oracle import rowset
-
-        duck = duckdb.connect()
-        duck.execute(
-            "CREATE VIEW documents AS SELECT * FROM"
-            f" read_parquet('{adv_docs_dir}/documents.parquet/*.parquet')"
-        )
+        duck = _make_duck(adv_docs_dir, "documents")
         failures = []
         for name in _DOC_QUERIES:
-            sdf = registry.QUERIES[name](spark, adv_docs_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            ores = duck.execute(registry.ORACLES[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
-            sn, ss = rowset(sdf.columns, srows)
-            on, os_ = rowset(ocols, orows)
-            if not (len(srows) == len(orows) and sn == on and ss == os_):
+            try:
+                _check_parity(spark, duck, adv_docs_dir, name)
+            except AssertionError:
                 failures.append(name)
         assert not failures, failures
 
@@ -257,25 +257,12 @@ class TestAdversarialEmbeddings:
     )
 
     def test_family_on_degenerate_embeddings(self, spark, adv_emb_dir):
-        import duckdb
-
-        from tests.oracle import rowset
-
-        duck = duckdb.connect()
-        duck.execute(
-            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
-            f"'{adv_emb_dir}/embeddings.parquet/*.parquet')"
-        )
+        duck = _make_duck(adv_emb_dir, "embeddings")
         failures = []
         for name in self.FAM:
-            sdf = registry.QUERIES[name](spark, adv_emb_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            ores = duck.execute(registry.ORACLES[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
-            sn, ss = rowset(sdf.columns, srows)
-            on, os_ = rowset(ocols, orows)
-            if not (len(srows) == len(orows) and sn == on and ss == os_):
+            try:
+                _check_parity(spark, duck, adv_emb_dir, name)
+            except AssertionError:
                 failures.append(name)
         assert not failures, failures
 
