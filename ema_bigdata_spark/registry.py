@@ -37,67 +37,62 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-6 verification priority.  The external driver records a
+#: Round-7 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
 #: Rotation rule (steady state since r3): never-checked first, then
 #: red rows / changed-this-round, then stalest-official-row (an old
 #: green row doesn't certify refactored code).  This window:
-#: (1) the two r5-shipped-but-undeclared queries, never driver-checked
-#:     (q_kmeans, q_linreg — now declared in SURVEY §2.4 and touched
-#:     this round: floor-consistent integer division);
-#: (2) gmm_fit and q_gmm_bic — first-ever ORACLED rows (the r6 parity
-#:     EM, gmm_parity.py; rows-only ``no_oracle`` ledger entries
-#:     through r5);
-#: (3) q_embed_covariance — the r5 official RED row (signed-zero hash
-#:     break), fixed this round, must re-check green;
-#: (4) q_ab_ttest — green r5 row but its shared _WELCH_T text gained
-#:     the signed-zero guard this round;
-#: (5) the four pre-declared r6 holdovers (q_contamination,
-#:     q_pack_sequences, q_corpus_clean, q_unigram_lm);
-#: (6) 40 of the 43 remaining r3-official rows.  Three names defer to
-#:     r7: q_embed_norm and q_embed_centroid (similarity singletons —
-#:     in-window family siblings plus near-untouched code make them
-#:     the lowest-risk slip) and q_multimodal_join (displaced
-#:     late-r6 by q_embed_dup, whose blocking gained the r6
-#:     vector-domain gate on an r3 official row — changed code
-#:     outranks unchanged).  All deferred names are green in this
-#:     round's full local driver-sims.
+#: (1) the three r3-era official rows — the oldest evidence in the
+#:     ledger (q_embed_norm, q_embed_centroid deferred from r6;
+#:     q_multimodal_join displaced late-r6 by q_embed_dup);
+#: (2) the eleven queries whose code changed in r6 AFTER the r6
+#:     window was frozen (ROUND6_NOTES §6): the adversarial-probe
+#:     fixes (q_char_entropy, q_lang_id, q_source_interleave,
+#:     q_topk_ngrams, q_weighted_sample), the four multimodal codecs'
+#:     NULL-payload filters, and the similarity domain gates on
+#:     q_ann_pq / q_semdedup — all carry pre-change r4/r5 rows;
+#: (3) the four queries changed THIS round: gmm_fit (lockstep
+#:     statement merge, VERDICT item 6) and the empty-corpus refusal
+#:     guards on q_gmm_bic, q_bm25, q_pagerank (VERDICT item 4);
+#: (4) 32 of the 46 remaining r4-official rows.  Fourteen r4 names
+#:     defer to r8 with rationale: the nine-name reference ``_fixed``
+#:     family (q_scan_count, q_mean, q_variance_pop, q_init_means,
+#:     q_loglik_fixed, q_gamma_fixed, q_mstep_{weight,mean,var}_fixed
+#:     — fixed-constant single-scan arithmetic, unchanged since r4,
+#:     whose math is subsumed by the r6-green parity-EM oracles) plus
+#:     five trivial unchanged relational ops (q_join_cross,
+#:     q_filter_project, q_string_funcs, q_union, q_intersect).  All
+#:     deferred names are green in this round's full local
+#:     driver-sims.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — (1) never driver-checked + (2) first-ever oracles —
-    "q_kmeans", "q_linreg", "gmm_fit", "q_gmm_bic",
-    # — (3) r5 red row, fixed + (4) changed shared text —
-    "q_embed_covariance", "q_ab_ttest",
-    # — (5) pre-declared holdovers —
-    "q_contamination", "q_pack_sequences", "q_corpus_clean",
-    "q_unigram_lm",
-    # — (6) r3 TPC-H family (5) —
-    "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q14",
-    "q_sql_tpch_q17", "q_sql_tpch_q18",
-    # — r3 approx/collect aggs (3) —
-    "q_approx_distinct", "q_approx_quantiles", "q_collect_agg",
-    # — r3 join specials (3) —
-    "q_join_range", "q_join_asof", "q_join_salted",
-    # — r3 window family (4) —
-    "q_sessionize", "q_window_frames", "q_window_range_frame",
-    "q_compact_latest",
-    # — r3 event analytics + profiling (3) —
-    "q_retention", "q_funnel", "q_skew_metrics",
-    # — r3 data mixing (2) —
-    "q_mix_weights", "q_train_val_split",
-    # — r3 dedup family (7) —
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_fuzzy",
-    "q_dedup_cluster", "q_dedup_keep_best", "q_dup_spans",
-    "q_dedup_incremental_near",
-    # — r3 similarity/ANN (6; norm/centroid → r7; q_embed_dup swapped
-    # IN late-r6: its blocking gained the vector-domain gate this
-    # round on an r3 official row — changed-code outranks the
-    # unchanged q_multimodal_join (r3 row, → r7) it displaces —
-    "q_similarity_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_embed_quantize", "q_similarity_batch", "q_embed_dup",
-    # — r3 streaming family (7) —
-    "s_stream_session", "s_stream_tumbling", "s_stream_sliding",
-    "s_stream_dedup", "s_stream_join", "s_stream_static_join",
-    "s_stream_upsert",
+    # — (1) r3-era rows, oldest official evidence —
+    "q_embed_norm", "q_embed_centroid", "q_multimodal_join",
+    # — (2) changed post-r6-window: adversarial text fixes (5) —
+    "q_char_entropy", "q_lang_id", "q_source_interleave",
+    "q_topk_ngrams", "q_weighted_sample",
+    # — (2) changed post-r6-window: multimodal NULL filters (4) —
+    "q_mm_features", "q_mm_png", "q_mm_frames", "q_mm_histogram",
+    # — (2) changed post-r6-window: similarity domain gates (2) —
+    "q_ann_pq", "q_semdedup",
+    # — (3) changed this round (lockstep merge / refusal guards) —
+    "gmm_fit", "q_gmm_bic", "q_bm25", "q_pagerank",
+    # — (4) r4 TPC-H + subquery family (4) —
+    "q_sql_tpch_q3", "q_sql_tpch_q5", "q_sql_exists",
+    "q_sql_scalar_subquery",
+    # — r4 join family (6) —
+    "q_join_inner", "q_join_left", "q_join_full", "q_join_anti",
+    "q_join_semi", "q_join_broadcast",
+    # — r4 relational/agg family (13) —
+    "q_pricing_summary", "q_agg_distinct", "q_corr_stats", "q_cube",
+    "q_rollup", "q_grouping_sets", "q_having", "q_percentiles",
+    "q_sort_limit", "q_events_hourly", "q_except", "q_unpivot",
+    "q_pivot",
+    # — r4 dedup family (5) —
+    "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
+    "q_minhash_jaccard_est", "q_ngram_jaccard",
+    # — r4 profiling + text (5) —
+    "q_profile_table", "q_value_outliers", "q_winsorize",
+    "q_pii_scrub",
 )
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md
