@@ -377,6 +377,19 @@ _SQL_R3 = "floor((({v}) * 1000.0) + 0.5) / 1000.0"
 # ---- Spark-side driver loop ---------------------------------------------
 
 
+def _require_nonempty(n) -> None:
+    """Designed loud refusal for an empty corpus (VERDICT r6 item 4):
+    the init statement's histogram total is NULL when events.value has
+    no non-NULL rows, and a mixture fit is undefined without data —
+    refuse with the same friendly-ValueError posture as the similarity
+    family's probe guards instead of crashing in ``init_fold``."""
+    if n is None or n == 0:
+        raise ValueError(
+            "gmm: empty corpus — events.value has no non-NULL rows;"
+            " a mixture fit is undefined without data"
+        )
+
+
 def _with(ctes: list[tuple[str, str]], final_sql: str,
           materialized: bool = False) -> str:
     mat = " MATERIALIZED" if materialized else ""
@@ -418,6 +431,7 @@ def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
 
     ctes, fin = init_ctes(hist_view, k, "ini")
     row = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
+    _require_nonempty(row["n"])
     nd, P = init_fold(row, k)
 
     for _ in range(iters):
@@ -469,6 +483,7 @@ def parity_em_spark_multi(spark: SparkSession, sf_dir: str,
         for k, fin in sels
     )
     row = spark.sql(_with(ctes, f"SELECT * FROM {final}")).collect()[0]
+    _require_nonempty(row[f"k{ks[0]}_n"])
 
     class _View:
         """Per-k window over the prefixed combined row."""

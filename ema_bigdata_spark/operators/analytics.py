@@ -256,6 +256,14 @@ def q_pagerank(spark, sf_dir):
     )
     e = edges.join(deg, "src").localCheckpoint()
     n = e.select("src").distinct().count()
+    if n == 0:
+        # designed loud refusal (VERDICT r6 item 4): the teleport and
+        # init scalars divide by |V| — an empty purchase graph has no
+        # ranks, so refuse friendly instead of an ANSI DIVIDE_BY_ZERO
+        raise ValueError(
+            "q_pagerank: empty graph — no customer↔supplier purchase"
+            " edges; PageRank is undefined on zero nodes"
+        )
     r0_u, t_u = (
         spark.range(1)
         .select(

@@ -1415,6 +1415,14 @@ def q_bm25(spark, sf_dir):
     n_docs, total = dl.agg(
         F.count(F.lit(1)).cast("long"), F.sum("dl").cast("long")
     ).first()
+    if not n_docs:
+        # designed loud refusal (VERDICT r6 item 4): BM25's idf needs
+        # N > 0, and with zero tokenizable documents the folded
+        # scoring literals would be None — refuse friendly instead
+        raise ValueError(
+            "q_bm25: empty corpus — no tokenizable documents;"
+            " BM25 scores are undefined without a collection"
+        )
     tf = (
         toks.where(F.col("token").isin(*_BM25_TERMS))
         .groupBy("doc_id", F.col("token").alias("term"))
