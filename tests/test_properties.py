@@ -3791,6 +3791,25 @@ class TestParityEMInvariants:
             assert struct.pack(">d", sv) == want, ("spark", c, sv)
             assert struct.pack(">d", dv) == want, ("duckdb", c, dv)
 
+    def test_chunked_equals_per_iteration(self, spark, sf_dir):
+        """r7: unrolling several iterations per statement (update_ctes
+        running Spark-side inside the chunk) is a scheduling change,
+        not a math change — params after 7 iterations must be
+        BIT-identical for chunk sizes 1, 3, and 7."""
+        from ema_bigdata_spark import gmm_parity as G
+
+        hv = G.prepare_hist(spark, sf_dir)
+        base = G.parity_em_spark(
+            spark, sf_dir, 3, 7, want_lnl=True, hist_view=hv, chunk=1
+        )
+        for c in (3, 7):
+            got = G.parity_em_spark(
+                spark, sf_dir, 3, 7, want_lnl=True, hist_view=hv, chunk=c
+            )
+            assert got[0] == base[0], c
+            assert _packed(got[1]) == _packed(base[1]), c
+            assert _packed({"l": got[2]}) == _packed({"l": base[2]}), c
+
     def test_lockstep_multi_equals_single_k(self, spark, sf_dir):
         """The merged per-iteration statement (all K fits in one SQL)
         must produce BIT-identical parameters and lnL to the single-K
