@@ -274,6 +274,90 @@ def r6_scaling(spark, work_dir: str) -> dict:
     return out
 
 
+#: r7 probes (VERDICT r6 item 5): the four largest bench entries still
+#: without a measured exponent.  q_mm_png prices the pure-Python PNG
+#: codec per row (embarrassingly parallel — must be ~linear);
+#: s_stream_join's state volume tracks per-user event density, so the
+#: 10× fixture shifts user_ids too (10× users at constant density —
+#: the honest linear scale-up; replicating user_ids verbatim would
+#: 10× the density and grow OUTPUT pairs ~100× by construction);
+#: q_dedup_fuzzy / q_ngram_jaccard get a 10× corpus whose replicas are
+#: NOT near-duplicates of each other (below) so candidate volume, not
+#: just row count, scales linearly.
+def _make_big_documents_disjoint(spark, out_dir: str, factor: int) -> None:
+    """10× documents with cross-replica shingle Jaccard ≈ 0: each
+    replica maps lowercase letters through a rotated alphabet
+    (length-preserving ``translate``, so per-row tokenize/decode cost
+    is bit-for-bit the original's), preserving WITHIN-replica
+    duplicate density while keeping replicas out of each other's
+    shingle buckets.  The verbatim-replication fixture
+    (:func:`_make_big_documents`) is wrong for dedup probes: it makes
+    every original a factor-way near-dup family, growing true pairs
+    ~factor²/2 — an output-volume artifact, not a plan property."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    big = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * mx))
+            .withColumn(
+                "text",
+                F.translate("text", alpha, alpha[i:] + alpha[:i]),
+            )
+            for i in range(factor)
+        ],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def _make_big_events(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    me = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    mu = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    big = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * me))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * mu))
+            for i in range(factor)
+        ],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+
+def r7_scaling(spark, work_dir: str) -> dict:
+    import math
+
+    from ema_bigdata_spark import registry
+
+    registry.load_all()
+    _make_big_documents_disjoint(spark, f"{work_dir}/sf1d", 10)
+    _make_big_events(spark, f"{work_dir}/sf1d", 10)
+    out = {}
+    for name in ("q_mm_png", "s_stream_join", "q_dedup_fuzzy",
+                 "q_ngram_jaccard"):
+        fn = registry.QUERIES[name]
+        t_01 = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
+        t_1 = _timed(lambda: _noop(fn(spark, f"{work_dir}/sf1d")))
+        out[name] = {
+            "sec_sf0.1": t_01,
+            "sec_sf1_10x": t_1,
+            "exponent_10x": round(
+                math.log10(max(t_1, 1e-3) / max(t_01, 1e-3)), 2
+            ),
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=32)
@@ -305,6 +389,12 @@ def main() -> None:
         help="probe q_pagerank (10x graph) and q_embed_covariance"
         " (10x embeddings) — VERDICT r5 Next-7",
     )
+    ap.add_argument(
+        "--r7-probes",
+        action="store_true",
+        help="probe q_mm_png, s_stream_join, q_dedup_fuzzy and"
+        " q_ngram_jaccard at 10x — VERDICT r6 item 5",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -322,6 +412,8 @@ def main() -> None:
             )
         if args.r6_probes:
             out["r6_probes"] = r6_scaling(spark, args.decade_dir)
+        if args.r7_probes:
+            out["r7_probes"] = r7_scaling(spark, args.decade_dir)
         print(json.dumps(out))
         spark.stop()
         return
@@ -374,6 +466,8 @@ def main() -> None:
         out["decade_sf01_to_sf1"] = decade_scaling(spark, args.decade_dir)
     if args.r6_probes:
         out["r6_probes"] = r6_scaling(spark, args.decade_dir)
+    if args.r7_probes:
+        out["r7_probes"] = r7_scaling(spark, args.decade_dir)
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Multi-batch streaming evidence (r7, VERDICT r6 item 7).
+
+The registered ``s_stream_*`` queries are SQL-oracled through their
+single-batch equivalence (one file = one micro-batch, declared design),
+and their CROSS-batch semantics — state carried through the state
+store, watermark eviction, first-arrival suppression — were pinned only
+in pytest.  This script runs the multi-batch scenarios standalone and
+writes a driver-visible artifact (``STREAMING_r7.json`` at the repo
+root) so the at-scale streaming claim is in the committed ledger, not
+just the test suite.
+
+Each check feeds a file-source stream TWO parquet files with
+``maxFilesPerTrigger=1`` (two micro-batches, deterministic order by
+mtime) and asserts behavior that is IMPOSSIBLE without working
+cross-batch state:
+
+- ``session_xbatch``  — a session spanning the batch boundary keeps its
+  batch-1 start/count and closes exactly once (applyInPandasWithState).
+- ``anomaly_xbatch``  — a batch-2 outlier is judged against the (n, Σv,
+  Σv²) priors accumulated in batch 1.
+- ``dedup_xbatch``    — dropDuplicates suppresses a batch-2 re-arrival
+  of a batch-1 key while passing a genuinely new key.
+- ``join_xbatch``     — a stream-stream band-join pair whose sides
+  arrive in DIFFERENT micro-batches emits exactly once (join state).
+- ``tumbling_late_drop`` — a row arriving two batches after the
+  watermark passed its window is dropped instead of reopening the
+  window (three batches: Spark's late filter uses a one-batch-lagged
+  watermark, measured in the check's comment).
+
+Usage: ``python tools/streaming_evidence.py [out.json]`` (default
+``<repo>/STREAMING_r7.json``).  Exit code 0 iff all checks pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MINUTE_US = 60 * 1_000_000
+#: watermarked fixtures must sit FAR from epoch: the initial global
+#: watermark is epoch-0, and a stream-stream join drops/evicts rows at
+#: or below the watermark — a fixture row with ts_us=0 silently never
+#: enters join state (measured on Spark 4.1.2 while building this
+#: harness; the windowed-aggregation checks are insensitive, but keep
+#: all watermarked fixtures on the same realistic base)
+BASE_US = 1_700_000_100 * 1_000_000  # 2023-11-14T22:15:00Z, minute-aligned
+
+
+def _drain(df, sink: str, mode: str, spark):
+    from ema_bigdata_spark.streaming.stream_queries import _state_partitions
+
+    with _state_partitions(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(sink)
+
+
+def _write_batches(spark, root: str, schema: str, *batches) -> None:
+    """Write each batch as one parquet file with distinct mtimes (the
+    file source orders micro-batches by mtime)."""
+    os.makedirs(root, exist_ok=True)
+    for i, rows in enumerate(batches, 1):
+        if i > 1:
+            time.sleep(1.1)  # distinct mtime → deterministic order
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{root}/b{i}"
+        )
+
+
+def _read_batches(spark, root: str, schema: str):
+    """One-file-per-trigger readStream over a _write_batches dir.
+    Call once per JOIN SIDE: separate calls are separate sources (the
+    registered s_stream_join's shape — a single shared source would
+    make the self-join's qualifiers collapse)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+
+
+def _two_batches(spark, root: str, schema: str, b1, b2):
+    _write_batches(spark, root, schema, b1, b2)
+    return _read_batches(spark, root, schema)
+
+
+def check_session_xbatch(spark, work: str) -> dict:
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _SESSION_GAP_US,
+        session_stream,
+    )
+
+    assert 100 * MINUTE_US > _SESSION_GAP_US
+    stream = _two_batches(
+        spark, f"{work}/session", "user_id BIGINT, ts_us BIGINT",
+        [(1, 0 * MINUTE_US), (1, 10 * MINUTE_US)],
+        [(1, 20 * MINUTE_US), (1, 120 * MINUTE_US)],
+    )
+    out = _drain(
+        session_stream(stream), f"ev_sess_{uuid.uuid4().hex[:8]}",
+        "update", spark,
+    )
+    rows = sorted(
+        (r.start_us // MINUTE_US, r.end_us // MINUTE_US, r.n_events)
+        for r in out.collect()
+    )
+    want = [(0, 10, 2), (0, 20, 3), (120, 120, 1)]
+    return {"got": rows, "want": want, "pass": rows == want}
+
+
+def check_anomaly_xbatch(spark, work: str) -> dict:
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _ANOM_MIN_N,
+        anomaly_stream,
+    )
+
+    schema = (
+        "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+        " value DOUBLE, vu BIGINT"
+    )
+    calm = [
+        (1, i * 1_000_000, i, 10.0, 1000 + (i % 2))
+        for i in range(_ANOM_MIN_N)
+    ]
+    stream = _two_batches(
+        spark, f"{work}/anomaly", schema,
+        calm,
+        [(1, 100_000_000, 100, 500.0, 50_000),
+         (1, 101_000_000, 101, 10.0, 1000)],
+    )
+    out = _drain(
+        anomaly_stream(stream), f"ev_anom_{uuid.uuid4().hex[:8]}",
+        "update", spark,
+    )
+    rows = [(r.event_id, r.value, r.n_prior) for r in out.collect()]
+    want = [(100, 500.0, _ANOM_MIN_N)]
+    return {"got": rows, "want": want, "pass": rows == want}
+
+
+def check_dedup_xbatch(spark, work: str) -> dict:
+    stream = _two_batches(
+        spark, f"{work}/dedup", "user_id BIGINT, event_type STRING",
+        [(1, "click"), (2, "view")],
+        [(1, "click"), (3, "purchase")],  # re-arrival + new key
+    )
+    out = _drain(
+        stream.dropDuplicates(["user_id", "event_type"]),
+        f"ev_dedup_{uuid.uuid4().hex[:8]}", "append", spark,
+    )
+    rows = sorted((r.user_id, r.event_type) for r in out.collect())
+    want = [(1, "click"), (2, "view"), (3, "purchase")]
+    return {"got": rows, "want": want, "pass": rows == want}
+
+
+def check_join_xbatch(spark, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.streaming.stream_queries import _WATERMARK
+
+    schema = "user_id BIGINT, event_id BIGINT, ts_us BIGINT"
+    _write_batches(
+        spark, f"{work}/join", schema,
+        [(1, 1, BASE_US)],                 # left of the pair: batch 1
+        [(1, 2, BASE_US + 2 * MINUTE_US)],  # its match: batch 2
+    )
+
+    def side(alias):
+        return (
+            _read_batches(spark, f"{work}/join", schema).select(
+                "user_id", "event_id",
+                F.timestamp_micros("ts_us").alias("ts"),
+            )
+            .withWatermark("ts", _WATERMARK)
+            .alias(alias)
+        )
+
+    joined = side("a").join(
+        side("b"),
+        F.expr(
+            "a.user_id = b.user_id AND b.event_id > a.event_id"
+            " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE"
+        ),
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+    )
+    out = _drain(
+        joined, f"ev_join_{uuid.uuid4().hex[:8]}", "append", spark
+    )
+    rows = sorted((r.id_a, r.id_b) for r in out.collect())
+    want = [(1, 2)]
+    return {"got": rows, "want": want, "pass": rows == want}
+
+
+def check_tumbling_late_drop(spark, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    schema = "user_id BIGINT, ts_us BIGINT"
+    # batch 1 opens the minute-5 window and advances event time to
+    # minute 60 (→ watermark 50); batch 2 is a spacer (measured Spark
+    # 4.1.2 behavior: the late filter uses a ONE-BATCH-LAGGED
+    # watermark — a late row lands if it arrives in the very next
+    # batch, and is dropped from the second-next batch on); batch 3's
+    # minute-5 row is 45 min late past a long-settled watermark and
+    # MUST be dropped, while its fresh minute-62 row counts.
+    _write_batches(
+        spark, f"{work}/tumbling", schema,
+        [(1, BASE_US + 5 * MINUTE_US), (1, BASE_US + 60 * MINUTE_US)],
+        [(1, BASE_US + 61 * MINUTE_US)],
+        [(2, BASE_US + 5 * MINUTE_US + 1), (1, BASE_US + 62 * MINUTE_US)],
+    )
+    agg = (
+        _read_batches(spark, f"{work}/tumbling", schema)
+        .select(F.timestamp_micros("ts_us").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    out = _drain(
+        agg, f"ev_tumb_{uuid.uuid4().hex[:8]}", "update", spark
+    )
+    rows = sorted(
+        ((int(r.w.start.timestamp()) - BASE_US // 1_000_000) // 60, r.n)
+        for r in out.collect()
+    )
+    # update-mode sink keeps every emitted update: window 5 must appear
+    # exactly once with n=1 (the late batch-3 row changed nothing)
+    win5 = [n for m, n in rows if m == 5]
+    ok = (win5 == [1] and (60, 1) in rows and (61, 1) in rows
+          and (62, 1) in rows)
+    return {"got": rows, "want_window5": [1], "pass": bool(ok)}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "STREAMING_r7.json"
+    )
+    import tempfile
+
+    from ema_bigdata_spark.session import get_spark
+
+    spark = get_spark(app_name="streaming-evidence")
+    work = tempfile.mkdtemp(prefix="stream_evidence_")
+    checks = {
+        "session_xbatch": check_session_xbatch,
+        "anomaly_xbatch": check_anomaly_xbatch,
+        "dedup_xbatch": check_dedup_xbatch,
+        "join_xbatch": check_join_xbatch,
+        "tumbling_late_drop": check_tumbling_late_drop,
+    }
+    results: dict[str, dict] = {}
+    for name, fn in checks.items():
+        try:
+            results[name] = fn(spark, work)
+        except Exception as ex:  # a crashed check is a failed check
+            results[name] = {"pass": False, "error": str(ex)[:500]}
+        print(f"{name:22s} {'OK' if results[name]['pass'] else 'FAIL'}")
+    payload = {
+        "harness": "tools/streaming_evidence.py",
+        "batches_per_check": 2,
+        "all_pass": all(r["pass"] for r in results.values()),
+        "checks": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+        f.write("\n")
+    print(json.dumps({"all_pass": payload["all_pass"], "out": out_path}))
+    spark.stop()
+    sys.exit(0 if payload["all_pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
