@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_table
+from ema_bigdata_spark.sources.tables import load_table, spread
 
 _CHECKSUM_MOD = 1_000_003
 
@@ -449,6 +449,10 @@ def q_mm_features(spark, sf_dir):
                 out["sum_r"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
+    # NO spread() here by measurement (r7 A/B, min-of-3 at sf0.1):
+    # this decode is cheap enough that the round-robin exchange costs
+    # more than the single-core decode it parallelizes (identity 0.7-
+    # 1.0 s vs spread 1.3-1.4 s) — only the zlib-heavy PNG codec wins
     docs = (
         load_table(spark, sf_dir, "documents")
         # NULL text has no synthesizable payload: bytes(None)
@@ -545,8 +549,15 @@ def q_mm_png(spark, sf_dir):
                 out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
+    # spread() by measurement (r7): the 10× probe caught this decode
+    # running on ONE core at sf0.1 (single-file scan → one partition —
+    # 10× MORE data in 32 files timed FASTER than 1×).  The zlib
+    # inflate + filter inversion is the one codec heavy enough to pay
+    # for the round-robin exchange (A/B min-of-3: 5.75 s unspread vs
+    # 1.7 s spread; the three cheap codecs LOSE 0.3-0.5 s and stay
+    # unspread).  No-op at real scale (many splits ≥ cores).
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         # NULL text has no synthesizable payload: bytes(None)
         # crashes the Arrow worker; both engines skip the row
         .where(F.col("text").isNotNull())
@@ -680,6 +691,10 @@ def q_mm_frames(spark, sf_dir):
                     )
             yield pd.DataFrame(out)
 
+    # NO spread() here by measurement (r7 A/B, min-of-3 at sf0.1):
+    # this decode is cheap enough that the round-robin exchange costs
+    # more than the single-core decode it parallelizes (identity 0.7-
+    # 1.0 s vs spread 1.3-1.4 s) — only the zlib-heavy PNG codec wins
     docs = (
         load_table(spark, sf_dir, "documents")
         # NULL text has no synthesizable payload: bytes(None)
@@ -772,6 +787,10 @@ def q_mm_histogram(spark, sf_dir):
                     out[f"h{k}"].append(int(counts[k]))
             yield pd.DataFrame(out)
 
+    # NO spread() here by measurement (r7 A/B, min-of-3 at sf0.1):
+    # this decode is cheap enough that the round-robin exchange costs
+    # more than the single-core decode it parallelizes (identity 0.7-
+    # 1.0 s vs spread 1.3-1.4 s) — only the zlib-heavy PNG codec wins
     docs = (
         load_table(spark, sf_dir, "documents")
         # NULL text has no synthesizable payload: bytes(None)

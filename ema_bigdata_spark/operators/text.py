@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ema_bigdata_spark.registry import query
-from ema_bigdata_spark.sources.tables import load_table
+from ema_bigdata_spark.sources.tables import load_table, spread
 
 # Deterministic demo lexicon over the corpus vocabulary (synthetic
 # docs; real deployments swap in per-language stopword lists — the
@@ -1513,7 +1513,11 @@ def q_char_entropy(spark, sf_dir):
     empty doc would emit a spurious NULL-entropy row the oracle
     doesn't have.  Driver-mandated surface (SURVEY §2.4); no
     Main.scala counterpart."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    # spread() by measurement (r7): the per-char explode + map-side
+    # combine is the heaviest stage and ran on ONE core at sf0.1
+    # (single-file scan → one partition); widening the scan is the
+    # same measured win as q_mm_png's. No-op at real scale.
+    docs = spread(load_table(spark, sf_dir, "documents")).where(
         F.length("text") > 0
     )
     ch = docs.select(
