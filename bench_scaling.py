@@ -316,6 +316,16 @@ def _make_big_documents_disjoint(spark, out_dir: str, factor: int) -> None:
 
 
 def _make_big_events(spark, out_dir: str, factor: int) -> None:
+    """10× events as a single FILE named events.parquet: the streaming
+    source seam (stream_queries.stream_source) selects its input with
+    ``pathGlobFilter=events.parquet``, which matches testdata's
+    one-file-per-table layout but NOT a part-file directory — a
+    directory fixture makes the stream read ZERO rows and the probe
+    time nothing (how the first r7 probe run failed).  One file = one
+    micro-batch, the same shape the sf0.1 baseline runs."""
+    import glob
+    import shutil
+
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
@@ -329,9 +339,11 @@ def _make_big_events(spark, out_dir: str, factor: int) -> None:
             for i in range(factor)
         ],
     )
-    big.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
-    )
+    tmp = f"{out_dir}/_events_build"
+    big.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{out_dir}/events.parquet")
+    shutil.rmtree(tmp)
 
 
 def r7_scaling(spark, work_dir: str) -> dict:
