@@ -133,6 +133,10 @@ def main() -> None:
             time.sleep(gate_sleep)
             calib_start = _calibrate(spark)
             gate_ratios.append(round(calib_start / calib_pin, 3))
+        # the sweep starts NOW — re-read load so loadavg_start reflects
+        # the post-gate state the sweep actually ran under, not the
+        # pre-wait spike the gate just sat out
+        load_start = os.getloadavg()
     adaptive_reps = 0
 
     def timed(thunk) -> float:

@@ -251,19 +251,20 @@ def _make_big_embeddings(spark, out_dir: str, factor: int) -> None:
     )
 
 
-def r6_scaling(spark, work_dir: str) -> dict:
+def _probe_10x(spark, names, big_dir: str) -> dict:
+    """ONE copy of the sf0.1 → 10×-fixture timing/exponent loop (the
+    r7 review caught r6_scaling/r7_scaling carrying verbatim copies —
+    a methodology fix like the 1e-3 clamp must not need three edits)."""
     import math
 
     from ema_bigdata_spark import registry
 
     registry.load_all()
-    _make_big_graph(spark, f"{work_dir}/sf1", 10)
-    _make_big_embeddings(spark, f"{work_dir}/sf1", 10)
     out = {}
-    for name in ("q_pagerank", "q_embed_covariance"):
+    for name in names:
         fn = registry.QUERIES[name]
         t_01 = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
-        t_1 = _timed(lambda: _noop(fn(spark, f"{work_dir}/sf1")))
+        t_1 = _timed(lambda: _noop(fn(spark, big_dir)))
         out[name] = {
             "sec_sf0.1": t_01,
             "sec_sf1_10x": t_1,
@@ -272,6 +273,14 @@ def r6_scaling(spark, work_dir: str) -> dict:
             ),
         }
     return out
+
+
+def r6_scaling(spark, work_dir: str) -> dict:
+    _make_big_graph(spark, f"{work_dir}/sf1", 10)
+    _make_big_embeddings(spark, f"{work_dir}/sf1", 10)
+    return _probe_10x(
+        spark, ("q_pagerank", "q_embed_covariance"), f"{work_dir}/sf1"
+    )
 
 
 #: r7 probes (VERDICT r6 item 5): the four largest bench entries still
@@ -329,8 +338,8 @@ def _make_big_events(spark, out_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    me = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    mu = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    me, mu = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    me, mu = me + 1, mu + 1
     big = reduce(
         lambda a, b: a.unionByName(b),
         [
@@ -347,27 +356,13 @@ def _make_big_events(spark, out_dir: str, factor: int) -> None:
 
 
 def r7_scaling(spark, work_dir: str) -> dict:
-    import math
-
-    from ema_bigdata_spark import registry
-
-    registry.load_all()
     _make_big_documents_disjoint(spark, f"{work_dir}/sf1d", 10)
     _make_big_events(spark, f"{work_dir}/sf1d", 10)
-    out = {}
-    for name in ("q_mm_png", "s_stream_join", "q_dedup_fuzzy",
-                 "q_ngram_jaccard"):
-        fn = registry.QUERIES[name]
-        t_01 = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
-        t_1 = _timed(lambda: _noop(fn(spark, f"{work_dir}/sf1d")))
-        out[name] = {
-            "sec_sf0.1": t_01,
-            "sec_sf1_10x": t_1,
-            "exponent_10x": round(
-                math.log10(max(t_1, 1e-3) / max(t_01, 1e-3)), 2
-            ),
-        }
-    return out
+    return _probe_10x(
+        spark,
+        ("q_mm_png", "s_stream_join", "q_dedup_fuzzy", "q_ngram_jaccard"),
+        f"{work_dir}/sf1d",
+    )
 
 
 def main() -> None:

@@ -90,7 +90,7 @@ _CHECK_WINDOW: tuple[str, ...] = (
     # — r4 dedup family (5) —
     "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
     "q_minhash_jaccard_est", "q_ngram_jaccard",
-    # — r4 profiling + text (5) —
+    # — r4 profiling + text (4) —
     "q_profile_table", "q_value_outliers", "q_winsorize",
     "q_pii_scrub",
 )

@@ -273,7 +273,10 @@ def main() -> None:
         print(f"{name:22s} {'OK' if results[name]['pass'] else 'FAIL'}")
     payload = {
         "harness": "tools/streaming_evidence.py",
-        "batches_per_check": 2,
+        "batches_per_check": {
+            name: 3 if name == "tumbling_late_drop" else 2
+            for name in checks
+        },
         "all_pass": all(r["pass"] for r in results.values()),
         "checks": results,
     }
