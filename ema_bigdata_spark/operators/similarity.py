@@ -711,6 +711,11 @@ def q_embed_centroid(spark, sf_dir):
     are exact ×1e7 fixed-point (float sums would be partition-order-
     dependent); the output centroid is scalarized '|'-joined rounded
     components, hashable by the driver."""
+    # NO spread() by measurement (r7 A/B, min-of-3 at sf0.1: identity
+    # 1.61 s vs spread 1.89 s): the 64-column codegen sums are cheaper
+    # than round-robin-exchanging the full vectors — unlike the
+    # Python-codec/explode stages where spread() won (q_mm_png,
+    # q_char_entropy)
     agg = _centroid_sums(load_table(spark, sf_dir, "embeddings"))
     comps = [
         F.round(
