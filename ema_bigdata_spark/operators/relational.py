@@ -357,9 +357,16 @@ def q_except(spark, sf_dir):
 # corr()/covar_pop() stream doubles and are order-dependent — the same
 # reason SURVEY §7 bans raw SUM(double) under the hash gate.
 
+#: zero-variance gate (r7, found by the adversarial relational suite):
+#: a group where either column is constant has no defined correlation —
+#: ungated, ANSI Spark throws DIVIDE_BY_ZERO where DuckDB emits
+#: NaN/inf (the q_ab_ttest / q_linreg crash class).  Identical CASE on
+#: both engines → NULL.  The > 0 compare also absorbs the tiny
+#: negative n·sxx − sx² rounding residue that would make sqrt NaN.
 _CORR_FORMULA = (
-    "(n * sxy - sx * sy)"
-    " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"
+    " THEN (n * sxy - sx * sy)"
+    " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
 )
 #: covar_pop, descaled from cents×cents
 _COVAR_FORMULA = (

@@ -29,7 +29,10 @@ from ema_bigdata_spark.sources.tables import load_table
            CAST(length(p_name) AS BIGINT) AS name_len,
            (p_name LIKE '%gre%') AS has_gre,
            CAST(length(string_split(p_name, ' ')) AS BIGINT) AS n_words,
-           concat(p_brand, '#', p_type) AS brand_type,
+           -- || not concat(): Spark's concat NULL-propagates while
+           -- DuckDB's concat() SKIPS NULLs (r7 adversarial find); the
+           -- ANSI || operator propagates on both engines
+           p_brand || '#' || p_type AS brand_type,
            replace(p_type, ' ', '_') AS type_slug
     FROM part
     """,
@@ -85,10 +88,17 @@ def q_date_funcs(spark, sf_dir):
 
 @query(
     "q_math_funcs",
+    # sqrt/ln carry explicit domain guards on BOTH engines (r7, found
+    # by the adversarial relational suite): outside the domain Spark
+    # returns NaN/NULL while DuckDB THROWS OutOfRange — the CASE makes
+    # both engines emit NULL for a negative quantity or a non-positive
+    # price, the same contract shape as the similarity vector gates
     oracle="""
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           round(sqrt(l_quantity), 6) AS sqrt_qty,
-           round(ln(l_extendedprice), 6) AS ln_price,
+           CASE WHEN l_quantity >= 0
+                THEN round(sqrt(l_quantity), 6) END AS sqrt_qty,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END AS ln_price,
            round(exp(l_discount), 6) AS exp_disc,
            abs(l_quantity - 25.0) AS abs_dev,
            CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
@@ -101,8 +111,13 @@ def q_math_funcs(spark, sf_dir):
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.when(
+            F.col("l_quantity") >= 0, F.round(F.sqrt("l_quantity"), 6)
+        ).alias("sqrt_qty"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log(F.col("l_extendedprice")), 6),
+        ).alias("ln_price"),
         F.round(F.exp("l_discount"), 6).alias("exp_disc"),
         F.abs(F.col("l_quantity") - F.lit(25.0)).alias("abs_dev"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias(
