@@ -168,11 +168,17 @@ def q_case_null(spark, sf_dir):
 
 @query(
     "q_json_extract",
+    # json_valid() guard (r7, found by the adversarial events suite):
+    # Spark's get_json_object returns NULL on malformed JSON — the
+    # declared engine semantics — while DuckDB's json_extract_string
+    # THROWS "Malformed JSON"; the guard makes the oracle match
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0)
-             AS k_round
+           CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+           (CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS BIGINT)
+            % 10 = 0) AS k_round
     FROM events
     """,
 )

@@ -54,14 +54,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (3) the four queries changed THIS round: gmm_fit (lockstep
 #:     statement merge, VERDICT item 6) and the empty-corpus refusal
 #:     guards on q_gmm_bic, q_bm25, q_pagerank (VERDICT item 4);
-#: (4) 30 of the 46 remaining r4-official rows, plus q_string_funcs
-#:     and q_math_funcs — both initially deferred/unscheduled but
-#:     CHANGED late-r7 (the adversarial relational suite found the
-#:     concat-NULL oracle divergence and the ln/sqrt/corr domain
-#:     gates), and changed code outranks unchanged: they displace
-#:     q_sort_limit and q_events_hourly (one-liner relational ops,
+#: (4) 29 of the 46 remaining r4-official rows, plus q_string_funcs,
+#:     q_math_funcs and q_json_extract — initially deferred or
+#:     unscheduled but CHANGED late-r7 (the adversarial relational and
+#:     events suites found the concat-NULL and json_valid oracle
+#:     divergences and the ln/sqrt/corr domain gates), and changed
+#:     code outranks unchanged: they displace q_sort_limit,
+#:     q_events_hourly and q_unpivot (one-liner relational ops,
 #:     unchanged since r3, same risk class as the deferred five).
-#:     Sixteen names now defer to r8 with rationale: the nine-name
+#:     Seventeen names now defer to r8 with rationale: the nine-name
 #:     reference ``_fixed`` family (q_scan_count, q_mean,
 #:     q_variance_pop, q_init_means, q_loglik_fixed, q_gamma_fixed,
 #:     q_mstep_{weight,mean,var}_fixed — fixed-constant single-scan
@@ -69,7 +70,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     r6-green parity-EM oracles), five trivial unchanged relational
 #:     ops (q_join_cross, q_filter_project, q_union, q_intersect —
 #:     and q_string_funcs was in this group until its late-r7 oracle
-#:     change promoted it), plus the two displaced above.  All
+#:     change promoted it), plus the three displaced above.  All
 #:     deferred names are green in this round's full local
 #:     driver-sims.
 _CHECK_WINDOW: tuple[str, ...] = (
@@ -90,10 +91,13 @@ _CHECK_WINDOW: tuple[str, ...] = (
     # — r4 join family (6) —
     "q_join_inner", "q_join_left", "q_join_full", "q_join_anti",
     "q_join_semi", "q_join_broadcast",
-    # — r4 relational/agg family (11) + late-r7 changed scalars (2) —
+    # — r4 relational/agg family (10) + late-r7 changed scalars (3:
+    # q_string_funcs/q_math_funcs/q_json_extract — oracle/domain-gate
+    # fixes from the r7 adversarial suites; they displace q_sort_limit,
+    # q_events_hourly and q_unpivot, trivial unchanged reshapes) —
     "q_pricing_summary", "q_agg_distinct", "q_corr_stats", "q_cube",
     "q_rollup", "q_grouping_sets", "q_having", "q_percentiles",
-    "q_string_funcs", "q_math_funcs", "q_except", "q_unpivot",
+    "q_string_funcs", "q_math_funcs", "q_except", "q_json_extract",
     "q_pivot",
     # — r4 dedup family (5) —
     "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
