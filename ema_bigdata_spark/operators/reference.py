@@ -231,10 +231,16 @@ def q_mstep_mean_fixed(spark, sf_dir):
 
 @query(
     "q_mstep_var_fixed",
+    # trailing `+ CAST(0 AS DOUBLE)` = the signed-zero guard (r7,
+    # found by adding this family to the adversarial constant-column
+    # fixture): on a constant column E[x²]−μ² is a tiny NEGATIVE
+    # rounding residue that snaps to -0.0 on one engine and +0.0 on
+    # the other — same class and same fix as q_char_entropy (r6)
     oracle=f"""
     WITH s AS ({_GAMMA_AGG_SQL})
     SELECT {', '.join(
-        f"round(sxx{k} / n{k} - (sx{k} / n{k}) * (sx{k} / n{k}), 6) AS v{k}"
+        f"(round(sxx{k} / n{k} - (sx{k} / n{k}) * (sx{k} / n{k}), 6)"
+        f" + CAST(0 AS DOUBLE)) AS v{k}"
         for k in range(K)
     )} FROM s
     """,
@@ -247,6 +253,9 @@ def q_mstep_var_fixed(spark, sf_dir):
     for k in range(K):
         mu = F.col(f"sx{k}") / F.col(f"n{k}")
         outs.append(
-            F.round(F.col(f"sxx{k}") / F.col(f"n{k}") - mu * mu, 6).alias(f"v{k}")
+            (
+                F.round(F.col(f"sxx{k}") / F.col(f"n{k}") - mu * mu, 6)
+                + F.lit(0.0)
+            ).alias(f"v{k}")
         )
     return s.select(*outs)

@@ -54,18 +54,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (3) the four queries changed THIS round: gmm_fit (lockstep
 #:     statement merge, VERDICT item 6) and the empty-corpus refusal
 #:     guards on q_gmm_bic, q_bm25, q_pagerank (VERDICT item 4);
-#: (4) 29 of the 46 remaining r4-official rows, plus q_string_funcs,
-#:     q_math_funcs and q_json_extract — initially deferred or
-#:     unscheduled but CHANGED late-r7 (the adversarial relational and
-#:     events suites found the concat-NULL and json_valid oracle
-#:     divergences and the ln/sqrt/corr domain gates), and changed
-#:     code outranks unchanged: they displace q_sort_limit,
-#:     q_events_hourly and q_unpivot (one-liner relational ops,
-#:     unchanged since r3, same risk class as the deferred five).
-#:     Seventeen names now defer to r8 with rationale: the nine-name
-#:     reference ``_fixed`` family (q_scan_count, q_mean,
-#:     q_variance_pop, q_init_means, q_loglik_fixed, q_gamma_fixed,
-#:     q_mstep_{weight,mean,var}_fixed — fixed-constant single-scan
+#: (4) 28 of the 46 remaining r4-official rows, plus q_string_funcs,
+#:     q_math_funcs, q_json_extract and q_mstep_var_fixed — initially
+#:     deferred or unscheduled but CHANGED late-r7 (the adversarial
+#:     relational/events/constant-column suites found the concat-NULL
+#:     and json_valid oracle divergences, the ln/sqrt/corr domain
+#:     gates, and the E[x²]−μ² signed-zero residue), and changed code
+#:     outranks unchanged: they displace q_sort_limit,
+#:     q_events_hourly, q_unpivot and q_pivot (one-liner relational
+#:     ops, unchanged since r3, same risk class as the deferred five).
+#:     Eighteen names now defer to r8 with rationale: the eight
+#:     UNCHANGED members of the reference ``_fixed`` family
+#:     (q_scan_count, q_mean, q_variance_pop, q_init_means,
+#:     q_loglik_fixed, q_gamma_fixed, q_mstep_{weight,mean}_fixed —
+#:     q_mstep_var_fixed's signed-zero fix promoted it into the
+#:     window — fixed-constant single-scan
 #:     arithmetic, unchanged since r4, whose math is subsumed by the
 #:     r6-green parity-EM oracles), five trivial unchanged relational
 #:     ops (q_join_cross, q_filter_project, q_union, q_intersect —
@@ -91,14 +94,15 @@ _CHECK_WINDOW: tuple[str, ...] = (
     # — r4 join family (6) —
     "q_join_inner", "q_join_left", "q_join_full", "q_join_anti",
     "q_join_semi", "q_join_broadcast",
-    # — r4 relational/agg family (10) + late-r7 changed scalars (3:
-    # q_string_funcs/q_math_funcs/q_json_extract — oracle/domain-gate
-    # fixes from the r7 adversarial suites; they displace q_sort_limit,
-    # q_events_hourly and q_unpivot, trivial unchanged reshapes) —
+    # — r4 relational/agg family (9) + late-r7 changed names (4:
+    # q_string_funcs/q_math_funcs/q_json_extract/q_mstep_var_fixed —
+    # oracle/domain-gate/signed-zero fixes from the r7 adversarial
+    # suites; they displace q_sort_limit, q_events_hourly, q_unpivot
+    # and q_pivot, trivial unchanged relational ops) —
     "q_pricing_summary", "q_agg_distinct", "q_corr_stats", "q_cube",
     "q_rollup", "q_grouping_sets", "q_having", "q_percentiles",
     "q_string_funcs", "q_math_funcs", "q_except", "q_json_extract",
-    "q_pivot",
+    "q_mstep_var_fixed",
     # — r4 dedup family (5) —
     "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
     "q_minhash_jaccard_est", "q_ngram_jaccard",

@@ -34,6 +34,13 @@ _EVENTS_QUERIES = (
     # per-user z-scores / MAD outliers over adversarial magnitudes
     "q_value_outliers",
     "q_outlier_mad",
+    # r7 coverage-gap close: the reference _fixed family (fixed-
+    # constant density/loglik/M-step arithmetic over events.value) —
+    # all events-only, all sharing the scan+snap paths the fixtures
+    # above stress (q_linreg reads lineitem → relational suite)
+    "q_scan_count", "q_gamma_fixed", "q_init_means",
+    "q_loglik_fixed", "q_mstep_mean_fixed", "q_mstep_var_fixed",
+    "q_mstep_weight_fixed",
 )
 
 
@@ -160,6 +167,10 @@ _DOC_QUERIES = (
     "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_fuzzy",
     "q_dedup_cluster", "q_dedup_keep_best", "q_minhash_jaccard_est",
     "q_dup_spans",
+    # r7 coverage-gap close: the incremental pair splits the corpus
+    # on doc_id % mod internally, so the hostile corpus exercises both
+    # the standing-corpus and arriving-batch sides
+    "q_dedup_incremental", "q_dedup_incremental_near",
     "q_mm_features", "q_mm_png", "q_mm_frames", "q_mm_histogram",
 )
 

@@ -111,7 +111,7 @@ _QUERIES = (
     "q_skew_metrics", "q_json_extract",
     "q_join_range", "q_join_asof", "q_join_salted",
     "q_value_outliers", "q_outlier_mad", "q_winsorize",
-    "q_profile_table",
+    "q_profile_table", "q_zorder_layout",
 )
 
 

@@ -87,6 +87,12 @@ _PART = [
     (1, "green shiny widget", "Brand#1", "SMALL ANODIZED", 5, 100.0),
     (2, "rusty gear", "Brand#2", "LARGE BRUSHED", 50, 200.0),
     (3, "green gear", None, "SMALL ANODIZED", 5, 0.0),
+    # skyline hostility: an EXACT (price, size) duplicate pair — both
+    # non-dominated or both dominated, the engines must agree — and a
+    # one-dimension tie against part 1
+    (4, "twin alpha", "Brand#3", "TINY POLISHED", 7, 50.0),
+    (5, "twin beta", "Brand#3", "TINY POLISHED", 7, 50.0),
+    (6, "price tie", "Brand#1", "MEDIUM PLATED", 9, 100.0),
 ]
 # ALL o_totalprice tied at 1000.0; order 99 belongs to a MISSING
 # customer (42); NULL priority and status
@@ -145,6 +151,13 @@ _QUERIES = (
     "q_sql_tpch_q2", "q_sql_tpch_q7", "q_sql_tpch_q8",
     "q_sql_tpch_q9", "q_sql_tpch_q15", "q_sql_tpch_q16",
     "q_sql_tpch_q21", "q_sql_tpch_q22",
+    # r7 coverage-gap close: skyline on the tie-rich parts (exact
+    # duplicate points and one-dimension ties), collect_agg over the
+    # orphaned nation, pagerank on the FK-violating purchase graph
+    "q_skyline", "q_collect_agg", "q_pagerank",
+    # OLS over the hostile lineitem (NULL quantities, zero and
+    # negative prices) — the r6 zero-variance gate's home turf
+    "q_linreg",
 )
 
 
