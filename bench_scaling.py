@@ -351,7 +351,15 @@ def _make_big_events(spark, out_dir: str, factor: int) -> None:
     tmp = f"{out_dir}/_events_build"
     big.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(f"{tmp}/part-*.parquet")[0]
-    shutil.move(part, f"{out_dir}/events.parquet")
+    # clear any pre-existing target first (r7 review): a stale
+    # events.parquet DIRECTORY from an earlier run would swallow the
+    # move (file lands INSIDE it) and reproduce the zero-row stream
+    target = f"{out_dir}/events.parquet"
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    elif os.path.exists(target):
+        os.remove(target)
+    shutil.move(part, target)
     shutil.rmtree(tmp)
 
 

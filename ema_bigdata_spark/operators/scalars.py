@@ -171,7 +171,16 @@ def q_case_null(spark, sf_dir):
     # json_valid() guard (r7, found by the adversarial events suite):
     # Spark's get_json_object returns NULL on malformed JSON — the
     # declared engine semantics — while DuckDB's json_extract_string
-    # THROWS "Malformed JSON"; the guard makes the oracle match
+    # THROWS "Malformed JSON"; the guard makes the oracle match.
+    # DECLARED BOUNDARY (r7 review): props must be a SINGLE JSON
+    # document.  On prefix-valid input with trailing garbage
+    # ('{"k":1}garbage', '{"k":1}{"k":2}') the engines legitimately
+    # differ — Spark's streaming parser extracts from the valid
+    # prefix, DuckDB's whole-document validator rejects — and no
+    # shared expression reproduces either side exactly
+    # (try_parse_json accepts concatenated docs too, measured).
+    # Pinned by test_properties.TestJsonBoundary; same
+    # accepted-boundary posture as SURVEY §2.4's empty-input list.
     oracle="""
     SELECT event_id,
            CAST(CASE WHEN json_valid(props)

@@ -54,28 +54,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (3) the four queries changed THIS round: gmm_fit (lockstep
 #:     statement merge, VERDICT item 6) and the empty-corpus refusal
 #:     guards on q_gmm_bic, q_bm25, q_pagerank (VERDICT item 4);
-#: (4) 28 of the 46 remaining r4-official rows, plus q_string_funcs,
-#:     q_math_funcs, q_json_extract and q_mstep_var_fixed — initially
-#:     deferred or unscheduled but CHANGED late-r7 (the adversarial
-#:     relational/events/constant-column suites found the concat-NULL
-#:     and json_valid oracle divergences, the ln/sqrt/corr domain
-#:     gates, and the E[x²]−μ² signed-zero residue), and changed code
-#:     outranks unchanged: they displace q_sort_limit,
-#:     q_events_hourly, q_unpivot and q_pivot (one-liner relational
-#:     ops, unchanged since r3, same risk class as the deferred five).
-#:     Eighteen names now defer to r8 with rationale: the eight
+#: (4) 32 further names: the four CHANGED-late-r7 queries
+#:     (q_string_funcs, q_math_funcs, q_json_extract,
+#:     q_mstep_var_fixed — the adversarial relational/events/
+#:     constant-column suites found the concat-NULL and json_valid
+#:     oracle divergences, the ln/sqrt/corr domain gates, and the
+#:     E[x²]−μ² signed-zero residue; changed code outranks unchanged)
+#:     plus 28 stale-r4 rows.  In-window r4-official-row total: 34 of
+#:     the ledger's 50 (q_string_funcs/q_mstep_var_fixed and the
+#:     group-(2) names q_topk_ngrams/q_mm_features/q_mm_frames/
+#:     q_semdedup are r4-row too).
+#:     SIXTEEN r4-row names defer to r8 with rationale: the eight
 #:     UNCHANGED members of the reference ``_fixed`` family
 #:     (q_scan_count, q_mean, q_variance_pop, q_init_means,
 #:     q_loglik_fixed, q_gamma_fixed, q_mstep_{weight,mean}_fixed —
-#:     q_mstep_var_fixed's signed-zero fix promoted it into the
-#:     window — fixed-constant single-scan
-#:     arithmetic, unchanged since r4, whose math is subsumed by the
-#:     r6-green parity-EM oracles), five trivial unchanged relational
-#:     ops (q_join_cross, q_filter_project, q_union, q_intersect —
-#:     and q_string_funcs was in this group until its late-r7 oracle
-#:     change promoted it), plus the three displaced above.  All
-#:     deferred names are green in this round's full local
-#:     driver-sims.
+#:     fixed-constant single-scan arithmetic, unchanged since r4,
+#:     whose math is subsumed by the r6-green parity-EM oracles;
+#:     q_mstep_var_fixed's signed-zero fix promoted IT into the
+#:     window), four trivial unchanged relational ops (q_join_cross,
+#:     q_filter_project, q_union, q_intersect), and the four
+#:     unchanged one-liners the late-r7 changed queries displaced
+#:     (q_sort_limit, q_events_hourly, q_unpivot, q_pivot).  All
+#:     sixteen are green in this round's full local driver-sims AND
+#:     covered on hostile fixtures by the r7 adversarial suites.
 _CHECK_WINDOW: tuple[str, ...] = (
     # — (1) r3-era rows, oldest official evidence —
     "q_embed_norm", "q_embed_centroid", "q_multimodal_join",

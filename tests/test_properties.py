@@ -3653,6 +3653,54 @@ def _packed(d):
     return {k: struct.pack(">d", v) for k, v in d.items()}
 
 
+class TestJsonBoundary:
+    """r7: the DECLARED single-document boundary of q_json_extract
+    (scalars.py).  On prefix-valid JSON with trailing garbage the
+    engines legitimately differ — Spark's streaming get_json_object
+    extracts from the valid prefix while DuckDB's whole-document
+    json_valid rejects — and no shared expression reproduces either
+    side (try_parse_json accepts concatenated docs too, measured).
+    This pins BOTH measured behaviors so a silent change in either
+    engine (or a future attempt to 'fix' parity here) surfaces."""
+
+    def test_engine_defined_trailing_garbage(self, spark, duck):
+        from pyspark.sql import functions as F
+
+        cases = ['{"k": 10}garbage', '{"k":1}{"k":2}']
+        got = (
+            spark.createDataFrame([(c,) for c in cases], "props STRING")
+            .select(F.get_json_object("props", "$.k").alias("k"))
+            .collect()
+        )
+        # Spark: prefix extraction succeeds
+        assert [r.k for r in got] == ["10", "1"]
+        # DuckDB: whole-document validation rejects both
+        for c in cases:
+            assert not duck.execute(
+                "SELECT json_valid(?)", [c]
+            ).fetchone()[0], c
+
+    def test_agreement_inside_the_contract(self, spark, duck):
+        """Single-document inputs — valid, empty-object, non-object,
+        malformed, NULL — agree through the registered query texts'
+        gate pair (get_json_object NULL ↔ json_valid guard)."""
+        from pyspark.sql import functions as F
+
+        cases = ['{"k": 20}', "{}", "[1,2]", "not json", None, '"s"']
+        sdf = (
+            spark.createDataFrame([(c,) for c in cases], "props STRING")
+            .select(F.get_json_object("props", "$.k").alias("k"))
+            .collect()
+        )
+        for c, r in zip(cases, sdf):
+            want = duck.execute(
+                "SELECT CASE WHEN json_valid(?) THEN"
+                " json_extract_string(?, '$.k') END",
+                [c, c],
+            ).fetchone()[0]
+            assert r.k == want, (c, r.k, want)
+
+
 class TestParityEMInvariants:
     """r6: invariants of the oracled parity EM beyond the DuckDB hash."""
 
