@@ -363,6 +363,55 @@ def _make_big_events(spark, out_dir: str, factor: int) -> None:
     shutil.rmtree(tmp)
 
 
+#: r7 extra: the TPC-H join family at 10× FACTS.  Replication shifts
+#: only the ORDER keys and keeps cust/supp/part keys unchanged (dims
+#: stay 1×), so per-dim-key fact density grows 10× — the realistic
+#: warehouse growth shape: join/aggregate output grows linearly while
+#: group-by cardinality stays constant.  Shifting the dim FKs instead
+#: (the graph fixture's approach, right for PageRank's node count)
+#: would orphan every replica row at the dim joins.
+def _make_big_tpch(spark, out_dir: str, factor: int) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.1"
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    mo = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    big_o = reduce(
+        lambda a, b: a.unionByName(b),
+        [o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * mo))
+         for i in range(factor)],
+    )
+    big_li = reduce(
+        lambda a, b: a.unionByName(b),
+        [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * mo))
+         for i in range(factor)],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    big_o.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+    for dim in ("customer", "supplier", "part", "region", "nation"):
+        shutil.copyfile(
+            f"{src}/{dim}.parquet", f"{out_dir}/{dim}.parquet"
+        )
+
+
+def tpch_scaling(spark, work_dir: str) -> dict:
+    _make_big_tpch(spark, f"{work_dir}/sf1t", 10)
+    return _probe_10x(
+        spark,
+        ("q_pricing_summary", "q_sql_tpch_q3", "q_sql_tpch_q5",
+         "q_sql_tpch_q9", "q_sql_tpch_q21"),
+        f"{work_dir}/sf1t",
+    )
+
+
 def r7_scaling(spark, work_dir: str) -> dict:
     _make_big_documents_disjoint(spark, f"{work_dir}/sf1d", 10)
     _make_big_events(spark, f"{work_dir}/sf1d", 10)
@@ -410,6 +459,12 @@ def main() -> None:
         help="probe q_mm_png, s_stream_join, q_dedup_fuzzy and"
         " q_ngram_jaccard at 10x — VERDICT r6 item 5",
     )
+    ap.add_argument(
+        "--tpch-probes",
+        action="store_true",
+        help="probe the TPC-H join family at 10x facts"
+        " (dims constant) — r7 extra",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -429,6 +484,8 @@ def main() -> None:
             out["r6_probes"] = r6_scaling(spark, args.decade_dir)
         if args.r7_probes:
             out["r7_probes"] = r7_scaling(spark, args.decade_dir)
+        if args.tpch_probes:
+            out["tpch_probes"] = tpch_scaling(spark, args.decade_dir)
         print(json.dumps(out))
         spark.stop()
         return
@@ -483,6 +540,8 @@ def main() -> None:
         out["r6_probes"] = r6_scaling(spark, args.decade_dir)
     if args.r7_probes:
         out["r7_probes"] = r7_scaling(spark, args.decade_dir)
+    if args.tpch_probes:
+        out["tpch_probes"] = tpch_scaling(spark, args.decade_dir)
     print(json.dumps(out))
     spark.stop()
 
