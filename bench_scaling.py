@@ -102,20 +102,31 @@ _FAMILY_QUERIES = (
 )
 
 
-def family_scaling(spark) -> dict:
+def family_scaling(spark, repeats: int = 2) -> dict:
+    """sf0.01 → sf0.1 exponents for the broad family list.  Min-of-N
+    per scale with the repeat spread recorded (r8, ADVICE — same
+    discipline as :func:`_probe_10x`)."""
     import math
 
     from ema_bigdata_spark import registry
 
     registry.load_all()
+
+    def _min_of(fn, sf_dir):
+        ts = [_timed(lambda: _noop(fn(spark, sf_dir)))
+              for _ in range(repeats)]
+        return min(ts), round(max(ts) - min(ts), 3)
+
     out = {}
     for name in _FAMILY_QUERIES:
         fn = registry.QUERIES[name]
-        t_small = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.01")))
-        t_big = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
+        t_small, spread_small = _min_of(fn, "/root/testdata/sf0.01")
+        t_big, spread_big = _min_of(fn, "/root/testdata/sf0.1")
         out[name] = {
             "sec_sf0.01": t_small,
             "sec_sf0.1": t_big,
+            "spread_sf0.01": spread_small,
+            "spread_sf0.1": spread_big,
             "exponent_10x": round(math.log10(max(t_big, 1e-3) /
                                              max(t_small, 1e-3)), 2),
         }
@@ -251,23 +262,37 @@ def _make_big_embeddings(spark, out_dir: str, factor: int) -> None:
     )
 
 
-def _probe_10x(spark, names, big_dir: str) -> dict:
+def _probe_10x(spark, names, big_dir: str, repeats: int = 2) -> dict:
     """ONE copy of the sf0.1 → 10×-fixture timing/exponent loop (the
     r7 review caught r6_scaling/r7_scaling carrying verbatim copies —
-    a methodology fix like the 1e-3 clamp must not need three edits)."""
+    a methodology fix like the 1e-3 clamp must not need three edits).
+
+    Min-of-``repeats`` per scale (r8, ADVICE): a single one-shot
+    timing lets one GC pause or co-tenant blip move the recorded
+    exponent directly; min-of-N is bench.py's own discipline.  The
+    per-scale repeat spread is recorded alongside so a reader can see
+    how noisy the floor was."""
     import math
 
     from ema_bigdata_spark import registry
 
     registry.load_all()
+
+    def _min_of(fn, sf_dir):
+        ts = [_timed(lambda: _noop(fn(spark, sf_dir)))
+              for _ in range(repeats)]
+        return min(ts), round(max(ts) - min(ts), 3)
+
     out = {}
     for name in names:
         fn = registry.QUERIES[name]
-        t_01 = _timed(lambda: _noop(fn(spark, "/root/testdata/sf0.1")))
-        t_1 = _timed(lambda: _noop(fn(spark, big_dir)))
+        t_01, spread_01 = _min_of(fn, "/root/testdata/sf0.1")
+        t_1, spread_1 = _min_of(fn, big_dir)
         out[name] = {
             "sec_sf0.1": t_01,
             "sec_sf1_10x": t_1,
+            "spread_sf0.1": spread_01,
+            "spread_sf1_10x": spread_1,
             "exponent_10x": round(
                 math.log10(max(t_1, 1e-3) / max(t_01, 1e-3)), 2
             ),

@@ -397,6 +397,20 @@ def _with(ctes: list[tuple[str, str]], final_sql: str,
     return f"WITH {body} {final_sql}"
 
 
+#: monotonic suffix for per-call temp-view names (r8, ADVICE): fixed
+#: session-global names ('v_gmm_hist', 'v_em_prev') would let two
+#: concurrent fits in one SparkSession — or a user view of the same
+#: name — silently clobber each other.  A counter (not uuid) keeps the
+#: names deterministic for plan-text comparisons across runs.
+_VIEW_SEQ = 0
+
+
+def _fresh_view(stem: str) -> str:
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    return f"{stem}_{_VIEW_SEQ}"
+
+
 def prepare_hist(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the (value, count) histogram once and return its
     temp-view name.  ``coalesce(4)``: post-aggregation the histogram
@@ -406,10 +420,12 @@ def prepare_hist(spark: SparkSession, sf_dir: str) -> str:
     four partitions keep per-iteration overhead at ~30 ms without
     giving up distribution headroom for wide domains."""
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("v_gmm_events")
-    hist = spark.sql(hist_sql("v_gmm_events")).coalesce(4).localCheckpoint()
-    hist.createOrReplaceTempView("v_gmm_hist")
-    return "v_gmm_hist"
+    ev_view = _fresh_view("v_gmm_events")
+    ev.createOrReplaceTempView(ev_view)
+    hist = spark.sql(hist_sql(ev_view)).coalesce(4).localCheckpoint()
+    hist_view = _fresh_view("v_gmm_hist")
+    hist.createOrReplaceTempView(hist_view)
+    return hist_view
 
 
 #: iterations unrolled per Spark action (r7).  MEASURED NEGATIVE
@@ -490,10 +506,11 @@ def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
                 # chunk×13 CTEs blows its 100-pass cap at chunk ≥ 4)
                 # while the chunk still runs as ONE action — one
                 # optimize+codegen+schedule instead of per-iteration
-                dfp.createOrReplaceTempView("v_em_prev")
+                prev_view = _fresh_view("v_em_prev")
+                dfp.createOrReplaceTempView(prev_view)
                 pm = {f"{a}{j}": f"{a}{j}" for j in range(1, k + 1)
                       for a in ("mu", "s2", "nrm")}
-                src = f"{hist_view} CROSS JOIN v_em_prev"
+                src = f"{hist_view} CROSS JOIN {prev_view}"
             ic, sfin = iter_ctes("spark", src, pm, k, f"it{m}", "fit")
             uc, pcur = update_ctes(sfin, "tot0", k, f"it{m}")
             dfp = spark.sql(_with(

@@ -166,12 +166,28 @@ def q_case_null(spark, sf_dir):
 # -- q_json_extract -------------------------------------------------------
 
 
+#: shared integer-literal pattern for the q_json_extract cast guard
+#: (r8, ADVICE): an UNGUARDED CAST(kstr AS BIGINT) hard-errors on BOTH
+#: engines for valid JSON whose $.k is non-numeric ('{"k":"abc"}') or
+#: fractional ('{"k": 20.5}').  Anchored on Spark (rlike is a search),
+#: full-match on DuckDB (regexp_full_match; anchors are harmless
+#: no-ops there).  ≤18 digits also keeps the accepted literal inside
+#: BIGINT range, so the guarded cast can never overflow-throw.
+_JSON_INT_PAT = r"^-?[0-9]{1,18}$"
+
+
 @query(
     "q_json_extract",
     # json_valid() guard (r7, found by the adversarial events suite):
     # Spark's get_json_object returns NULL on malformed JSON — the
     # declared engine semantics — while DuckDB's json_extract_string
     # THROWS "Malformed JSON"; the guard makes the oracle match.
+    # Integer-pattern cast guard (r8): $.k values that are valid JSON
+    # but not integer literals ('abc', 20.5, 1e20) become NULL on both
+    # engines instead of a CAST hard-error; declared semantics — k is
+    # the integer value of $.k when $.k IS an integer literal, else
+    # NULL.  Exercised by the '{"k":"abc"}' / '{"k": 20.5}' rows in
+    # tests/test_adversarial_events.py.
     # DECLARED BOUNDARY (r7 review): props must be a SINGLE JSON
     # document.  On prefix-valid input with trailing garbage
     # ('{"k":1}garbage', '{"k":1}{"k":2}') the engines legitimately
@@ -181,19 +197,24 @@ def q_case_null(spark, sf_dir):
     # (try_parse_json accepts concatenated docs too, measured).
     # Pinned by test_properties.TestJsonBoundary; same
     # accepted-boundary posture as SURVEY §2.4's empty-input list.
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CAST(CASE WHEN json_valid(props)
-                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
-           (CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS BIGINT)
-            % 10 = 0) AS k_round
-    FROM events
+           CAST(CASE WHEN regexp_full_match(kstr, '{_JSON_INT_PAT}')
+                THEN kstr END AS BIGINT) AS k,
+           (CAST(CASE WHEN regexp_full_match(kstr, '{_JSON_INT_PAT}')
+                 THEN kstr END AS BIGINT) % 10 = 0) AS k_round
+    FROM (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS kstr
+      FROM events
+    )
     """,
 )
 def q_json_extract(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike(_JSON_INT_PAT), ks.cast("long"))
     return ev.select(
         "event_id",
         k.alias("k"),

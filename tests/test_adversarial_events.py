@@ -21,7 +21,9 @@ none of that is ever exercised officially.  This fixture forces it:
 - duplicate values for rank/percentile ties; negative values;
 - malformed / NULL / empty JSON in props (get_json_object returns
   NULL where unguarded DuckDB json_extract THROWS — found the
-  q_json_extract oracle guard);
+  q_json_extract oracle guard), plus valid JSON whose $.k is a
+  string / fractional literal (forced the r8 integer-pattern cast
+  guard — an unguarded CAST hard-errors on BOTH engines);
 - events exactly on minute boundaries (tumbling-window edge rows).
 """
 
@@ -65,6 +67,11 @@ _EVENTS = [
     (5, _T0, 1, None, 10.0, "{}"),
     # a later purchase so user 1's as-of has a real at-or-before match
     (6, _T0 + 2 * _MIN, 1, "purchase", 30.0, '{"k": 10}'),
+    # valid JSON whose $.k is NOT an integer literal — the r8 cast
+    # guard (non-numeric / fractional k → NULL on both engines instead
+    # of a CAST hard-error; scalars._JSON_INT_PAT)
+    (7, _T0 + 3 * _MIN, 1, "view", 1.0, '{"k": "abc"}'),
+    (8, _T0 + 4 * _MIN, 1, "view", 2.0, '{"k": 20.5}'),
     # user 2: session-gap boundary battery (threshold 30 min, contract
     # is STRICTLY-greater starts a new session)
     (10, _T0, 2, "click", 1.0, "{}"),

@@ -6,7 +6,7 @@ single-batch equivalence (one file = one micro-batch, declared design),
 and their CROSS-batch semantics — state carried through the state
 store, watermark eviction, first-arrival suppression — were pinned only
 in pytest.  This script runs the multi-batch scenarios standalone and
-writes a driver-visible artifact (``STREAMING_r7.json`` at the repo
+writes a driver-visible artifact (``STREAMING_r8.json`` at the repo
 root) so the at-scale streaming claim is in the committed ledger, not
 just the test suite.
 
@@ -29,7 +29,7 @@ cross-batch state:
   watermark, measured in the check's comment).
 
 Usage: ``python tools/streaming_evidence.py [out.json]`` (default
-``<repo>/STREAMING_r7.json``).  Exit code 0 iff all checks pass.
+``<repo>/STREAMING_r8.json``).  Exit code 0 iff all checks pass.
 """
 
 from __future__ import annotations
@@ -72,14 +72,20 @@ def _drain(df, sink: str, mode: str, spark):
 
 def _write_batches(spark, root: str, schema: str, *batches) -> None:
     """Write each batch as one parquet file with distinct mtimes (the
-    file source orders micro-batches by mtime)."""
+    file source orders micro-batches by mtime).  Order is FORCED with
+    os.utime — strictly increasing, 10 s apart (r8, ADVICE): sleeping
+    and hoping relies on filesystem mtime granularity and a steady
+    clock; an explicit stamp can neither tie nor reorder."""
     os.makedirs(root, exist_ok=True)
+    base = time.time()
     for i, rows in enumerate(batches, 1):
-        if i > 1:
-            time.sleep(1.1)  # distinct mtime → deterministic order
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
             f"{root}/b{i}"
         )
+        stamp = base + 10.0 * i
+        for dirpath, _dirs, files in os.walk(f"{root}/b{i}"):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (stamp, stamp))
 
 
 def _read_batches(spark, root: str, schema: str):
@@ -249,7 +255,7 @@ def check_tumbling_late_drop(spark, work: str) -> dict:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "STREAMING_r7.json"
+        REPO, "STREAMING_r8.json"
     )
     import tempfile
 
