@@ -53,9 +53,42 @@ _DUCK_SHINGLES = """
 """
 
 
+#: LSH band buckets larger than this are "boilerplate bands" —
+#: dropped from candidate generation on BOTH engines before the
+#: quadratic self-join (r8, VERDICT item 3; same posture as the
+#: ``_BUCKET_CAP`` stop-shingle rule below).  A (band, signature)
+#: bucket of b documents emits b(b-1)/2 candidate pairs; without the
+#: cap one boilerplate cluster of 100 k identical pages costs 5e9
+#: pairs in a single shuffle partition at 100 TB.  Mega-clusters of
+#: literal duplicates are the exact-hash family's job
+#: (q_dedup_exact_hash); LSH is for the long tail of near-dups.  The
+#: cap applies to the PAIR generators (minhash_pairs, simhash_pairs,
+#: q_minhash_jaccard_est) and therefore to their downstream cluster /
+#: keep-best pipelines; the incremental batch-vs-index join stays
+#: uncapped — it is linear in batch size, not quadratic.  Drop volume
+#: is observable, not silent: `lsh_band_stats` reports dropped
+#: buckets/rows, pinned by the boilerplate-corpus tests.
+#:
+#: Values are MEASURED against the driver testdata (r8): minhash
+#: buckets peak at 3 (sf0.01) / 14 (sf0.1) — 128-bit band signatures
+#: scatter benign content, so 100 is a pure mega-cluster guard.
+#: SimHash's 8-bit band values give only 256 buckets per band, so
+#: benign buckets reach 748 at sf0.1 (p99 563) and a cap of 100
+#: would gut the query; it gets its own ``_SH_BAND_CAP`` (no-op on
+#: testdata, still bounds any bucket to ≤2e6 candidate pairs).  The
+#: real simhash scale path is a WIDER signature — ``simhash_pairs``
+#: takes ``bits``/``n_bands`` so production runs 64-bit signatures
+#: with 16-bit bands (65 536 values/band); the registered query stays
+#: on the oracle-matched 32/4 shape.
+_BAND_CAP = 100
+_SH_BAND_CAP = 2000
+
+
 def _duck_minhash_cte() -> str:
     """Shared oracle CTE chain ending in ``pairs(doc_a, doc_b)`` —
-    DuckDB's replica of `_minhash_signatures` + `minhash_pairs`."""
+    DuckDB's replica of `_minhash_signatures` + `minhash_pairs`
+    (including the ``_BAND_CAP`` hot-bucket filter, mirrored in the
+    ``bandk`` CTE)."""
     h = _DUCK_H60.format(x="sh")
     mins = ",\n             ".join(
         f"min((h * {a} + {b}) % {_MH_PRIME}) AS mh{j}"
@@ -74,9 +107,16 @@ def _duck_minhash_cte() -> str:
              {mins}
              FROM shh GROUP BY doc_id),
     bands AS ({band_rows}),
+    bandk AS (
+      SELECT doc_id, band, bsig FROM (
+        SELECT doc_id, band, bsig,
+               count(*) OVER (PARTITION BY band, bsig) AS bc
+        FROM bands)
+      WHERE bc <= {_BAND_CAP}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bandk a JOIN bandk b
         ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     )"""
 
@@ -244,11 +284,61 @@ def minhash_pairs(
     return minhash_pairs_from_sigs(_minhash_signatures(docs, hash60))
 
 
+def _cap_buckets(
+    bands: DataFrame, keys: tuple[str, ...], cap: int = _BAND_CAP
+) -> DataFrame:
+    """Drop band rows whose (``keys``) bucket exceeds ``cap`` (see
+    ``_BAND_CAP``'s rationale).  A window count, not a
+    groupBy+semi-join: the count's exchange partitions by exactly the
+    keys the self-join needs next, so Catalyst REUSES it and the cap
+    costs no extra shuffle (the same trick ngram_jaccard_pairs
+    measured for its stop-shingle rule)."""
+    from pyspark.sql import Window
+
+    return (
+        bands.withColumn(
+            "bc", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
+        .where(F.col("bc") <= cap)
+        .drop("bc")
+    )
+
+
+def lsh_band_stats(
+    bands: DataFrame, keys: tuple[str, ...], cap: int = _BAND_CAP
+) -> dict:
+    """Measured drop report for the band-bucket cap: how many buckets
+    / band rows the cap removes from ``bands``.  One extra
+    aggregation job — call it from tests/bench/ops tooling, not from
+    the declared query path (the registered queries stay one-action
+    declarative)."""
+    row = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("bc") > cap, 1).otherwise(0)).alias(
+                "n_buckets_dropped"
+            ),
+            F.sum(F.when(F.col("bc") > cap, F.col("bc")).otherwise(0))
+            .alias("n_rows_dropped"),
+        )
+        .collect()[0]
+    )
+    return {
+        "cap": cap,
+        "n_buckets": row.n_buckets,
+        "n_buckets_dropped": int(row.n_buckets_dropped or 0),
+        "n_rows_dropped": int(row.n_rows_dropped or 0),
+    }
+
+
 def minhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs from precomputed signatures
-    (``doc_id``, ``sig`` array from :func:`_minhash_signatures`)."""
+    (``doc_id``, ``sig`` array from :func:`_minhash_signatures`),
+    hot band buckets dropped per ``_BAND_CAP``."""
     extra = []
-    bands = _banded(sigs, extra)
+    bands = _cap_buckets(_banded(sigs, extra), ("band", "bsig"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -326,10 +416,17 @@ def _duck_simhash_sql() -> str:
              {cbits}
            FROM hs),
     sim AS (SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM cb),
-    bands AS ({bands})
+    bands AS ({bands}),
+    bandk AS (
+      SELECT doc_id, simhash, band, bval FROM (
+        SELECT doc_id, simhash, band, bval,
+               count(*) OVER (PARTITION BY band, bval) AS bc
+        FROM bands)
+      WHERE bc <= {_SH_BAND_CAP}
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM bands a JOIN bands b
+    FROM bandk a JOIN bandk b
       ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
@@ -341,22 +438,40 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def simhash_pairs(docs: DataFrame, hash60: str = _SPARK_H60) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    hash60: str = _SPARK_H60,
+    bits: int = _SH_BITS,
+    n_bands: int = _SH_BANDS,
+    band_cap: int = _SH_BAND_CAP,
+) -> DataFrame:
     """SimHash near-dup candidate pairs (unordered) for any
     (``doc_id``, ``text``) DataFrame — the library entry point; the
     declared query binds it to the driver's ``documents`` table.
 
-    The 32-bit majority signature is computed per-ROW — no token
-    explode, no groupBy: at 100 TB signature computation is a pure
-    map over the scan and only the tiny (doc_id, simhash, band) rows
-    ever shuffle.  The token-hash array is materialized once, then
-    each bit's ±1 majority count is an independent scalar fold over
-    it: 32 allocation-free long accumulations beat one fold that
-    rebuilds a 32-long array per token (measured ~25% faster).
+    The majority signature is computed per-ROW — no token explode, no
+    groupBy: at 100 TB signature computation is a pure map over the
+    scan and only the tiny (doc_id, simhash, band) rows ever shuffle.
+    The token-hash array is materialized once, then each bit's ±1
+    majority count is an independent scalar fold over it: 32
+    allocation-free long accumulations beat one fold that rebuilds a
+    32-long array per token (measured ~25% faster).
     Word hashes default to the cross-engine md5-60bit (see
     `_SPARK_H60`) so the signature — and therefore the pair set — has
     a full-value DuckDB oracle; pass ``hash60=_SPARK_XXH60`` at
-    production scale (same shape, cheaper, no oracle)."""
+    production scale (same shape, cheaper, no oracle).
+
+    Scale levers (r8): ``band_cap`` drops boilerplate band buckets
+    before the quadratic self-join (``_SH_BAND_CAP`` rationale and
+    measured values), and ``bits``/``n_bands`` widen the signature —
+    the registered query keeps the oracle-matched 32-bit/4-band
+    shape, whose 8-bit band values (256 buckets/band) make bucket
+    size grow O(corpus); production passes e.g. ``bits=60,
+    n_bands=4`` (15-bit bands, 32 768 values/band) so buckets stay
+    sparse.  ``bits`` ≤ 60 because the word hashes carry 60 bits."""
+    if not (0 < bits <= 60 and bits % n_bands == 0):
+        raise ValueError(f"need 0 < bits <= 60, n_bands | bits: "
+                         f"{bits}/{n_bands}")
     hs = docs.select(
         "doc_id",
         F.expr(
@@ -370,21 +485,21 @@ def simhash_pairs(docs: DataFrame, hash60: str = _SPARK_H60) -> DataFrame:
             f"aggregate(hs, 0L, (a, h) -> a + IF(((h >> {b}) & 1) = 1,"
             " 1L, -1L))"
         ).alias(f"c{b}")
-        for b in range(_SH_BITS)
+        for b in range(bits)
     ]
     sim = hs.select("doc_id", *bit_counts).select(
         "doc_id",
         sum(
             (
                 F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(_SH_BITS)
+                for b in range(bits)
             ),
             F.lit(0),
         )
         .cast("long")
         .alias("simhash"),
     )
-    width = _SH_BITS // _SH_BANDS
+    width = bits // n_bands
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -397,11 +512,12 @@ def simhash_pairs(docs: DataFrame, hash60: str = _SPARK_H60) -> DataFrame:
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bval"),
                     )
-                    for i in range(_SH_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    bands = _cap_buckets(bands, ("band", "bval"), band_cap)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -908,7 +1024,11 @@ def q_minhash_jaccard_est(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents")).withColumn(
         "shingles", _shingles()
     )
-    bands = _banded(_minhash_signatures(docs), ["sig"])
+    # same _BAND_CAP hot-bucket rule as minhash_pairs (the oracle's
+    # `pairs` CTE carries it), applied before the quadratic self-join
+    bands = _cap_buckets(
+        _banded(_minhash_signatures(docs), ["sig"]), ("band", "bsig")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     agree = (
         "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"

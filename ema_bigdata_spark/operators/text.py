@@ -355,6 +355,13 @@ _TFIDF_SCORE = "round(tf * ln(n_docs / df), 6)"
     """,
 )
 def q_tfidf(spark, sf_dir):
+    # single-partition audit (r8, VERDICT item 4): deliberately NOT
+    # spread() — A/B min-of-3 at sf0.1, interleaved: plain 1.07 s vs
+    # spread 1.52 s.  The explode feeds a partial aggregation, so the
+    # one-partition stage is shuffle-write-bound, not CPU-bound, and
+    # the round-robin exchange of full text costs more than it frees
+    # (same verdict as the cheap multimodal codecs; opposite of the
+    # CPU-bound q_mm_png/q_char_entropy sites).
     docs = load_table(spark, sf_dir, "documents")
     n_docs = float(docs.count())
     tok = docs.select(
@@ -1404,7 +1411,11 @@ def q_bm25(spark, sf_dir):
     expression text → 1e-6 grid snap (`_BM25_TERM_U`), so the per-doc
     sum is a BIGINT and bit-stable under any partitioning.
     Driver-mandated surface (SURVEY §2.4); no Main.scala
-    counterpart."""
+    counterpart.
+
+    Single-partition audit (r8, VERDICT item 4): deliberately NOT
+    spread() — A/B min-of-3 at sf0.1: plain 0.95 s vs spread 1.84 s
+    (the explode feeds partial aggregation; see q_tfidf's note)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
@@ -1962,7 +1973,11 @@ def q_bigram_lm(spark, sf_dir):
     """See :func:`bigram_lm` — the perplexity-filter complement to
     q_unigram_lm (context-sensitive: repeated fluent phrases score
     low even when their unigrams are rare).  Driver-mandated surface
-    (SURVEY §2.4); no Main.scala counterpart."""
+    (SURVEY §2.4); no Main.scala counterpart.
+
+    Single-partition audit (r8, VERDICT item 4): NOT spread() — A/B
+    min-of-3 at sf0.1 twice: −0.42 s / +0.12 s, within co-tenant
+    noise; keep the cheaper plan-shape (see q_tfidf's note)."""
     return bigram_lm(load_table(spark, sf_dir, "documents"))
 
 
