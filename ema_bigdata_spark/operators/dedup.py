@@ -30,10 +30,15 @@ _MH_ROWS = 4
 #: is the one high-quality hash both engines expose bit-identically,
 #: which is what buys MinHash/SimHash a full-value DuckDB oracle (r2
 #: they were rows-only because xxhash64 is Spark-specific).  At 100 TB
-#: swap the template back to ``pmod(xxhash64({x}), …)`` — one line,
-#: ~2-3× cheaper per shingle — and drop the oracle; the LSH plan shape
-#: is identical either way.  Parity is pinned by
-#: tests/test_properties.py::test_hash60_cross_engine_parity.
+#: swap the template back to ``pmod(xxhash64({x}), …)`` — one line —
+#: and drop the oracle; the LSH plan shape is identical either way.
+#: MEASURED r8 (min-of-3, interleaved, sf0.1 and a 10× disjoint
+#: corpus): xxhash64 is 1.21-1.23× faster on the signature STAGE
+#: (the 16 affine min-folds dominate it, not the raw hash) and
+#: 0.99-1.08× end-to-end on minhash/simhash pairs (band shuffle +
+#: self-join dominate) — the hash swap is a real but small win, not
+#: the 2-3× an isolated hash µ-benchmark suggests.  Parity is pinned
+#: by tests/test_properties.py::test_hash60_cross_engine_parity.
 _SPARK_H60 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 _DUCK_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
@@ -219,10 +224,11 @@ def q_dedup_exact_hash(spark, sf_dir):
 
 
 #: production hash template (see _SPARK_H60 docstring): xxhash64 is
-#: ~2-3× cheaper per shingle but Spark-specific, so the REGISTERED
-#: queries stay on the oracle-verifiable md5 form; pass this to the
-#: library functions' ``hash60`` parameter at true scale.  Exercised by
-#: tests/test_properties.py::test_minhash_production_hash_path.
+#: cheaper (measured r8: 1.2× on the signature stage, ~1.0× end to
+#: end — the pipelines are shuffle-bound) but Spark-specific, so the
+#: REGISTERED queries stay on the oracle-verifiable md5 form; pass
+#: this to the library functions' ``hash60`` parameter at true scale.
+#: Exercised by tests/test_properties.py::test_minhash_production_hash_path.
 _SPARK_XXH60 = "pmod(xxhash64({x}), 1152921504606846976)"
 
 
