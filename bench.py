@@ -157,26 +157,33 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
         return round(min(ts), 3)
 
-    timings: dict[str, float] = {}
+    # ---- the full measurement worklist: registry queries plus the
+    # bench-only fixtures below, one (name, thunk) list so the
+    # segmented gate treats every entry uniformly ----
+    worklist: list[tuple[str, object]] = []
     for name in sorted(registry.QUERIES):
         if name in SKIP:
             continue
-        fn = registry.QUERIES[name]
-        timings[name] = timed(lambda: _force(fn(spark, SF_DIR)))
+        worklist.append(
+            (name,
+             (lambda fn: lambda: _force(fn(spark, SF_DIR)))(
+                 registry.QUERIES[name]))
+        )
 
     # flagship iterative op at fixed iteration count
     from ema_bigdata_spark.gmm import gmm_fit
     from ema_bigdata_spark.sources.tables import load_table
 
-    timings["gmm_fit_10iter"] = timed(
+    worklist.append((
+        "gmm_fit_10iter",
         lambda: gmm_fit(
             load_table(spark, SF_DIR, "events"),
             "value",
             k=3,
             tol=0.0,
             max_iter=10,
-        )
-    )
+        ),
+    ))
 
     # wide-domain EM fallback at REALISTIC width (VERDICT r3 §Next-6):
     # the monkeypatched equivalence test proves _distributed_em's math
@@ -204,7 +211,7 @@ def main() -> None:
 
     # sanity: the fixture genuinely exceeds the driver cutover
     assert 2_000_000 > MAX_DRIVER_BINS
-    timings["gmm_fit_distributed_3iter_2Mbins"] = timed(wide_em)
+    worklist.append(("gmm_fit_distributed_3iter_2Mbins", wide_em))
 
     # distributed connected-components at REALISTIC width (VERDICT r4
     # §Next-4), same pattern as the wide-EM fixture: testdata pair
@@ -224,7 +231,9 @@ def main() -> None:
         _force(labels)
 
     assert 510_000 > _CC_DRIVER_MAX
-    timings["dedup_cluster_distributed_510k_edges"] = timed(cc_distributed)
+    worklist.append(
+        ("dedup_cluster_distributed_510k_edges", cc_distributed)
+    )
 
     # hot-shingle skew fixture (VERDICT r4 §Next-8): 2 000 docs all
     # sharing one boilerplate sentence.  Uncapped, the shingle
@@ -237,9 +246,68 @@ def main() -> None:
         ngram_jaccard_pairs,
     )
 
-    timings["ngram_jaccard_skew_2k_boilerplate"] = timed(
-        lambda: _force(ngram_jaccard_pairs(boilerplate_corpus(spark, 2_000)))
-    )
+    worklist.append((
+        "ngram_jaccard_skew_2k_boilerplate",
+        lambda: _force(ngram_jaccard_pairs(boilerplate_corpus(spark, 2_000))),
+    ))
+
+    # ---- segmented, gated sweep (r8, VERDICT r7 item 2): the r5/r6/r7
+    # official records were each poisoned by mid-sweep co-tenant bursts
+    # that the ENTRY gate cannot see.  The sweep now runs in segments
+    # of ~SPARK_GRAFT_BENCH_SEG queries with the calibration probe
+    # re-run between segments: a segment whose POST-probe reads hot is
+    # re-run once after the burst clears (bounded budget), and min()
+    # merges the two passes — re-running can only improve a min, so
+    # the protocol is bias-free.  One burst now costs one segment's
+    # re-run (~30-60 s), not the whole record. ----
+    seg_size = int(os.environ.get("SPARK_GRAFT_BENCH_SEG", "25"))
+    seg_rerun_budget = int(os.environ.get("SPARK_GRAFT_BENCH_SEG_RERUNS",
+                                          "3"))
+    seg_trace: list[dict] = []
+    timings: dict[str, float] = {}
+
+    def run_segment(pairs) -> None:
+        for name, thunk in pairs:
+            t = timed(thunk)
+            prev = timings.get(name)
+            timings[name] = t if prev is None else min(prev, t)
+
+    def probe_ratio() -> float | None:
+        if not calib_pin:
+            return None
+        return round(_calibrate(spark) / calib_pin, 3)
+
+    def wait_clear(max_waits: int = 2) -> float | None:
+        """Bounded wait for the load to clear; returns the last probe."""
+        r = probe_ratio()
+        waits = 0
+        while r is not None and r > gate_max and waits < max_waits:
+            time.sleep(gate_sleep)
+            waits += 1
+            r = probe_ratio()
+        return r
+
+    reruns_left = seg_rerun_budget
+    for i in range(0, len(worklist), seg_size):
+        seg = worklist[i:i + seg_size]
+        before = wait_clear()
+        run_segment(seg)
+        after = probe_ratio()
+        entry = {
+            "first": seg[0][0],
+            "n": len(seg),
+            "calib_before": before,
+            "calib_after": after,
+            "reran": False,
+        }
+        if (after is not None and after > gate_max and reruns_left > 0):
+            # a burst landed mid-segment: wait it out, re-run, min-merge
+            reruns_left -= 1
+            entry["reran"] = True
+            entry["calib_rerun_before"] = wait_clear()
+            run_segment(seg)
+            entry["calib_rerun_after"] = probe_ratio()
+        seg_trace.append(entry)
 
     # self-defending record (VERDICT r3 §Next-4): any query whose
     # sweep min exceeds its standing baseline by >25% gets an isolated
@@ -326,6 +394,11 @@ def main() -> None:
                 "threshold": gate_max,
                 "ratios": gate_ratios,
             },
+            # per-segment gate trace (r8): calibration probe before /
+            # after each ~25-query segment; a segment whose post-probe
+            # read hot was re-run after the burst cleared and its
+            # times min-merged ("reran": true + the re-run's probes).
+            "segments": seg_trace,
         }
     )
     print(payload)

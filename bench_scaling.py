@@ -262,7 +262,8 @@ def _make_big_embeddings(spark, out_dir: str, factor: int) -> None:
     )
 
 
-def _probe_10x(spark, names, big_dir: str, repeats: int = 2) -> dict:
+def _probe_10x(spark, names, big_dir: str, repeats: int = 2,
+               small_dir: str = "/root/testdata/sf0.1") -> dict:
     """ONE copy of the sf0.1 → 10×-fixture timing/exponent loop (the
     r7 review caught r6_scaling/r7_scaling carrying verbatim copies —
     a methodology fix like the 1e-3 clamp must not need three edits).
@@ -286,7 +287,7 @@ def _probe_10x(spark, names, big_dir: str, repeats: int = 2) -> dict:
     out = {}
     for name in names:
         fn = registry.QUERIES[name]
-        t_01, spread_01 = _min_of(fn, "/root/testdata/sf0.1")
+        t_01, spread_01 = _min_of(fn, small_dir)
         t_1, spread_1 = _min_of(fn, big_dir)
         out[name] = {
             "sec_sf0.1": t_01,
@@ -447,6 +448,91 @@ def r7_scaling(spark, work_dir: str) -> dict:
     )
 
 
+#: r8 skew probes (VERDICT r7 item 7): all previous probes grow
+#: VOLUME uniformly; none grow SKEW.  This fixture gives events and
+#: orders a zipfian key map — the hot tenant owns 10% of all rows,
+#: nine warm keys 2% each, the rest uniform — at 1× (sf0.1 volumes)
+#: and 10×, so the exponent measures how each plan absorbs a hot key
+#: growing 10×: q_join_inner (dim join — broadcast, skew-immune by
+#: plan shape), q_join_salted (explicit salt spreads the hot key),
+#: q_sessionize (window partitionBy(user_id): the hot key's
+#: sort-within-partition is the honest linear floor), and
+#: q_compact_latest (ranking window, same shape).  Key assignment is
+#: a pure hash of the row id — deterministic, no Date.now/rand.
+def _make_skew_fixture(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    def zipf_key(n_tail: int):
+        u = F.pmod(F.xxhash64(F.col("id")), F.lit(10_000))
+        return (
+            F.when(u < 1_000, F.lit(0))                      # 10% hot
+            .when(u < 2_800, (u % 9) + 1)                    # 9 × 2%
+            .otherwise((u % n_tail) + 10)                    # uniform tail
+            .cast("long")
+        )
+
+    types = F.array(*[F.lit(t) for t in
+                      ("click", "view", "purchase", "scroll", "login")])
+    ev = spark.range(0, 100_000 * factor, 1, 32).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(SECOND, CAST(id % 2592000 AS INT),"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("ts"),
+        zipf_key(1_490).alias("user_id"),
+        F.element_at(
+            types, (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(5)) + 1)
+            .cast("int")
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(100_000))
+         .cast("double") / 100.0).alias("value"),
+        F.format_string(
+            '{"k": %d}', F.pmod(F.xxhash64(F.col("id") + 3), F.lit(1000))
+        ).alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    orders = spark.range(0, 150_000 * factor, 1, 32).select(
+        F.col("id").alias("o_orderkey"),
+        zipf_key(14_990).alias("o_custkey"),
+        F.when(F.pmod(F.xxhash64(F.col("id") + 4), F.lit(2)) == 0, "F")
+        .otherwise("O").alias("o_orderstatus"),
+        (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(10_000_000))
+         .cast("double") / 100.0).alias("o_totalprice"),
+        F.expr(
+            "timestampadd(DAY, CAST(id % 365 AS INT),"
+            " TIMESTAMP_NTZ '2023-01-01 00:00:00')"
+        ).alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    )
+    orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    spark.read.parquet("/root/testdata/sf0.1/customer.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/customer.parquet")
+
+
+def skew_scaling(spark, work_dir: str) -> dict:
+    """Two decades: 1×→10× and 10×→100× (the second is the honest
+    slope — at 1× the sub-second timings are fixed-overhead-bound and
+    a flat exponent proves little; at 100× the hot tenant owns 1 M
+    event rows / 1.5 M order rows and any single-task bottleneck has
+    to show)."""
+    names = ("q_join_inner", "q_join_salted", "q_sessionize",
+             "q_compact_latest")
+    _make_skew_fixture(spark, f"{work_dir}/skew1", 1)
+    _make_skew_fixture(spark, f"{work_dir}/skew10", 10)
+    _make_skew_fixture(spark, f"{work_dir}/skew100", 100)
+    return {
+        "skew_1x_to_10x": _probe_10x(
+            spark, names, f"{work_dir}/skew10",
+            small_dir=f"{work_dir}/skew1",
+        ),
+        "skew_10x_to_100x": _probe_10x(
+            spark, names, f"{work_dir}/skew100",
+            small_dir=f"{work_dir}/skew10",
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=32)
@@ -490,6 +576,12 @@ def main() -> None:
         help="probe the TPC-H join family at 10x facts"
         " (dims constant) — r7 extra",
     )
+    ap.add_argument(
+        "--skew-probes",
+        action="store_true",
+        help="probe the join/window family on a zipfian-key fixture"
+        " (hot key = 10%% of rows) at 1x and 10x — VERDICT r7 item 7",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -511,6 +603,8 @@ def main() -> None:
             out["r7_probes"] = r7_scaling(spark, args.decade_dir)
         if args.tpch_probes:
             out["tpch_probes"] = tpch_scaling(spark, args.decade_dir)
+        if args.skew_probes:
+            out["skew_probes"] = skew_scaling(spark, args.decade_dir)
         print(json.dumps(out))
         spark.stop()
         return

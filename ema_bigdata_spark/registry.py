@@ -37,79 +37,60 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-7 verification priority.  The external driver records a
+#: Round-8 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
 #: Rotation rule (steady state since r3): never-checked first, then
 #: red rows / changed-this-round, then stalest-official-row (an old
 #: green row doesn't certify refactored code).  This window:
-#: (1) the three r3-era official rows — the oldest evidence in the
-#:     ledger (q_embed_norm, q_embed_centroid deferred from r6;
-#:     q_multimodal_join displaced late-r6 by q_embed_dup);
-#: (2) the eleven queries whose code changed in r6 AFTER the r6
-#:     window was frozen (ROUND6_NOTES §6): the adversarial-probe
-#:     fixes (q_char_entropy, q_lang_id, q_source_interleave,
-#:     q_topk_ngrams, q_weighted_sample), the four multimodal codecs'
-#:     NULL-payload filters, and the similarity domain gates on
-#:     q_ann_pq / q_semdedup — all carry pre-change r4/r5 rows;
-#: (3) the four queries changed THIS round: gmm_fit (lockstep
-#:     statement merge, VERDICT item 6) and the empty-corpus refusal
-#:     guards on q_gmm_bic, q_bm25, q_pagerank (VERDICT item 4);
-#: (4) 32 further names: the four CHANGED-late-r7 queries
-#:     (q_string_funcs, q_math_funcs, q_json_extract,
-#:     q_mstep_var_fixed — the adversarial relational/events/
-#:     constant-column suites found the concat-NULL and json_valid
-#:     oracle divergences, the ln/sqrt/corr domain gates, and the
-#:     E[x²]−μ² signed-zero residue; changed code outranks unchanged)
-#:     plus 28 stale-r4 rows.  In-window r4-official-row total: 34 of
-#:     the ledger's 50 (q_string_funcs/q_mstep_var_fixed and the
-#:     group-(2) names q_topk_ngrams/q_mm_features/q_mm_frames/
-#:     q_semdedup are r4-row too).
-#:     SIXTEEN r4-row names defer to r8 with rationale: the eight
-#:     UNCHANGED members of the reference ``_fixed`` family
-#:     (q_scan_count, q_mean, q_variance_pop, q_init_means,
-#:     q_loglik_fixed, q_gamma_fixed, q_mstep_{weight,mean}_fixed —
-#:     fixed-constant single-scan arithmetic, unchanged since r4,
-#:     whose math is subsumed by the r6-green parity-EM oracles;
-#:     q_mstep_var_fixed's signed-zero fix promoted IT into the
-#:     window), four trivial unchanged relational ops (q_join_cross,
-#:     q_filter_project, q_union, q_intersect), and the four
-#:     unchanged one-liners the late-r7 changed queries displaced
-#:     (q_sort_limit, q_events_hourly, q_unpivot, q_pivot).  All
-#:     sixteen are green in this round's full local driver-sims AND
-#:     covered on hostile fixtures by the r7 adversarial suites.
+#: (1) the SIXTEEN r4-era official rows r7 deferred (VERDICT r7
+#:     item 1 — after this no ledger row is older than r6): the nine
+#:     reference ``_fixed``-family constants + q_scan_count, four
+#:     trivial relational ops, and the four one-liners late-r7
+#:     displaced;
+#: (2) the EIGHT queries whose code changed THIS round:
+#:     q_json_extract (integer-pattern cast guard on both engines —
+#:     ADVICE r7), the five LSH queries that gained the band-bucket
+#:     cap (q_dedup_minhash, q_dedup_simhash, q_minhash_jaccard_est,
+#:     and the downstream q_dedup_cluster / q_dedup_keep_best whose
+#:     pair source is now capped — VERDICT item 3), and gmm_fit /
+#:     q_gmm_bic (per-call temp-view naming in prepare_hist and the
+#:     chunked path — ADVICE r7);
+#: (3) 26 of the 37 remaining r5-era rows — the full TPC-H r5 block,
+#:     the text/analytics pipelines, and the two streaming rows.
+#:     ELEVEN r5-row names defer to r9 with rationale: trivial
+#:     single-scan scalar/window one-liners unchanged since r5 with
+#:     standing adversarial coverage (q_case_null, q_date_funcs in
+#:     the relational suite; q_window_lag / q_window_rank /
+#:     q_window_running in the events suite's tie-break battery;
+#:     q_text_tokens, q_token_count, q_token_histogram,
+#:     q_doc_fingerprint, q_normalize_text, q_source_mix in the
+#:     document suites).  All eleven are green in this round's full
+#:     local driver-sims; r9 owes them the head of its window.
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — (1) r3-era rows, oldest official evidence —
-    "q_embed_norm", "q_embed_centroid", "q_multimodal_join",
-    # — (2) changed post-r6-window: adversarial text fixes (5) —
-    "q_char_entropy", "q_lang_id", "q_source_interleave",
-    "q_topk_ngrams", "q_weighted_sample",
-    # — (2) changed post-r6-window: multimodal NULL filters (4) —
-    "q_mm_features", "q_mm_png", "q_mm_frames", "q_mm_histogram",
-    # — (2) changed post-r6-window: similarity domain gates (2) —
-    "q_ann_pq", "q_semdedup",
-    # — (3) changed this round (lockstep merge / refusal guards) —
-    "gmm_fit", "q_gmm_bic", "q_bm25", "q_pagerank",
-    # — (4) r4 TPC-H + subquery family (4) —
-    "q_sql_tpch_q3", "q_sql_tpch_q5", "q_sql_exists",
-    "q_sql_scalar_subquery",
-    # — r4 join family (6) —
-    "q_join_inner", "q_join_left", "q_join_full", "q_join_anti",
-    "q_join_semi", "q_join_broadcast",
-    # — r4 relational/agg family (9) + late-r7 changed names (4:
-    # q_string_funcs/q_math_funcs/q_json_extract/q_mstep_var_fixed —
-    # oracle/domain-gate/signed-zero fixes from the r7 adversarial
-    # suites; they displace q_sort_limit, q_events_hourly, q_unpivot
-    # and q_pivot, trivial unchanged relational ops) —
-    "q_pricing_summary", "q_agg_distinct", "q_corr_stats", "q_cube",
-    "q_rollup", "q_grouping_sets", "q_having", "q_percentiles",
-    "q_string_funcs", "q_math_funcs", "q_except", "q_json_extract",
-    "q_mstep_var_fixed",
-    # — r4 dedup family (5) —
-    "q_dedup_exact", "q_dedup_exact_hash", "q_dedup_incremental",
-    "q_minhash_jaccard_est", "q_ngram_jaccard",
-    # — r4 profiling + text (4) —
-    "q_profile_table", "q_value_outliers", "q_winsorize",
-    "q_pii_scrub",
+    # — (1) the 16 r4-era rows: reference `_fixed` family + scan (10) —
+    "q_scan_count", "q_mean", "q_variance_pop", "q_init_means",
+    "q_loglik_fixed", "q_gamma_fixed", "q_mstep_weight_fixed",
+    "q_mstep_mean_fixed", "q_join_cross", "q_filter_project",
+    # — (1) trivial relational ops + late-r7 displaced one-liners (6) —
+    "q_union", "q_intersect", "q_sort_limit", "q_events_hourly",
+    "q_unpivot", "q_pivot",
+    # — (2) changed this round: cast guard + LSH band caps + gmm views —
+    "q_json_extract", "q_dedup_minhash", "q_dedup_simhash",
+    "q_minhash_jaccard_est", "q_dedup_cluster", "q_dedup_keep_best",
+    "gmm_fit", "q_gmm_bic",
+    # — (3) r5 TPC-H family (10) —
+    "q_sql_tpch_q2", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9",
+    "q_sql_tpch_q13", "q_sql_tpch_q15", "q_sql_tpch_q16",
+    "q_sql_tpch_q19", "q_sql_tpch_q21", "q_sql_tpch_q22",
+    # — (3) r5 text/document pipelines (8) —
+    "q_tfidf", "q_bigram_lm", "q_bpe_pairs", "q_filter_report",
+    "q_quality_score", "q_repetition_score", "q_rag_chunk",
+    "q_stratified_sample",
+    # — (3) r5 analytics/window/layout (6) —
+    "q_cdc_merge", "q_event_transitions", "q_gapfill", "q_outlier_mad",
+    "q_skyline", "q_zorder_layout",
+    # — (3) r5 streaming rows (2) —
+    "s_stream_anomaly", "s_stream_topk",
 )
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md
