@@ -1,7 +1,8 @@
 """CI pins for the r7 multi-batch streaming checks.
 
 ``tools/streaming_evidence.py`` produces the committed
-``STREAMING_r7.json`` artifact; these tests re-run the three checks
+``STREAMING_r8.json`` artifact (r7-era runs wrote STREAMING_r7.json;
+both are in the ledger); these tests re-run the three checks
 that have no other pytest coverage (the session and anomaly
 cross-batch merges already have dedicated tests in
 test_properties.py) so a regression is caught by the suite, not only
