@@ -41,6 +41,7 @@ full data passes per iteration — SURVEY §3.3).  Textbook math
 
 from __future__ import annotations
 
+import itertools
 import math
 
 from pyspark.sql import DataFrame, SparkSession
@@ -401,14 +402,15 @@ def _with(ctes: list[tuple[str, str]], final_sql: str,
 #: session-global names ('v_gmm_hist', 'v_em_prev') would let two
 #: concurrent fits in one SparkSession — or a user view of the same
 #: name — silently clobber each other.  A counter (not uuid) keeps the
-#: names deterministic for plan-text comparisons across runs.
-_VIEW_SEQ = 0
+#: names deterministic for plan-text comparisons across runs;
+#: ``itertools.count`` because ``next()`` on it is atomic under the
+#: GIL, so concurrent fits on separate THREADS of one session can't
+#: race the increment either (a bare ``global n; n += 1`` can).
+_VIEW_SEQ = itertools.count(1)
 
 
 def _fresh_view(stem: str) -> str:
-    global _VIEW_SEQ
-    _VIEW_SEQ += 1
-    return f"{stem}_{_VIEW_SEQ}"
+    return f"{stem}_{next(_VIEW_SEQ)}"
 
 
 def prepare_hist(spark: SparkSession, sf_dir: str) -> str:
