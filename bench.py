@@ -78,6 +78,42 @@ def _calibrate(spark) -> float:
     return round(min(ts), 3)
 
 
+#: a mean calibration ratio above this is direct uniform-slowness
+#: evidence even when the gates never tripped
+CALIB_POISON_MAX = 1.15
+
+
+def entry_gave_up_hot(gate_ratios: list[float], gate_max: float) -> bool:
+    """True when the pre-sweep gate exhausted its waits still hot —
+    the sweep then ran under KNOWN load."""
+    return bool(gate_ratios) and gate_ratios[-1] > gate_max
+
+
+def seg_stayed_hot(entry: dict, gate_max: float) -> bool:
+    """True when a segment's post-probe read hot and the re-run
+    budget could not clear it (no re-run left, or the re-run's own
+    post-probe was still hot) — that segment's times ran under load
+    the protocol could not launder out."""
+    after = entry.get("calib_after")
+    if after is None or after <= gate_max:
+        return False
+    if not entry.get("reran"):
+        return True  # hot and the re-run budget was exhausted
+    rerun_after = entry.get("calib_rerun_after")
+    return rerun_after is not None and rerun_after > gate_max
+
+
+def direct_load_evidence(entry_hot: bool, seg_hot: bool,
+                         calib_ratio: float | None) -> bool:
+    """load_poisoned, r8 semantics: DIRECT load evidence only (see
+    the r8-finding comment in main()); never the count of queries
+    above their all-time-minimum pins, which is a statistic of pins,
+    not of load."""
+    return bool(entry_hot or seg_hot
+                or (calib_ratio is not None
+                    and calib_ratio > CALIB_POISON_MAX))
+
+
 def main() -> None:
     from ema_bigdata_spark import registry
     from ema_bigdata_spark.session import get_spark
@@ -345,18 +381,8 @@ def main() -> None:
     # evidence only: the entry gate gave up hot, a segment stayed hot
     # after its re-run budget, or the mean calibration ratio exceeds
     # 1.15.  The flag count remains recorded as `n_above_pin`.
-    entry_hot = bool(gate_ratios) and gate_ratios[-1] > gate_max
-
-    def _seg_hot(e: dict) -> bool:
-        after = e.get("calib_after")
-        if after is None or after <= gate_max:
-            return False
-        if not e.get("reran"):
-            return True  # hot and the re-run budget was exhausted
-        rerun_after = e.get("calib_rerun_after")
-        return rerun_after is not None and rerun_after > gate_max
-
-    seg_hot = any(_seg_hot(e) for e in seg_trace)
+    entry_hot = entry_gave_up_hot(gate_ratios, gate_max)
+    seg_hot = any(seg_stayed_hot(e, gate_max) for e in seg_trace)
 
     # retime budget: on a clean machine every flag is a genuine
     # suspect — in-sweep numbers for sub-second queries carry 2-5×
@@ -389,10 +415,7 @@ def main() -> None:
     calib_end = _calibrate(spark)
     calib_mean = round((calib_start + calib_end) / 2, 3)
     calib_ratio = round(calib_mean / calib_pin, 3) if calib_pin else None
-    load_poisoned = bool(
-        entry_hot or seg_hot or (calib_ratio is not None
-                                 and calib_ratio > 1.15)
-    )
+    load_poisoned = direct_load_evidence(entry_hot, seg_hot, calib_ratio)
     n_above_pin = sum(
         1 for n in timings
         if base_q.get(n) and timings[n] > 1.25 * base_q[n]

@@ -1,0 +1,91 @@
+"""Unit pins for bench.py's r8 load-evidence semantics.
+
+The r8 finding (ROUND8_NOTES §10): the old ``len(flagged) > 15`` rule
+read load_poisoned=true on a verified-idle machine (calibration ratio
+1.047) because pins are all-time minima — it measured pin-tightness,
+never load.  These tests pin the replacement: load_poisoned comes from
+DIRECT evidence only (entry gate gave up hot, a segment stayed hot
+past its re-run budget, or mean calibration ratio > CALIB_POISON_MAX).
+Pure functions — no SparkSession.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import (  # noqa: E402
+    CALIB_POISON_MAX,
+    direct_load_evidence,
+    entry_gave_up_hot,
+    seg_stayed_hot,
+)
+
+GATE = 1.2
+
+
+class TestEntryGate:
+    def test_clean_first_probe(self):
+        assert not entry_gave_up_hot([1.073], GATE)
+
+    def test_cleared_after_wait(self):
+        # the r7 trace shape: hot probe, one wait, clean re-probe
+        assert not entry_gave_up_hot([1.394, 0.958], GATE)
+
+    def test_gave_up_hot(self):
+        assert entry_gave_up_hot([1.5, 1.4, 1.3, 1.25, 1.21], GATE)
+
+    def test_no_pin_no_evidence(self):
+        # no calibration pin → no gate ratios → no evidence either way
+        assert not entry_gave_up_hot([], GATE)
+
+
+class TestSegmentEvidence:
+    def test_clean_segment(self):
+        assert not seg_stayed_hot(
+            {"calib_before": 0.93, "calib_after": 1.19, "reran": False},
+            GATE,
+        )
+
+    def test_hot_but_rerun_cleared(self):
+        assert not seg_stayed_hot(
+            {"calib_after": 1.4, "reran": True,
+             "calib_rerun_before": 0.98, "calib_rerun_after": 1.02},
+            GATE,
+        )
+
+    def test_hot_budget_exhausted(self):
+        assert seg_stayed_hot({"calib_after": 1.4, "reran": False}, GATE)
+
+    def test_hot_rerun_still_hot(self):
+        assert seg_stayed_hot(
+            {"calib_after": 1.4, "reran": True, "calib_rerun_after": 1.3},
+            GATE,
+        )
+
+    def test_no_pin_probe_is_none(self):
+        assert not seg_stayed_hot(
+            {"calib_before": None, "calib_after": None, "reran": False},
+            GATE,
+        )
+
+
+class TestLoadPoisoned:
+    def test_all_clean(self):
+        assert not direct_load_evidence(False, False, 1.01)
+
+    def test_pin_tightness_is_not_load(self):
+        # the r8 regression-test-in-spirit: NOTHING about queries-vs-pin
+        # counts feeds the flag; a clean-evidence run stays clean no
+        # matter how many mins sit above their all-time-minimum pins
+        assert not direct_load_evidence(False, False, 1.047)
+
+    def test_uniform_slowness_trips(self):
+        assert direct_load_evidence(False, False, CALIB_POISON_MAX + 0.01)
+
+    def test_entry_or_segment_trips(self):
+        assert direct_load_evidence(True, False, 1.0)
+        assert direct_load_evidence(False, True, 1.0)
+
+    def test_no_pin_is_unknown_not_poisoned(self):
+        assert not direct_load_evidence(False, False, None)
