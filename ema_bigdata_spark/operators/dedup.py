@@ -871,7 +871,10 @@ def connected_components(
         )
         # pointer doubling (docstring): every cluster_id IS some
         # node's doc_id, so one self-join jumps each label to that
-        # node's (≤) label; left join + coalesce is belt-and-braces
+        # node's (≤) label; left join + coalesce is belt-and-braces.
+        # Deliberately NOT caching the propagate step before this
+        # self-join: exchange reuse already dedupes the shared subplan
+        # and an explicit cache measured SLOWER (8.3 vs 7.9 s warm)
         jump = new_labels.select(
             F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_cl")
         )
