@@ -392,14 +392,19 @@ def main() -> None:
     # retimes are themselves suspect, so keep the worst 15 and let
     # the reader normalize.
     retime_cap = 15 if (entry_hot or seg_hot) else 60
+    # retime through the worklist's own thunks so the bench-only
+    # fixtures (gmm_fit_10iter, the distributed probes) are retimeable
+    # too — the r8 clean record left gmm_fit_10iter reading 1.36× pin
+    # solely because the old registry lookup skipped fixtures
+    thunks = dict(worklist)
     for _, name in flagged[:retime_cap]:
-        fn = registry.QUERIES.get(name)
-        if fn is None or name in SKIP:  # honor the sweep's exclusions
+        thunk = thunks.get(name)
+        if thunk is None or name in SKIP:  # honor the sweep's exclusions
             continue
         ts = []
         for _ in range(3):
             t0 = time.monotonic()
-            _force(fn(spark, SF_DIR))
+            thunk()
             ts.append(time.monotonic() - t0)
         isolated[name] = round(min(ts), 3)
         # best-evidence fold (r8): the recorded per-query number is
