@@ -103,15 +103,43 @@ def seg_stayed_hot(entry: dict, gate_max: float) -> bool:
     return rerun_after is not None and rerun_after > gate_max
 
 
+def probe_median(seg_trace: list[dict],
+                 extra: list[float | None]) -> float | None:
+    """Median of every calibration probe that BRACKETED timed work —
+    each segment's before/after (and any re-run probes) plus the
+    entry/end probes in ``extra``.  The uniform-slowness criterion
+    reads this, not the endpoint mean: a sweep whose every segment
+    probed clean should not be flagged by one hot probe taken AFTER
+    the last measurement (observed r8 — all seven segments 0.89-1.18
+    with two bursts caught and re-run clean, endpoint mean 1.213),
+    and conversely a machine that is ~1.2× slow in MOST segments
+    reads poisoned even when no single probe trips the 1.2 gate."""
+    probes = [r for r in extra if r is not None]
+    for e in seg_trace:
+        for k in ("calib_before", "calib_after",
+                  "calib_rerun_before", "calib_rerun_after"):
+            r = e.get(k)
+            if r is not None:
+                probes.append(r)
+    if not probes:
+        return None
+    probes.sort()
+    mid = len(probes) // 2
+    if len(probes) % 2:
+        return round(probes[mid], 3)
+    return round((probes[mid - 1] + probes[mid]) / 2, 3)
+
+
 def direct_load_evidence(entry_hot: bool, seg_hot: bool,
-                         calib_ratio: float | None) -> bool:
+                         probe_med: float | None) -> bool:
     """load_poisoned, r8 semantics: DIRECT load evidence only (see
     the r8-finding comment in main()); never the count of queries
     above their all-time-minimum pins, which is a statistic of pins,
-    not of load."""
+    not of load.  ``probe_med`` is :func:`probe_median` — the
+    uniform-slowness signal measured DURING the sweep."""
     return bool(entry_hot or seg_hot
-                or (calib_ratio is not None
-                    and calib_ratio > CALIB_POISON_MAX))
+                or (probe_med is not None
+                    and probe_med > CALIB_POISON_MAX))
 
 
 def main() -> None:
@@ -420,7 +448,12 @@ def main() -> None:
     calib_end = _calibrate(spark)
     calib_mean = round((calib_start + calib_end) / 2, 3)
     calib_ratio = round(calib_mean / calib_pin, 3) if calib_pin else None
-    load_poisoned = direct_load_evidence(entry_hot, seg_hot, calib_ratio)
+    probe_med = probe_median(
+        seg_trace,
+        [gate_ratios[-1] if gate_ratios else None,
+         round(calib_end / calib_pin, 3) if calib_pin else None],
+    )
+    load_poisoned = direct_load_evidence(entry_hot, seg_hot, probe_med)
     n_above_pin = sum(
         1 for n in timings
         if base_q.get(n) and timings[n] > 1.25 * base_q[n]
@@ -469,6 +502,10 @@ def main() -> None:
                 "end_sec": calib_end,
                 "pin_sec": calib_pin,
                 "ratio": calib_ratio,
+                # median of every probe that bracketed timed work —
+                # the uniform-slowness signal load_poisoned reads
+                # (see probe_median)
+                "probe_median": probe_med,
             },
             # pre-sweep load-gate trace: probe/pin ratios measured
             # before the sweep started (first entry = initial probe;

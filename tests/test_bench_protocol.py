@@ -18,6 +18,7 @@ from bench import (  # noqa: E402
     CALIB_POISON_MAX,
     direct_load_evidence,
     entry_gave_up_hot,
+    probe_median,
     seg_stayed_hot,
 )
 
@@ -89,3 +90,47 @@ class TestLoadPoisoned:
 
     def test_no_pin_is_unknown_not_poisoned(self):
         assert not direct_load_evidence(False, False, None)
+
+
+class TestProbeMedian:
+    # the observed r8 run that motivated the median: all seven
+    # segments probed 0.89-1.18 (two bursts caught and re-run clean),
+    # but the END probe ran hot and the endpoint MEAN read 1.213 —
+    # the during-sweep median must read clean
+    R8_TRACE = [
+        {"calib_before": 0.892, "calib_after": 1.064, "reran": False},
+        {"calib_before": 1.075, "calib_after": 1.066, "reran": False},
+        {"calib_before": 0.992, "calib_after": 1.238, "reran": True,
+         "calib_rerun_before": 1.053, "calib_rerun_after": 1.127},
+        {"calib_before": 1.058, "calib_after": 1.294, "reran": True,
+         "calib_rerun_before": 1.089, "calib_rerun_after": 1.18},
+        {"calib_before": 1.008, "calib_after": 0.956, "reran": False},
+        {"calib_before": 1.042, "calib_after": 1.152, "reran": False},
+        {"calib_before": 1.089, "calib_after": 1.05, "reran": False},
+    ]
+
+    def test_hot_tail_probe_does_not_poison_a_clean_sweep(self):
+        med = probe_median(self.R8_TRACE, [1.073, 1.31])
+        assert med is not None and med <= CALIB_POISON_MAX
+        assert not direct_load_evidence(False, False, med)
+
+    def test_uniformly_slow_sweep_reads_poisoned(self):
+        # every probe ~1.19: under the per-probe 1.2 gate, but the
+        # machine was ~20% slow for the WHOLE sweep — poisoned
+        trace = [
+            {"calib_before": 1.19, "calib_after": 1.18, "reran": False}
+            for _ in range(7)
+        ]
+        med = probe_median(trace, [1.19, 1.19])
+        assert med > CALIB_POISON_MAX
+        assert direct_load_evidence(False, False, med)
+
+    def test_no_probes_is_unknown(self):
+        assert probe_median([], [None, None]) is None
+
+    def test_median_ignores_missing_rerun_keys(self):
+        med = probe_median(
+            [{"calib_before": 1.0, "calib_after": None, "reran": False}],
+            [None],
+        )
+        assert med == 1.0
