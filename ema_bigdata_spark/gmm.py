@@ -246,10 +246,13 @@ def _distributed_em(
 def value_histogram(df: DataFrame, x: str = "value") -> DataFrame:
     """The ONE full scan a fit performs: exact ``(value, count)``
     histogram via map-side-combined groupBy — shuffle volume is
-    distinct-values-per-partition, not rows."""
+    distinct-values-per-partition, not rows.  Non-finite values are
+    excluded like NULLs (r8, parity.py finite-gate posture): a NaN/Inf
+    bin would overflow the EM's fixed-point sufficient-statistic snaps
+    mid-iteration — one corrupt double must not kill a 100 TB fit."""
     return (
         df.select(F.col(x).alias("_x"))
-        .where(F.col("_x").isNotNull())
+        .where(F.abs(F.col("_x")) <= F.lit(1.7976931348623157e308))
         .groupBy("_x")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

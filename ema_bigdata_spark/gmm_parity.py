@@ -82,10 +82,15 @@ def _snap(expr: str, scale: str) -> str:
 
 def hist_sql(events_src: str) -> str:
     """The ONE data-proportional pass: exact (value, count) histogram
-    (map-side combined on Spark; shuffle = distinct values)."""
+    (map-side combined on Spark; shuffle = distinct values).
+    Non-finite values are excluded like NULLs (r8 — same filter text
+    on both engines; NaN/±Inf compare greater than DBL_MAX on both,
+    and NULL fails the predicate, so the gate subsumes IS NOT NULL):
+    a NaN bin would overflow the fixed-point snaps mid-iteration."""
     return (
         "SELECT value AS x, CAST(count(*) AS BIGINT) AS cnt"
-        f" FROM {events_src} WHERE value IS NOT NULL GROUP BY value"
+        f" FROM {events_src}"
+        " WHERE abs(value) <= 1.7976931348623157e+308 GROUP BY value"
     )
 
 

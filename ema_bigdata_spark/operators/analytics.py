@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.parity import cents
+from ema_bigdata_spark.functions.parity import cents, finite, sql_cents
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -445,10 +445,10 @@ def gapfill(events):
 
 @query(
     "q_gapfill",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS v_c
+             sum({sql_cents('value')}) AS v_c
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2
     ),
@@ -613,10 +613,10 @@ _WELCH_T = f"""
     oracle=f"""
     WITH g AS (
       SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
-             sum(CAST(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)
+             CAST(count({sql_cents('value')}) AS BIGINT) AS n,
+             CAST(sum({sql_cents('value')}) AS BIGINT) AS s,
+             sum(CAST({sql_cents('value')}
+                      * {sql_cents('value')}
                       AS DECIMAL(38, 0))) AS q
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY 1
@@ -659,13 +659,16 @@ def q_ab_ttest(spark, sf_dir):
     by the adversarial-domain suite's constant fixture).
     Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
+    # n counts the GATED snap (not count(*)): a non-finite value row
+    # must not inflate the arm size its s/q sums ignored (r8 gate,
+    # parity.py module docstring)
     c = cents("value")
     g = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type").isin("click", "view"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(c).cast("long").alias("n"),
             F.sum(c).cast("long").alias("s"),
             F.sum((c * c).cast("decimal(38,0)")).alias("q"),
         )

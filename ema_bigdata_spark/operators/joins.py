@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.parity import sql_sum_fixed, sum_fixed
+from ema_bigdata_spark.functions.parity import (
+    cents,
+    sql_cents,
+    sql_sum_fixed,
+    sum_fixed,
+)
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -751,10 +756,10 @@ def q_sql_tpch_q17(spark, sf_dir):
 
 @query(
     "q_join_salted",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+           round(CAST(sum({sql_cents('e.value')}) AS DOUBLE)
                  / 100, 2) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -780,7 +785,7 @@ def q_join_salted(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             (
-                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                F.sum(cents("value"))
                 .cast("double") / F.lit(100)
             ).alias("sum_value"),
         )

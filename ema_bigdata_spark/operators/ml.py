@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.parity import cents
+from ema_bigdata_spark.functions.parity import cents, sql_cents
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -81,7 +81,7 @@ def _kmeans_body(dialect: str, hist_src: str, with_hist_cte: bool) -> str:
     if with_hist_cte:
         parts += [
             f"{hist_src} AS (",
-            "  SELECT CAST(round(value * 100) AS BIGINT) AS v,",
+            f"  SELECT {sql_cents('value')} AS v,",
             "         CAST(count(*) AS BIGINT) AS n",
             "  FROM events GROUP BY 1",
             "),",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ema_bigdata_spark.functions.parity import DBL_MAX
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -208,7 +209,7 @@ def value_outliers(events) -> "DataFrame":
     |value| ≤ 1e9 with up to ~1e7 events per user — far beyond the
     |mean|/sd ≈ 1e8 point where the unshifted doubles had already
     failed."""
-    ev = events.where(F.col("value").isNotNull()).select(
+    ev = events.where(F.abs(F.col("value")) <= F.lit(DBL_MAX)).select(
         "event_id",
         "user_id",
         "value",
@@ -260,7 +261,7 @@ def value_outliers(events) -> "DataFrame":
     WITH ev AS (
       SELECT event_id, user_id, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE abs(value) <= 1.7976931348623157e+308
     ),
     raw AS (
       SELECT user_id,
@@ -314,7 +315,7 @@ def winsorize(events, lo: float = _WINSOR_LO, hi: float = _WINSOR_HI):
     swap in ``approx_percentile`` at 100 TB if the groups are huge,
     same plan otherwise), which joins back by BROADCAST; the clip is a
     per-row projection.  Nothing but the bounds table ever shuffles."""
-    ev = events.where(F.col("value").isNotNull()).select(
+    ev = events.where(F.abs(F.col("value")) <= F.lit(DBL_MAX)).select(
         "event_id",
         "event_type",
         "value",
@@ -344,7 +345,7 @@ def winsorize(events, lo: float = _WINSOR_LO, hi: float = _WINSOR_HI):
     WITH ev AS (
       SELECT event_id, event_type, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE abs(value) <= 1.7976931348623157e+308
     ),
     b AS (
       SELECT event_type,
@@ -382,7 +383,7 @@ _MAD_Z = (
     WITH ev AS (
       SELECT event_id, event_type, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE abs(value) <= 1.7976931348623157e+308
     ),
     med AS (
       SELECT event_type,
@@ -428,7 +429,7 @@ def q_outlier_mad(spark, sf_dir):
     counterpart."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.abs(F.col("value")) <= F.lit(DBL_MAX))
         .select(
             "event_id",
             "event_type",

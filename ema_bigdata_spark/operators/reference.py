@@ -80,18 +80,20 @@ _VAR_SQL = (
     WITH s AS (
       SELECT CAST(sum({sql_cents('value')} * {sql_cents('value')}) AS BIGINT) AS sxx,
              CAST(sum({sql_cents('value')}) AS BIGINT) AS sx,
-             count(*) AS n
+             count({sql_cents('value')}) AS n
       FROM events
     )
     SELECT round({_VAR_SQL}, 6) AS var_pop_value FROM s
     """,
 )
 def q_variance_pop(spark, sf_dir):
+    # n counts the GATED snap (r8, parity.py finite gate): a
+    # non-finite row the sums ignored must not inflate the denominator
     c = cents("value")
     s = _events(spark, sf_dir).agg(
         F.sum(c * c).alias("sxx"),
         F.sum(c).alias("sx"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(c).alias("n"),
     )
     return s.select(F.round(F.expr(_VAR_SQL), 6).alias("var_pop_value"))
 

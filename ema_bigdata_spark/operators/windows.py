@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.parity import cents
+from ema_bigdata_spark.functions.parity import cents, sql_cents
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -63,9 +63,9 @@ def q_window_rank(spark, sf_dir):
 
 @query(
     "q_window_running",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT))
+           CAST(sum({sql_cents('value')})
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / CAST(100 AS DOUBLE) AS running_value
@@ -218,9 +218,9 @@ def q_window_frames(spark, sf_dir):
 
 @query(
     "q_window_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT))
+           CAST(sum({sql_cents('value')})
                   OVER (PARTITION BY user_id ORDER BY ts
                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
                               AND CURRENT ROW)

@@ -665,7 +665,7 @@ def anomaly_stream(stream):
     WITH ev AS (
       SELECT user_id, event_id, ts, value,
              CAST(round(value * 100) AS BIGINT) AS vu
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE abs(value) <= 1.7976931348623157e+308
     ),
     run AS (
       SELECT user_id, event_id, value, vu,
@@ -697,7 +697,12 @@ def s_stream_anomaly(spark, sf_dir):
     evicting keys idle past the watermark.  Driver-mandated surface
     (SURVEY §2.4); no Main.scala counterpart."""
     src = stream_source(spark, sf_dir)
-    stream = src.where(F.col("value").isNotNull()).select(
+    # finite gate, not just IS NOT NULL (r8, parity.py posture): a
+    # NaN/Inf value would hard-error the fixed-point snap and kill
+    # the STREAM, state and all — worse than the batch equivalent
+    stream = src.where(
+        F.abs(F.col("value")) <= F.lit(1.7976931348623157e308)
+    ).select(
         "user_id",
         event_epoch_us(src).alias("ts_us"),
         "event_id",

@@ -1,0 +1,183 @@
+"""Seventh adversarial suite (r8): NaN/±Infinity measures.
+
+Parquet DOUBLE carries non-finite values, and at 100 TB a corrupt
+upstream computation WILL produce some.  Before r8 they hard-errored
+the fixed-point snap (ANSI ``CAST(NaN AS BIGINT)`` → CAST_OVERFLOW on
+Spark, conversion error on DuckDB): a measured sweep found 12 of 142
+batch queries crashing outright on a fixture with three non-finite
+rows — one bad double killed the whole job mid-stage.
+
+Declared semantics (parity.py module docstring): **non-finite measures
+are ignored by the statistic** — the shared finite gate turns them
+into NULL (skipped by SUM/AVG/COUNT) inside ``cents``/``sql_cents``,
+and the row-filter family (profiling, the gmm histograms, the
+streaming anomaly core) extends its ``IS NOT NULL`` filter to the same
+gate.  Denominators count the GATED value (q_ab_ttest / q_variance_pop
+/ avg_fixed), so a NaN row neither crashes the snap nor inflates the
+sample size its sums ignored.  Identity on finite input — no result
+changes on well-formed data (full driver sim re-verified).
+
+This suite pins (a) Spark↔DuckDB parity on a hostile fixture for every
+formerly-crashing query plus pass-through controls, (b) the ignored
+semantics as EXACT values, and (c) the streaming anomaly core
+surviving a NaN through the state store.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from ema_bigdata_spark import registry
+
+registry.load_all()
+
+_D = datetime.datetime
+_T0 = _D(2024, 3, 1, 12, 0, 0)
+_MIN = datetime.timedelta(minutes=1)
+
+NAN = float("nan")
+INF = float("inf")
+
+# user 1: clean 10/20 pair + the full non-finite battery on 'view';
+# user 2: NaN/Inf inside 'click'/'purchase' (exercises the gapfill /
+# ttest arm filters); user 3: NULL value alongside a NaN (the count
+# gate must treat both identically).  Finite values are 2-decimal
+# fixed point like the driver testdata.
+_EVENTS = [
+    (1, _T0, 1, "view", 10.0, "{}"),
+    (2, _T0 + 1 * _MIN, 1, "view", 20.0, "{}"),
+    (3, _T0 + 2 * _MIN, 1, "view", NAN, "{}"),
+    (4, _T0 + 3 * _MIN, 1, "view", INF, "{}"),
+    (5, _T0 + 4 * _MIN, 1, "view", -INF, "{}"),
+    (10, _T0, 2, "click", 5.0, "{}"),
+    (11, _T0 + 1 * _MIN, 2, "click", NAN, "{}"),
+    (12, _T0 + 2 * _MIN, 2, "click", 7.0, "{}"),
+    (13, _T0 + 3 * _MIN, 2, "purchase", INF, "{}"),
+    (14, _T0 + 4 * _MIN, 2, "purchase", 40.0, "{}"),
+    (15, _T0 + 5 * _MIN, 2, "purchase", 44.0, "{}"),
+    (20, _T0, 3, "view", None, "{}"),
+    (21, _T0 + 1 * _MIN, 3, "view", NAN, "{}"),
+    (22, _T0 + 2 * _MIN, 3, "view", 31.0, "{}"),
+    (23, _T0 + 3 * _MIN, 3, "click", 32.5, "{}"),
+    (24, _T0 + 4 * _MIN, 3, "scroll", 33.25, "{}"),
+]
+_CUSTOMER = [
+    (1, "alice", 0, 10.0, "BUILDING"),
+    (2, "bob", 1, 20.0, "AUTOMOBILE"),
+    (3, "carol", 0, 30.0, "BUILDING"),
+]
+_SCHEMAS = {
+    "events": (
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ),
+    "customer": (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT,"
+        " c_acctbal DOUBLE, c_mktsegment STRING"
+    ),
+}
+
+#: the 12 queries the r8 sweep measured CRASHING on non-finite input,
+#: plus pass-through controls that must keep their (already-OK)
+#: cross-engine behavior
+_FORMER_CRASHERS = (
+    "gmm_fit", "q_gmm_bic", "q_mean", "q_variance_pop", "q_kmeans",
+    "q_ab_ttest", "q_join_salted", "q_window_running",
+    "q_window_range_frame", "q_value_outliers", "q_outlier_mad",
+    "q_winsorize",
+)
+_CONTROLS = ("q_skew_metrics", "q_events_hourly", "q_gapfill")
+
+
+@pytest.fixture(scope="module")
+def nf_dir(spark, tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("nonfinite")
+    for table, rows in (("events", _EVENTS), ("customer", _CUSTOMER)):
+        spark.createDataFrame(rows, _SCHEMAS[table]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/_{table}")
+    # the streaming source requires events.parquet to be a single FILE
+    # (pathGlobFilter contract — tools/streaming_evidence.py); batch
+    # load_table reads the same file fine
+    import glob
+    import shutil
+
+    for table in _SCHEMAS:
+        part = glob.glob(f"{root}/_{table}/part-*.parquet")
+        assert len(part) == 1
+        shutil.move(part[0], f"{root}/{table}.parquet")
+        shutil.rmtree(f"{root}/_{table}")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def nf_duck(nf_dir):
+    import duckdb
+
+    duck = duckdb.connect()
+    for table in _SCHEMAS:
+        duck.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM"
+            f" read_parquet('{nf_dir}/{table}.parquet')"
+        )
+    return duck
+
+
+class TestNonFiniteParity:
+    @pytest.mark.parametrize("name", _FORMER_CRASHERS + _CONTROLS)
+    def test_parity(self, spark, nf_duck, nf_dir, name):
+        from tests.oracle import compare_query
+
+        compare_query(spark, nf_duck, nf_dir, name)
+
+    def test_stream_anomaly_parity(self, spark, nf_duck, nf_dir):
+        """The stateful streaming core must survive NaN through the
+        state store AND still equal its batch oracle."""
+        from tests.oracle import compare_query
+
+        compare_query(spark, nf_duck, nf_dir, "s_stream_anomaly")
+
+
+class TestIgnoredSemantics:
+    """The declared behavior as exact values, not just parity."""
+
+    def test_mean_ignores_nonfinite(self, spark, nf_dir):
+        row = registry.QUERIES["q_mean"](spark, nf_dir).first()
+        # finite values: 10,20 | 5,7 | 40,44 | 31,32.5,33.25 → 222.75/9
+        assert row.mean_value == round(222.75 / 9, 6)
+
+    def test_variance_denominator_counts_only_finite(self, spark, nf_dir):
+        row = registry.QUERIES["q_variance_pop"](spark, nf_dir).first()
+        vals = [10.0, 20.0, 5.0, 7.0, 40.0, 44.0, 31.0, 32.5, 33.25]
+        m = sum(vals) / len(vals)
+        expected = sum((v - m) ** 2 for v in vals) / len(vals)
+        assert math.isclose(row.var_pop_value, expected, abs_tol=1e-6)
+
+    def test_running_sum_skips_nonfinite_rows(self, spark, nf_dir):
+        rows = {
+            r.event_id: r.running_value
+            for r in registry.QUERIES["q_window_running"](
+                spark, nf_dir
+            ).collect()
+        }
+        # user 1: the NaN/±Inf rows contribute nothing; the running
+        # sum carries 30.0 through events 3-5 (rows still emitted)
+        assert rows[2] == 30.0 and rows[3] == 30.0 and rows[5] == 30.0
+
+    def test_ttest_arm_size_excludes_nonfinite(self, spark, nf_dir):
+        row = registry.QUERIES["q_ab_ttest"](spark, nf_dir).first()
+        # click arm: finite 5, 7, 32.5 → n1=3, mean 14.833333; view
+        # arm: finite 10, 20, 31 → n2=3, mean 20.333333 (the NaN/Inf
+        # rows and user 3's NULL-value row are excluded from n, s,
+        # and q alike)
+        assert (row.n1, row.n2) == (3, 3)
+        assert row.mean1 == 14.833333 and row.mean2 == 20.333333
+
+    def test_profiling_drops_nonfinite_rows(self, spark, nf_dir):
+        out = registry.QUERIES["q_winsorize"](spark, nf_dir).collect()
+        ids = {r.event_id for r in out}
+        assert 3 not in ids and 4 not in ids and 13 not in ids
+        assert {1, 2, 10, 12, 14, 15, 22, 23, 24} <= ids
