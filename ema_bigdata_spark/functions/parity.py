@@ -27,18 +27,21 @@ Scale note: fixed-point BIGINT aggregation is also *faster* at 100 TB
 for money types.  Overflow headroom: |x|≤1e6 scaled ×100 summed over
 1e10 rows ≈ 1e18 < 2^63; beyond that, sum in DECIMAL(38,0).
 
-Non-finite gate (r8): a NaN/±Inf measure used to HARD-ERROR the snap
-(ANSI ``CAST(NaN AS BIGINT)`` → CAST_OVERFLOW on Spark, conversion
-error on DuckDB) — at 100 TB one corrupt double killed the whole job
-mid-stage.  ``cents``/``sql_cents`` now wrap the input in the shared
-finite gate (``CASE WHEN abs(x) <= DBL_MAX THEN x END`` — NaN and
-±Inf compare greater than DBL_MAX on BOTH engines, so the text is
-engine-identical), making the declared semantics: **non-finite
-measures are ignored by the statistic** (NULL → skipped by
-SUM/AVG/COUNT like any NULL).  Identity for every finite input, so
-no result changes on well-formed data.  Finite values beyond the
-snap headroom above remain the documented fail-fast domain.  Pinned
-by tests/test_nonfinite_values.py.
+Out-of-domain gate (r8): a NaN/±Inf measure used to HARD-ERROR the
+snap (ANSI ``CAST(NaN AS BIGINT)`` → CAST_OVERFLOW on Spark,
+conversion error on DuckDB) — at 100 TB one corrupt double killed the
+whole job mid-stage.  ``cents``/``sql_cents`` snap through
+``TRY_CAST`` (identical semantics on both engines, measured: NULL for
+NaN, ±Inf, and any magnitude whose scaled snap exceeds BIGINT), making
+the declared semantics: **measures whose snap falls outside BIGINT —
+non-finite or beyond the scale's ~9.2e18/scale headroom — are ignored
+by the statistic** (NULL → skipped by SUM/AVG/COUNT like any NULL).
+TRY_CAST beats a CASE-WHEN finite gate: no per-row branch (measured
+equal-or-faster than the ungated cast), and the beyond-headroom
+failure mode becomes deterministic-ignore instead of job death.
+Identity for every in-domain input, so no result changes on
+well-formed data.  Denominators must count the SNAP, not the raw
+column (see ``avg_fixed``).  Pinned by tests/test_nonfinite_values.py.
 """
 
 from __future__ import annotations
@@ -56,24 +59,22 @@ def dlit(v: float) -> str:
     return f"CAST({v!r} AS DOUBLE)"
 
 
-#: largest finite double — the shared finite-gate bound (module
-#: docstring; NaN/±Inf > this on both engines, NULL propagates)
+#: largest finite double — the shared bound for the ROW-FILTER form of
+#: the gate (profiling / gmm histograms / streaming anomaly drop the
+#: whole row; NaN/±Inf compare greater than this on both engines, and
+#: NULL fails the predicate, so ``abs(x) <= DBL_MAX`` subsumes
+#: ``IS NOT NULL``)
 DBL_MAX = 1.7976931348623157e308
 
 
 # ---- Spark side ----------------------------------------------------------
 
 
-def finite(col: str | Column) -> Column:
-    """``col`` when finite, else NULL (module-docstring gate)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.abs(c) <= F.lit(DBL_MAX), c)
-
-
 def cents(col: str | Column, scale: int = 100) -> Column:
     """Exact scaled-integer representation of a fixed-point double col
-    (non-finite → NULL, module docstring)."""
-    return F.round(finite(col) * scale, 0).cast("long")
+    (out-of-domain → NULL, module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).try_cast("long")
 
 
 def sum_fixed(col: str | Column, scale: int = 100) -> Column:
@@ -85,26 +86,23 @@ def avg_fixed(col: str | Column, scale: int = 100) -> Column:
     """Bit-exact AVG of a fixed-point double column (result: double).
 
     Formula text must match :func:`sql_avg_fixed` exactly:
-    ``(CAST(SUM(int) AS DOUBLE) / COUNT(gated)) / scale``.  The count
-    is of the FINITE-gated value (module docstring) so a NaN row
-    neither crashes the snap nor inflates the denominator.
+    ``(CAST(SUM(int) AS DOUBLE) / COUNT(snap)) / scale``.  The count
+    is of the SNAP itself (module docstring) so an out-of-domain row
+    neither crashes the cast nor inflates the denominator — n counts
+    exactly what the sum summed.
     """
     c = F.col(col) if isinstance(col, str) else col
+    snap = cents(c, scale)
     return (
-        F.sum(cents(c, scale)).cast("double") / F.count(finite(c))
+        F.sum(snap).cast("double") / F.count(snap)
     ) / F.lit(float(scale))
 
 
 # ---- DuckDB side (SQL text) ---------------------------------------------
 
 
-def sql_finite(col: str) -> str:
-    """Oracle text of :func:`finite` — identical gate semantics."""
-    return f"(CASE WHEN abs({col}) <= {DBL_MAX!r} THEN {col} END)"
-
-
 def sql_cents(col: str, scale: int = 100) -> str:
-    return f"CAST(round({sql_finite(col)} * {scale}) AS BIGINT)"
+    return f"TRY_CAST(round({col} * {scale}) AS BIGINT)"
 
 
 def sql_sum_fixed(col: str, scale: int = 100) -> str:
@@ -114,5 +112,5 @@ def sql_sum_fixed(col: str, scale: int = 100) -> str:
 def sql_avg_fixed(col: str, scale: int = 100) -> str:
     return (
         f"((CAST(sum({sql_cents(col, scale)}) AS DOUBLE)"
-        f" / count({sql_finite(col)})) / {float(scale)!r})"
+        f" / count({sql_cents(col, scale)})) / {float(scale)!r})"
     )

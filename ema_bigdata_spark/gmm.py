@@ -246,13 +246,16 @@ def _distributed_em(
 def value_histogram(df: DataFrame, x: str = "value") -> DataFrame:
     """The ONE full scan a fit performs: exact ``(value, count)``
     histogram via map-side-combined groupBy — shuffle volume is
-    distinct-values-per-partition, not rows.  Non-finite values are
-    excluded like NULLs (r8, parity.py finite-gate posture): a NaN/Inf
-    bin would overflow the EM's fixed-point sufficient-statistic snaps
-    mid-iteration — one corrupt double must not kill a 100 TB fit."""
+    distinct-values-per-partition, not rows.  Values outside the
+    fit's snap-exact domain (|x| ≤ 1e6 — the module docstring's
+    fixed-point headroom; non-finite included, as NaN/±Inf compare
+    greater than any finite bound) are excluded like NULLs (r8,
+    parity.py posture): a NaN or 1e308 bin would overflow the EM's
+    sufficient-statistic snaps mid-iteration — one corrupt double
+    must not kill a 100 TB fit."""
     return (
         df.select(F.col(x).alias("_x"))
-        .where(F.abs(F.col("_x")) <= F.lit(1.7976931348623157e308))
+        .where(F.abs(F.col("_x")) <= F.lit(1e6))
         .groupBy("_x")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -83,14 +83,16 @@ def _snap(expr: str, scale: str) -> str:
 def hist_sql(events_src: str) -> str:
     """The ONE data-proportional pass: exact (value, count) histogram
     (map-side combined on Spark; shuffle = distinct values).
-    Non-finite values are excluded like NULLs (r8 — same filter text
-    on both engines; NaN/±Inf compare greater than DBL_MAX on both,
-    and NULL fails the predicate, so the gate subsumes IS NOT NULL):
-    a NaN bin would overflow the fixed-point snaps mid-iteration."""
+    Values outside the fit's snap-exact domain (|x| ≤ 1e6, matching
+    gmm.value_histogram; same filter text on both engines — NaN/±Inf
+    compare greater than any finite bound on both, and NULL fails the
+    predicate, so the gate subsumes IS NOT NULL) are excluded like
+    NULLs (r8): a NaN or 1e308 bin would overflow the fixed-point
+    snaps mid-iteration."""
     return (
         "SELECT value AS x, CAST(count(*) AS BIGINT) AS cnt"
         f" FROM {events_src}"
-        " WHERE abs(value) <= 1.7976931348623157e+308 GROUP BY value"
+        " WHERE abs(value) <= 1e6 GROUP BY value"
     )
 
 

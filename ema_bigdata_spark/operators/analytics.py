@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.parity import cents, finite, sql_cents
+from ema_bigdata_spark.functions.parity import cents, sql_cents
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 

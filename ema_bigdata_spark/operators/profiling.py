@@ -16,9 +16,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ema_bigdata_spark.functions.parity import DBL_MAX
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
+
+#: the profiling family's declared value domain (r8, parity.py
+#: posture): the ×1e6 ``vu`` snap is BIGINT-exact for |value| ≤
+#: 9.2e12 (9.2e18/1e6); rows outside — non-finite included, since
+#: NaN/±Inf compare greater than any finite bound on both engines,
+#: and NULL fails the predicate — are excluded like NULLs.  A plain
+#: row filter keeps every downstream count/sum/percentile consistent
+#: (an in-pipeline NULL snap would make count(*) disagree with the
+#: sums that skip it).
+#: _VALUE_DOMAIN = 9.2e12 — the literal appears in the shared
+#: filter text `abs(value) <= 9.2e12` on BOTH engines.
 
 #: (profile column, Spark source expression) — o_orderdate profiles as
 #: exact epoch microseconds so min/max stay engine-exact BIGINT-in-DOUBLE.
@@ -209,7 +219,7 @@ def value_outliers(events) -> "DataFrame":
     |value| ≤ 1e9 with up to ~1e7 events per user — far beyond the
     |mean|/sd ≈ 1e8 point where the unshifted doubles had already
     failed."""
-    ev = events.where(F.abs(F.col("value")) <= F.lit(DBL_MAX)).select(
+    ev = events.where(F.abs(F.col("value")) <= F.lit(9.2e12)).select(
         "event_id",
         "user_id",
         "value",
@@ -261,7 +271,7 @@ def value_outliers(events) -> "DataFrame":
     WITH ev AS (
       SELECT event_id, user_id, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 1.7976931348623157e+308
+      FROM events WHERE abs(value) <= 9.2e12
     ),
     raw AS (
       SELECT user_id,
@@ -315,7 +325,7 @@ def winsorize(events, lo: float = _WINSOR_LO, hi: float = _WINSOR_HI):
     swap in ``approx_percentile`` at 100 TB if the groups are huge,
     same plan otherwise), which joins back by BROADCAST; the clip is a
     per-row projection.  Nothing but the bounds table ever shuffles."""
-    ev = events.where(F.abs(F.col("value")) <= F.lit(DBL_MAX)).select(
+    ev = events.where(F.abs(F.col("value")) <= F.lit(9.2e12)).select(
         "event_id",
         "event_type",
         "value",
@@ -345,7 +355,7 @@ def winsorize(events, lo: float = _WINSOR_LO, hi: float = _WINSOR_HI):
     WITH ev AS (
       SELECT event_id, event_type, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 1.7976931348623157e+308
+      FROM events WHERE abs(value) <= 9.2e12
     ),
     b AS (
       SELECT event_type,
@@ -383,7 +393,7 @@ _MAD_Z = (
     WITH ev AS (
       SELECT event_id, event_type, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 1.7976931348623157e+308
+      FROM events WHERE abs(value) <= 9.2e12
     ),
     med AS (
       SELECT event_type,
@@ -429,7 +439,7 @@ def q_outlier_mad(spark, sf_dir):
     counterpart."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.abs(F.col("value")) <= F.lit(DBL_MAX))
+        .where(F.abs(F.col("value")) <= F.lit(9.2e12))
         .select(
             "event_id",
             "event_type",

@@ -665,7 +665,7 @@ def anomaly_stream(stream):
     WITH ev AS (
       SELECT user_id, event_id, ts, value,
              CAST(round(value * 100) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 1.7976931348623157e+308
+      FROM events WHERE abs(value) <= 9.2e16
     ),
     run AS (
       SELECT user_id, event_id, value, vu,
@@ -697,11 +697,12 @@ def s_stream_anomaly(spark, sf_dir):
     evicting keys idle past the watermark.  Driver-mandated surface
     (SURVEY §2.4); no Main.scala counterpart."""
     src = stream_source(spark, sf_dir)
-    # finite gate, not just IS NOT NULL (r8, parity.py posture): a
-    # NaN/Inf value would hard-error the fixed-point snap and kill
-    # the STREAM, state and all — worse than the batch equivalent
+    # snap-domain gate, not just IS NOT NULL (r8, parity.py posture):
+    # a NaN/Inf — or a finite value whose ×100 snap exceeds BIGINT
+    # (|v| > 9.2e16) — would hard-error the cast and kill the STREAM,
+    # state and all; out-of-domain rows are excluded like NULLs
     stream = src.where(
-        F.abs(F.col("value")) <= F.lit(1.7976931348623157e308)
+        F.abs(F.col("value")) <= F.lit(9.2e16)
     ).select(
         "user_id",
         event_epoch_us(src).alias("ts_us"),

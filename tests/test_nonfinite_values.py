@@ -7,15 +7,21 @@ Spark, conversion error on DuckDB): a measured sweep found 12 of 142
 batch queries crashing outright on a fixture with three non-finite
 rows — one bad double killed the whole job mid-stage.
 
-Declared semantics (parity.py module docstring): **non-finite measures
-are ignored by the statistic** — the shared finite gate turns them
-into NULL (skipped by SUM/AVG/COUNT) inside ``cents``/``sql_cents``,
-and the row-filter family (profiling, the gmm histograms, the
-streaming anomaly core) extends its ``IS NOT NULL`` filter to the same
-gate.  Denominators count the GATED value (q_ab_ttest / q_variance_pop
-/ avg_fixed), so a NaN row neither crashes the snap nor inflates the
-sample size its sums ignored.  Identity on finite input — no result
-changes on well-formed data (full driver sim re-verified).
+Declared semantics (parity.py module docstring): **measures whose
+fixed-point snap falls outside BIGINT — non-finite, or beyond the
+scale's headroom — are ignored by the statistic**: ``cents`` /
+``sql_cents`` snap through TRY_CAST (engine-identical NULL on NaN,
+±Inf, and overflow; no per-row branch), and the row-filter family
+(profiling, the gmm histograms, the streaming anomaly core) extends
+its ``IS NOT NULL`` filter to each pipeline's snap-safe domain
+(``abs(value) <= 9.2e12`` for profiling's ×1e6 snap, ``9.2e16`` for
+the anomaly core's ×100, ``1e6`` for the EM's documented headroom) —
+a row filter, because an in-pipeline NULL snap would make count(*)
+disagree with the sums that skip it.
+Denominators count the SNAP (q_ab_ttest / q_variance_pop /
+avg_fixed), so an ignored row neither crashes the cast nor inflates
+the sample size the sums skipped.  Identity on in-domain input — no
+result changes on well-formed data (full driver sim re-verified).
 
 This suite pins (a) Spark↔DuckDB parity on a hostile fixture for every
 formerly-crashing query plus pass-through controls, (b) the ignored
@@ -63,6 +69,10 @@ _EVENTS = [
     (22, _T0 + 2 * _MIN, 3, "view", 31.0, "{}"),
     (23, _T0 + 3 * _MIN, 3, "click", 32.5, "{}"),
     (24, _T0 + 4 * _MIN, 3, "scroll", 33.25, "{}"),
+    # finite but beyond the snap headroom (1e17 × 100 > 2^63): the
+    # TRY_CAST form ignores it deterministically on both engines
+    # instead of an ANSI overflow throw
+    (25, _T0 + 5 * _MIN, 3, "scroll", 1e17, "{}"),
 ]
 _CUSTOMER = [
     (1, "alice", 0, 10.0, "BUILDING"),
@@ -146,7 +156,9 @@ class TestIgnoredSemantics:
 
     def test_mean_ignores_nonfinite(self, spark, nf_dir):
         row = registry.QUERIES["q_mean"](spark, nf_dir).first()
-        # finite values: 10,20 | 5,7 | 40,44 | 31,32.5,33.25 → 222.75/9
+        # in-domain values: 10,20 | 5,7 | 40,44 | 31,32.5,33.25 →
+        # 222.75/9 — the NaN/±Inf rows AND the 1e17 beyond-headroom
+        # row are all ignored
         assert row.mean_value == round(222.75 / 9, 6)
 
     def test_variance_denominator_counts_only_finite(self, spark, nf_dir):
@@ -176,8 +188,9 @@ class TestIgnoredSemantics:
         assert (row.n1, row.n2) == (3, 3)
         assert row.mean1 == 14.833333 and row.mean2 == 20.333333
 
-    def test_profiling_drops_nonfinite_rows(self, spark, nf_dir):
+    def test_profiling_drops_out_of_domain_rows(self, spark, nf_dir):
         out = registry.QUERIES["q_winsorize"](spark, nf_dir).collect()
         ids = {r.event_id for r in out}
-        assert 3 not in ids and 4 not in ids and 13 not in ids
+        # NaN/±Inf rows AND the 1e17 beyond-snap-domain row excluded
+        assert ids.isdisjoint({3, 4, 13, 25})
         assert {1, 2, 10, 12, 14, 15, 22, 23, 24} <= ids
