@@ -35,13 +35,34 @@ _SQL_DOT_SELF = (
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
 )
 
+#: the family's declared vector domain (r6 zero-norm/NULL gate,
+#: widened r8 with the upper bound): Σx² ∈ (0, 100].  Zero-norm and
+#: NULL vectors have no cosine (r6); NaN/±Inf elements make Σx²
+#: NaN/Inf, and both compare greater than 100 on BOTH engines, so the
+#: bound excludes them — before r8 a NaN element crashed the
+#: fixed-point centroid/covariance snaps (ANSI CAST) and silently
+#: diverged q_ann_ivf's codebook assignment.  100 also caps max|x| at
+#: 10, exactly the documented snap-headroom envelope
+#: (q_embed_covariance docstring: p_u ~1e11/row for |x|~10); real
+#: corpora are unit-normalized (driver testdata: Σx² ≈ 1.0 ± 3e-7),
+#: so the bound is a 100× margin, not a constraint.  Pinned by
+#: tests/test_nonfinite_values.py::TestEmbeddingDomain.
+_NORM2_MAX = 100
+
+
+def _sql_norm_gate(col: str = "embedding") -> str:
+    """Oracle text of the domain gate for a given embedding column."""
+    d = _SQL_DOT_SELF.replace("embedding", col)
+    return f"({d} > 0 AND {d} <= {_NORM2_MAX})"
+
 
 def _norm_gated(df):
     """ONE source of truth for the family's vector domain on the Spark
-    side (r6): keep rows with Σx² > 0 — zero-norm vectors have no
-    cosine, and a NULL embedding fails the comparison too.  The oracle
-    texts spell the same gate as `WHERE {_SQL_DOT_SELF…} > 0`."""
-    return df.where(F.expr(f"{_DOT_SELF} > 0"))
+    side — see `_NORM2_MAX`.  The oracle texts spell the same gate via
+    :func:`_sql_norm_gate`."""
+    return df.where(
+        F.expr(f"{_DOT_SELF} > 0 AND {_DOT_SELF} <= {_NORM2_MAX}")
+    )
 
 
 # -- q_embed_norm: L2 norm via higher-order fold (SQL-oracled) ------------
@@ -98,6 +119,12 @@ def _probe_vector(spark, sf_dir) -> list[float]:
         raise ValueError(
             f"probe vec_id={_PROBE_ID} is the zero vector (no cosine)"
         )
+    n2 = sum(v * v for v in out)
+    if not (0 < n2 <= _NORM2_MAX):  # NaN fails every comparison
+        raise ValueError(
+            f"probe vec_id={_PROBE_ID} is outside the vector domain"
+            f" (norm2={n2!r}, domain (0, {_NORM2_MAX}]) — see _NORM2_MAX"
+        )
     _PROBE_CACHE[sf_dir] = out
     return out
 
@@ -131,7 +158,7 @@ def _cosine_to_probe(probe: list[float]) -> F.Column:
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
              6) AS cosine
       FROM embeddings e, p
-      WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0
+      WHERE {_sql_norm_gate('e.embedding')}
     )
     SELECT vec_id, label, cosine FROM scored
     ORDER BY cosine DESC, vec_id
@@ -232,7 +259,7 @@ def _ann_lsh_oracle() -> str:
     sigs AS (SELECT e.vec_id, e.label, e.embedding,
                     {_duck_signature('e.embedding')} AS sig
              FROM embeddings e
-             WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0),
+             WHERE {_sql_norm_gate('e.embedding')}),
     cand AS (SELECT s.vec_id, s.label, s.embedding FROM sigs s, ps
              WHERE bit_count(xor(s.sig, ps.psig)) <= 1)
     SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
@@ -350,10 +377,11 @@ def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
         return _IVF_CACHE[sf_dir]
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        # NULL embeddings crash the numpy training batch (r6)
-        F.col("embedding").isNotNull()
-    )
+    # domain gate, not just IS NOT NULL (r8, _NORM2_MAX): a NaN/Inf
+    # element in the training sample silently poisons a numpy centroid
+    # mean, diverging every downstream assignment (measured: q_ann_ivf
+    # value mismatch on a NaN-vector fixture)
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
         .limit(_IVF_TRAIN_SAMPLE)
@@ -424,7 +452,7 @@ _IVF_RECALL_FLOOR = 3
       SELECT e.vec_id,
              round({_duck_cosine('e.embedding', 'p.pe')}, 6) AS cosine
       FROM embeddings e, p
-      WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0
+      WHERE {_sql_norm_gate('e.embedding')}
     ),
     topk AS (SELECT vec_id FROM scored
              ORDER BY cosine DESC, vec_id LIMIT {_TOPK})
@@ -520,7 +548,7 @@ def embed_dup_pairs(emb, threshold: float = _DUP_COS):
              sqrt({_SQL_DOT_SELF}) AS nrm,
              {_duck_signature('embedding')} AS sig
       FROM embeddings
-      WHERE {_SQL_DOT_SELF} > 0
+      WHERE {_sql_norm_gate()}
     ),
     scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -676,9 +704,12 @@ def _centroid_sums(emb):
         ).alias(f"_s{i}")
         for i in range(_DIM)
     ]
-    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums
-    )
+    # domain gate (r8, _NORM2_MAX): a NaN/Inf element would hard-error
+    # the ANSI fixed-point snap above; out-of-domain vectors carry no
+    # centroid information and are excluded like NULLs on BOTH engines
+    return _norm_gated(emb).groupBy(
+        F.col("label").cast("long").alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"), *sums)
 
 
 def _duck_centroid_sql() -> str:
@@ -695,7 +726,7 @@ def _duck_centroid_sql() -> str:
     SELECT CAST(label AS BIGINT) AS label,
            CAST(count(*) AS BIGINT) AS n_vecs,
            concat_ws('|', {comps}) AS centroid
-    FROM embeddings GROUP BY label
+    FROM embeddings WHERE {_sql_norm_gate()} GROUP BY label
     """
 
 
@@ -762,9 +793,8 @@ _BATCH_K = 5
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
              6) DESC, e.vec_id) AS rn
       FROM embeddings e CROSS JOIN p
-      WHERE {_SQL_DOT_SELF.replace('embedding', 'e.embedding')} > 0
-        AND list_aggregate(list_transform(p.pe,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
+      WHERE {_sql_norm_gate('e.embedding')}
+        AND {_sql_norm_gate('p.pe')}
     )
     SELECT probe_id, vec_id, cosine FROM scored WHERE rn <= {_BATCH_K}
     """,
@@ -944,7 +974,7 @@ def _duck_semdedup_sql() -> str:
     return f"""
     WITH cent AS (
       SELECT CAST(label AS BIGINT) AS label, [{comps}] AS cent
-      FROM embeddings GROUP BY label
+      FROM embeddings WHERE {_sql_norm_gate()} GROUP BY label
     ),
     base AS (
       SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -952,7 +982,7 @@ def _duck_semdedup_sql() -> str:
              sqrt({_SQL_DOT_SELF}) AS nrm,
              {_duck_signature('embedding')} AS sig
       FROM embeddings
-      WHERE {_SQL_DOT_SELF} > 0
+      WHERE {_sql_norm_gate()}
     ),
     wc AS (
       SELECT b.*,
@@ -1022,10 +1052,11 @@ def _pq_codebooks(spark, sf_dir) -> list[list[list[float]]]:
         return _PQ_CACHE[sf_dir]
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        # NULL embeddings crash the numpy training batch (r6)
-        F.col("embedding").isNotNull()
-    )
+    # domain gate, not just IS NOT NULL (r8, _NORM2_MAX): a NaN/Inf
+    # element in the training sample silently poisons a numpy centroid
+    # mean, diverging every downstream assignment (measured: q_ann_ivf
+    # value mismatch on a NaN-vector fixture)
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
         .limit(_IVF_TRAIN_SAMPLE)
@@ -1270,6 +1301,7 @@ _COV_EXPR = (
              CAST(embedding[i + 1] AS DOUBLE) AS xd
       FROM embeddings,
            UNNEST(range(0, len(embedding))) AS t(i)
+      WHERE {_sql_norm_gate()}
     ),
     sxy AS (
       SELECT a.i AS i, b.i AS j,
@@ -1317,7 +1349,12 @@ def q_embed_covariance(spark, sf_dir):
     self-join — same integers, different (test-scale-only) plan.
     Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # domain gate (r8, _NORM2_MAX): a NaN/Inf element would hard-error
+    # the ANSI per-row product snaps; out-of-domain vectors are
+    # excluded like NULLs on BOTH engines (the oracle `x` CTE carries
+    # the same predicate).  The ragged-width refusal below still runs
+    # on the gated frame — wrong-width FINITE rows stay loud.
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
     # dimension discovery MUST be corpus-wide, not head(1): a single
     # off-width vector would otherwise emit flatten ordinals laid out
     # for the wrong triangle and sum into wrong cells with no error.

@@ -67,24 +67,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     untouched (the gate is identity on finite input — re-proven by
 #:     the 151/151 bit-faithful driver sim on gated code), so window
 #:     priority goes to behavior changes, not text changes.
-#: (3) 19 of the 37 remaining r5-era rows — the full TPC-H r5 block,
-#:     the heavier text/analytics pipelines, and the two streaming
-#:     rows.  EIGHTEEN r5-row names now defer to r9 with rationale:
-#:     the eleven trivial one-liners below, plus seven more evicted
+#: (2c) the TEN embedding-family queries whose vector domain widened
+#:     late in r8 (Σx² ∈ (0, 100], ``similarity._NORM2_MAX`` — the
+#:     non-finite posture of (2b) applied to embeddings): q_embed_norm,
+#:     q_similarity_topk, q_similarity_batch, q_embed_dup, q_ann_lsh,
+#:     q_ann_ivf, q_ann_pq, q_embed_centroid, q_embed_covariance,
+#:     q_semdedup.  Both sides' gate texts changed, so these outrank
+#:     stale-but-unchanged rows.
+#: (3) 9 of the 37 remaining r5-era rows — the heavier text/analytics
+#:     pipelines and the two streaming rows (s_stream_anomaly also
+#:     carries the (2b) snap-domain filter; q_outlier_mad was a gated
+#:     crasher).  TWENTY-EIGHT r5-row names now defer to r9 with
+#:     rationale: the eleven trivial one-liners below, seven evicted
 #:     for the (2b) behavior changes (q_bpe_pairs, q_quality_score,
 #:     q_rag_chunk, q_stratified_sample, q_cdc_merge,
-#:     q_event_transitions, q_skyline — all UNCHANGED since r5 with
-#:     standing adversarial coverage; changed-code outranks
-#:     stale-row in the rotation rule).  The eleven: trivial
-#:     single-scan scalar/window one-liners unchanged since r5 with
-#:     standing adversarial coverage (q_case_null, q_date_funcs in
-#:     the relational suite; q_window_lag / q_window_rank in the
-#:     events suite's tie-break battery; q_text_tokens,
-#:     q_token_count, q_token_histogram, q_doc_fingerprint,
-#:     q_normalize_text, q_source_mix in the document suites) —
-#:     q_window_running left this list when the r8 gate changed it.
-#:     All are green in this round's full local driver-sims; r9 owes
-#:     them the head of its window.
+#:     q_event_transitions, q_skyline), and the full r5 TPC-H block
+#:     (q_sql_tpch_q2/q7/q8/q9/q13/q15/q16/q19/q21/q22) evicted for
+#:     the (2c) domain changes — all UNCHANGED since r5 with standing
+#:     adversarial coverage; changed-code outranks stale-row in the
+#:     rotation rule.  The eleven: trivial single-scan scalar/window
+#:     one-liners unchanged since r5 with standing adversarial
+#:     coverage (q_case_null, q_date_funcs in the relational suite;
+#:     q_window_lag / q_window_rank in the events suite's tie-break
+#:     battery; q_text_tokens, q_token_count, q_token_histogram,
+#:     q_doc_fingerprint, q_normalize_text, q_source_mix in the
+#:     document suites) — q_window_running left this list when the r8
+#:     gate changed it.  All 28 are green in this round's full local
+#:     driver-sims at sf0.01 AND sf0.1; r9 owes them the head of its
+#:     window.
 _CHECK_WINDOW: tuple[str, ...] = (
     # — (1) the 16 r4-era rows: reference `_fixed` family + scan (10) —
     "q_scan_count", "q_mean", "q_variance_pop", "q_init_means",
@@ -100,10 +110,10 @@ _CHECK_WINDOW: tuple[str, ...] = (
     # — (2b) non-finite gate behavior changes (late r8) —
     "q_ab_ttest", "q_join_salted", "q_kmeans", "q_value_outliers",
     "q_window_range_frame", "q_window_running", "q_winsorize",
-    # — (3) r5 TPC-H family (10) —
-    "q_sql_tpch_q2", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9",
-    "q_sql_tpch_q13", "q_sql_tpch_q15", "q_sql_tpch_q16",
-    "q_sql_tpch_q19", "q_sql_tpch_q21", "q_sql_tpch_q22",
+    # — (2c) embedding vector-domain changes (late r8, _NORM2_MAX) —
+    "q_embed_norm", "q_similarity_topk", "q_similarity_batch",
+    "q_embed_dup", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+    "q_embed_centroid", "q_embed_covariance", "q_semdedup",
     # — (3) r5 text/document pipelines (4) —
     "q_tfidf", "q_bigram_lm", "q_filter_report", "q_repetition_score",
     # — (3) r5 analytics/window/layout (3) —

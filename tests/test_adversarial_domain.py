@@ -277,20 +277,23 @@ class TestAdversarialEmbeddings:
                 failures.append(name)
         assert not failures, failures
 
-    def test_out_of_envelope_magnitudes_fail_loudly(
+    def test_out_of_envelope_magnitudes_are_excluded(
         self, spark, tmp_path_factory
     ):
-        """Components at 1e30 exceed the documented fixed-point
-        envelope (|x| ≤ ~1e3, functions/parity.py headroom rule) —
-        the ANSI CAST_OVERFLOW error is the CORRECT posture: loud
-        refusal instead of silent integer wrap-around."""
+        """r8 semantics change (similarity._NORM2_MAX): components at
+        1e30 put the vector outside the declared domain Σx² ∈ (0, 100]
+        and it is EXCLUDED like a NULL — before r8 this was a loud
+        ANSI CAST_OVERFLOW, which at 100 TB means one corrupt vector
+        kills the whole job mid-stage (ROUND8_NOTES §15's posture,
+        applied to the embedding family).  In-domain rows in the same
+        table still aggregate normally."""
         d = str(tmp_path_factory.mktemp("advhuge"))
         rows = [(i, [1e30] * 64, i % 4) for i in range(8)]
+        rows += [(100 + i, [0.1] * 64, 0) for i in range(3)]
         spark.createDataFrame(
             rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{d}/embeddings.parquet"
         )
-        with pytest.raises(Exception) as ei:
-            registry.QUERIES["q_embed_centroid"](spark, d).collect()
-        assert "CAST_OVERFLOW" in str(ei.value)
+        out = registry.QUERIES["q_embed_centroid"](spark, d).collect()
+        assert [(r.label, r.n_vecs) for r in out] == [(0, 3)]

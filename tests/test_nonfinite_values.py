@@ -151,6 +151,95 @@ class TestNonFiniteParity:
         compare_query(spark, nf_duck, nf_dir, "s_stream_anomaly")
 
 
+#: the embedding family's hostile battery: NaN / +Inf / 3e38 elements
+#: (3e38 is finite in DOUBLE — only the r8 norm² ≤ _NORM2_MAX bound
+#: catches it; its centroid snap would otherwise ANSI-overflow).
+#: Before the bound, a measured sweep found q_embed_centroid /
+#: q_embed_covariance / q_semdedup CRASHING and q_ann_ivf silently
+#: DIVERGING (a NaN vector in the codebook training sample poisons a
+#: numpy centroid mean).
+_EMB_QUERIES = (
+    "q_embed_centroid", "q_embed_covariance", "q_semdedup", "q_ann_ivf",
+    "q_embed_norm", "q_similarity_topk", "q_embed_dup",
+    "q_embed_quantize",
+)
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, nf_dir, tmp_path_factory) -> str:
+    """nf_dir plus a poisoned embeddings table: 40 unit-ish vectors and
+    three hostile ones (NaN / +Inf / 3e38 element)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("nonfinite_emb")
+    for t in ("events", "customer"):
+        shutil.copy(f"{nf_dir}/{t}.parquet", f"{root}/{t}.parquet")
+    d = 64
+    good = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {d}), i -> CAST("
+            "  CASE WHEN i = CAST(id % 64 + 1 AS INT) THEN 0.8"
+            "       ELSE 0.075 END AS FLOAT))"
+        ).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    bad = spark.createDataFrame(
+        [(100, "nan", 0), (101, "inf", 1), (102, "huge", 2)],
+        "vec_id BIGINT, kind STRING, label INT",
+    ).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, {d}), i -> CASE WHEN i = 3 THEN"
+            " CASE kind WHEN 'nan' THEN float('NaN')"
+            " WHEN 'inf' THEN float('Infinity')"
+            " ELSE CAST(3e38 AS FLOAT) END"
+            " ELSE CAST(0.1 AS FLOAT) END)"
+        ).alias("embedding"),
+        "label",
+    )
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/_emb"
+    )
+    part = glob.glob(f"{root}/_emb/part-*.parquet")
+    assert len(part) == 1
+    shutil.move(part[0], f"{root}/embeddings.parquet")
+    shutil.rmtree(f"{root}/_emb")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def emb_duck(emb_dir):
+    import duckdb
+
+    duck = duckdb.connect()
+    for table in ("events", "customer", "embeddings"):
+        duck.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM"
+            f" read_parquet('{emb_dir}/{table}.parquet')"
+        )
+    return duck
+
+
+class TestEmbeddingDomain:
+    @pytest.mark.parametrize("name", _EMB_QUERIES)
+    def test_parity(self, spark, emb_duck, emb_dir, name):
+        from tests.oracle import compare_query
+
+        compare_query(spark, emb_duck, emb_dir, name)
+
+    def test_centroid_excludes_out_of_domain_vectors(self, spark, emb_dir):
+        rows = registry.QUERIES["q_embed_centroid"](
+            spark, emb_dir
+        ).collect()
+        # 40 good vectors over 3 labels; the three hostile vectors
+        # (labels 0/1/2) are excluded from both n_vecs and the means
+        assert sum(r.n_vecs for r in rows) == 40
+
+
 class TestIgnoredSemantics:
     """The declared behavior as exact values, not just parity."""
 
