@@ -98,7 +98,29 @@ def avg_fixed(col: str | Column, scale: int = 100) -> Column:
     ) / F.lit(float(scale))
 
 
+def floor_long(expr: str) -> Column:
+    """``floor(expr)`` as a NULL-gated BIGINT (r8 non-finite gate).
+
+    Spark's builtin ``floor(DOUBLE)`` converts to LONG *inside* the
+    function with JVM d2l semantics — NaN silently becomes 0 and ±Inf
+    saturates to ±Long.MAX even under ANSI (measured on 4.1.2): silent
+    corruption, not the declared ignore.  This form floors in DOUBLE
+    domain (``y - ((y % 1 + 1) % 1)`` — exact for every finite double,
+    NaN-propagating for NaN/±Inf since ``Inf % 1`` is NaN) and then
+    ``try_cast``s, matching :func:`sql_floor_long` on NaN, ±Inf, and
+    the ±2^63 overflow boundary (probed: 1e22/-1e22 → NULL on both).
+    """
+    y = f"({expr})"
+    return F.expr(f"try_cast({y} - (({y} % 1 + 1) % 1) AS BIGINT)")
+
+
 # ---- DuckDB side (SQL text) ---------------------------------------------
+
+
+def sql_floor_long(expr: str) -> str:
+    """Oracle text matching :func:`floor_long` (DuckDB's ``floor``
+    stays in DOUBLE domain, so the plain TRY_CAST gate suffices)."""
+    return f"TRY_CAST(floor({expr}) AS BIGINT)"
 
 
 def sql_cents(col: str, scale: int = 100) -> str:

@@ -313,11 +313,16 @@ _SKY_BUCKET_C = 1000
 
 @query(
     "q_skyline",
+    # the p CTE drops rows whose price snap is out-of-domain (r8
+    # non-finite gate, row-filter form: a NaN-priced part has no place
+    # on a min-price frontier; before the gate the snap hard-errored)
     oracle="""
     WITH p AS (
-      SELECT p_partkey, p_retailprice, p_size,
-             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
-      FROM part
+      SELECT * FROM (
+        SELECT p_partkey, p_retailprice, p_size,
+               TRY_CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        FROM part
+      ) WHERE price_c IS NOT NULL
     )
     SELECT a.p_partkey,
            round(a.p_retailprice, 2) AS price,
@@ -359,14 +364,19 @@ def q_skyline(spark, sf_dir):
     100 TB: one shuffle by bucket, one tiny broadcast, no pair
     blow-up anywhere.  Driver-mandated surface (SURVEY §2.4); no
     Main.scala counterpart."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_retailprice",
-        F.col("p_size").cast("long").alias("p_size"),
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias(
-            "price_c"
-        ),
-    ).withColumn("bkt", F.expr(f"price_c DIV {_SKY_BUCKET_C}"))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+            # TRY_CAST snap + row filter (r8 non-finite gate): see the
+            # oracle comment
+            cents("p_retailprice").alias("price_c"),
+        )
+        .where(F.col("price_c").isNotNull())
+        .withColumn("bkt", F.expr(f"price_c DIV {_SKY_BUCKET_C}"))
+    )
 
     # (2) per-bucket min size → prefix-min over STRICTLY cheaper buckets
     bstats = p.groupBy("bkt").agg(F.min("p_size").alias("bmin"))

@@ -91,10 +91,15 @@ def q_join_broadcast(spark, sf_dir):
 
 @query(
     "q_join_left",
+    # the revenue snap goes through TRY_CAST (r8 non-finite gate,
+    # parity.py): an out-of-domain o_totalprice is ignored by the sum
+    # instead of hard-erroring the cast; n_orders still counts the
+    # order row (the join fact), matching COUNT(o_orderkey)
     oracle="""
     SELECT c.c_custkey,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(coalesce(sum(CAST(round(o.o_totalprice * 10000) AS BIGINT)), 0)
+           CAST(coalesce(sum(TRY_CAST(round(o.o_totalprice * 10000)
+                                      AS BIGINT)), 0)
                 AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
@@ -103,14 +108,14 @@ def q_join_broadcast(spark, sf_dir):
 def q_join_left(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 10000, 0).cast("long")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").cast("long").alias("n_orders"),
             (
-                F.coalesce(F.sum(cents), F.lit(0)).cast("double")
+                F.coalesce(F.sum(cents("o_totalprice", 10000)), F.lit(0))
+                .cast("double")
                 / F.lit(10000.0)
             ).alias("revenue"),
         )
@@ -490,8 +495,8 @@ def q_join_asof(spark, sf_dir):
     "q_sql_tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
              AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
@@ -514,8 +519,8 @@ def q_sql_tpch_q3(spark, sf_dir):
     return spark.sql(
         """
         SELECT l_orderkey,
-               (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
                  AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
                o_orderdate, o_orderpriority
         FROM v_customer, v_orders, v_lineitem
@@ -537,8 +542,8 @@ def q_sql_tpch_q3(spark, sf_dir):
     "q_sql_tpch_q5",
     oracle="""
     SELECT n_name,
-           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
              AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -561,8 +566,8 @@ def q_sql_tpch_q5(spark, sf_dir):
     return spark.sql(
         """
         SELECT n_name,
-               (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
                  AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue
         FROM v_customer, v_orders, v_lineitem, v_supplier, v_nation,
              v_region
@@ -581,8 +586,8 @@ def q_sql_tpch_q5(spark, sf_dir):
 
 _Q10_BODY = """
     SELECT c_custkey, c_name,
-           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
              AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM {c}customer, {c}orders, {c}lineitem, {c}nation
@@ -614,8 +619,8 @@ def q_sql_tpch_q10(spark, sf_dir):
 # -- q_sql_tpch_q6: forecasting revenue change (pure scan-agg) ------------
 
 _Q6_BODY = """
-    SELECT (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+    SELECT (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * TRY_CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
              / CAST(10000 AS DOUBLE)) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM {c}lineitem
@@ -650,13 +655,13 @@ def q_sql_tpch_q6(spark, sf_dir):
 _Q18_BODY = """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS o_totalprice,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                AS sum_qty
     FROM {c}customer, {c}orders, {c}lineitem
     WHERE o_orderkey IN (
             SELECT l_orderkey FROM {c}lineitem
             GROUP BY l_orderkey
-            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+            HAVING sum(TRY_CAST(round(l_quantity) AS BIGINT)) > 250)
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
              round(o_totalprice, 2)
@@ -694,8 +699,8 @@ _Q14_BODY = """
       SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo,
              sum(rev) AS total, count(*) AS n_lines
       FROM (
-        SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+        SELECT TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)) AS rev,
                p_type
         FROM {c}lineitem, {c}part
         WHERE l_partkey = p_partkey
@@ -722,7 +727,7 @@ def q_sql_tpch_q14(spark, sf_dir):
 # -- q_sql_tpch_q17: small-quantity-order revenue (correlated agg) --------
 
 _Q17_BODY = """
-    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+    SELECT round(CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                  AS DOUBLE) / CAST(100 AS DOUBLE) / CAST(7.0 AS DOUBLE),
                  2) AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_lines
@@ -809,8 +814,8 @@ _Q7_BODY = """
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-             CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+             TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)) AS rev
       FROM {c}supplier, {c}lineitem, {c}orders, {c}customer,
            {c}nation n1, {c}nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -854,8 +859,8 @@ _Q8_BODY = """
            CAST(count(*) AS BIGINT) AS n_lines
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-             CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+             TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)) AS rev,
              n2.n_name AS nation
       FROM {c}part, {c}supplier, {c}lineitem, {c}orders, {c}customer,
            {c}nation n1, {c}nation n2, {c}region
@@ -928,8 +933,8 @@ def q_sql_tpch_q13(spark, sf_dir):
 _Q15_BODY = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
                  AS total_rev_u
       FROM {c}lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -966,8 +971,8 @@ def q_sql_tpch_q15(spark, sf_dir):
 # -- q_sql_tpch_q19: discounted revenue (disjunctive multi-attr filter) ---
 
 _Q19_BODY = """
-    SELECT (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+    SELECT (CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)))
              AS DOUBLE) / CAST(10000 AS DOUBLE)) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM {c}lineitem, {c}part
@@ -1112,8 +1117,8 @@ def _q2_body(dialect: str) -> str:
     return f"""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
-                 {idiv} CAST(round(l_quantity) AS BIGINT)) AS unit_mu
+             min((TRY_CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+                 {idiv} TRY_CAST(round(l_quantity) AS BIGINT)) AS unit_mu
       FROM {{c}}lineitem, {{c}}supplier, {{c}}nation, {{c}}region
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
@@ -1166,8 +1171,8 @@ _Q9_BODY = """
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-             CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+             TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - TRY_CAST(round(l_discount * 100) AS BIGINT)) AS rev
       FROM {c}part, {c}supplier, {c}lineitem, {c}orders, {c}nation
       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -1277,7 +1282,7 @@ def q_sql_tpch_q21(spark, sf_dir):
 _Q22_BODY = """
     WITH eligible AS (
       SELECT c_custkey, c_acctbal, n_name,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+             TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
       FROM {c}customer JOIN {c}nation ON c_nationkey = n_nationkey
       WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
                        'NATION_9', 'NATION_11', 'NATION_13')

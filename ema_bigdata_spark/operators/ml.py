@@ -213,9 +213,9 @@ def _linreg_select(src: str) -> str:
              CAST(sum(CAST(yi AS HUGEINT) * yi) AS DOUBLE) AS syy
       FROM (
         SELECT xs.xi,
-               CAST(round(o_totalprice * 10000) AS BIGINT) AS yi
+               TRY_CAST(round(o_totalprice * 10000) AS BIGINT) AS yi
         FROM orders JOIN xs ON o_orderkey = xs.l_orderkey
-      )
+      ) WHERE yi IS NOT NULL
     )
     {_linreg_select("g")}
     """,
@@ -246,8 +246,13 @@ def q_linreg(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).cast("long").alias("xi"))
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", cents("o_totalprice", 10000).alias("yi")
+    # row-filter form of the r8 non-finite gate: OLS moments must come
+    # from COMPLETE (xi, yi) pairs — an in-pipeline NULL yi would let n
+    # count a row whose y never contributed, silently biasing the fit
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", cents("o_totalprice", 10000).alias("yi"))
+        .where(F.col("yi").isNotNull())
     )
     dec = "decimal(38,0)"
     g = (

@@ -431,15 +431,18 @@ def q_corr_stats(spark, sf_dir):
 
 @query(
     "q_percentiles",
+    # TRY_CAST snap + count(ti) (r8 non-finite gate, parity.py module
+    # docstring): out-of-domain o_totalprice is ignored, and the
+    # denominator counts the snap the percentiles actually ranked
     oracle="""
     SELECT o_orderstatus,
-           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(ti) AS BIGINT) AS n_orders,
            round(quantile_cont(ti, 0.25) / 10000, 6) AS p25,
            round(quantile_cont(ti, 0.50) / 10000, 6) AS p50,
            round(quantile_cont(ti, 0.75) / 10000, 6) AS p75
     FROM (
       SELECT o_orderstatus,
-             CAST(round(o_totalprice * 10000) AS BIGINT) AS ti
+             TRY_CAST(round(o_totalprice * 10000) AS BIGINT) AS ti
       FROM orders
     )
     GROUP BY o_orderstatus
@@ -448,10 +451,10 @@ def q_corr_stats(spark, sf_dir):
 def q_percentiles(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 10000, 0).cast("long").alias("ti"),
+        cents("o_totalprice", 10000).alias("ti"),
     )
     return o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count("ti").cast("long").alias("n_orders"),
         *[
             F.round(F.expr(f"percentile(ti, {q_})") / 10000, 6).alias(name)
             for q_, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
@@ -535,7 +538,7 @@ def q_grouping_sets(spark, sf_dir):
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
              / CAST(100 AS DOUBLE) AS sum_value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
@@ -614,16 +617,18 @@ def q_unpivot(spark, sf_dir):
 
 @query(
     "q_approx_quantiles",
+    # TRY_CAST snap + count(ti): r8 non-finite gate, same shape as
+    # q_percentiles
     oracle="""
     SELECT o_orderstatus,
-           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(ti) AS BIGINT) AS n_orders,
            round(quantile_cont(ti, 0.25) / 10000, 6) AS p25,
            round(quantile_cont(ti, 0.50) / 10000, 6) AS p50,
            round(quantile_cont(ti, 0.75) / 10000, 6) AS p75,
            TRUE AS approx_ok
     FROM (
       SELECT o_orderstatus,
-             CAST(round(o_totalprice * 10000) AS BIGINT) AS ti
+             TRY_CAST(round(o_totalprice * 10000) AS BIGINT) AS ti
       FROM orders
     )
     GROUP BY o_orderstatus
@@ -644,10 +649,10 @@ def q_approx_quantiles(spark, sf_dir):
     ranks ≈ 2% of value + a cent of slack on this distribution)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 10000, 0).cast("long").alias("ti"),
+        cents("o_totalprice", 10000).alias("ti"),
     )
     agg = o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count("ti").cast("long").alias("n_orders"),
         *[
             F.round(F.expr(f"percentile(ti, {p})") / 10000, 6).alias(name)
             for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))

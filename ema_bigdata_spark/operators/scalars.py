@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ema_bigdata_spark.functions.parity import floor_long
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
@@ -92,7 +93,12 @@ def q_date_funcs(spark, sf_dir):
     # by the adversarial relational suite): outside the domain Spark
     # returns NaN/NULL while DuckDB THROWS OutOfRange — the CASE makes
     # both engines emit NULL for a negative quantity or a non-positive
-    # price, the same contract shape as the similarity vector gates
+    # price, the same contract shape as the similarity vector gates.
+    # price_bucket snaps through the floor_long/sql_floor_long pair
+    # (r8): NULL for NaN/±Inf/beyond-2^63 prices on both engines —
+    # before r8 DuckDB hard-errored and Spark's builtin floor(DOUBLE)
+    # silently emitted 0 / Long.MAX (JVM d2l), found by the poisoned
+    # TPC-H non-finite sweep
     oracle="""
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            CASE WHEN l_quantity >= 0
@@ -101,7 +107,8 @@ def q_date_funcs(spark, sf_dir):
                 THEN round(ln(l_extendedprice), 6) END AS ln_price,
            round(exp(l_discount), 6) AS exp_disc,
            abs(l_quantity - 25.0) AS abs_dev,
-           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           TRY_CAST(floor(l_extendedprice / 1000) AS BIGINT)
+             AS price_bucket,
            (CAST(l_orderkey AS BIGINT) % 7) AS key_mod
     FROM lineitem
     """,
@@ -120,9 +127,7 @@ def q_math_funcs(spark, sf_dir):
         ).alias("ln_price"),
         F.round(F.exp("l_discount"), 6).alias("exp_disc"),
         F.abs(F.col("l_quantity") - F.lit(25.0)).alias("abs_dev"),
-        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias(
-            "price_bucket"
-        ),
+        floor_long("l_extendedprice / 1000").alias("price_bucket"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
     )
 

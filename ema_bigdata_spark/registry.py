@@ -74,27 +74,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     q_ann_ivf, q_ann_pq, q_embed_centroid, q_embed_covariance,
 #:     q_semdedup.  Both sides' gate texts changed, so these outrank
 #:     stale-but-unchanged rows.
-#: (3) 9 of the 37 remaining r5-era rows — the heavier text/analytics
-#:     pipelines and the two streaming rows (s_stream_anomaly also
-#:     carries the (2b) snap-domain filter; q_outlier_mad was a gated
-#:     crasher).  TWENTY-EIGHT r5-row names now defer to r9 with
-#:     rationale: the eleven trivial one-liners below, seven evicted
-#:     for the (2b) behavior changes (q_bpe_pairs, q_quality_score,
-#:     q_rag_chunk, q_stratified_sample, q_cdc_merge,
-#:     q_event_transitions, q_skyline), and the full r5 TPC-H block
-#:     (q_sql_tpch_q2/q7/q8/q9/q13/q15/q16/q19/q21/q22) evicted for
-#:     the (2c) domain changes — all UNCHANGED since r5 with standing
-#:     adversarial coverage; changed-code outranks stale-row in the
-#:     rotation rule.  The eleven: trivial single-scan scalar/window
-#:     one-liners unchanged since r5 with standing adversarial
-#:     coverage (q_case_null, q_date_funcs in the relational suite;
-#:     q_window_lag / q_window_rank in the events suite's tie-break
-#:     battery; q_text_tokens, q_token_count, q_token_histogram,
+#: (2d) SEVEN of the ten queries the poisoned-TPC-H non-finite sweep
+#:     found CRASHING (raw CAST snaps predating the TRY_CAST rule,
+#:     now converted; tests/test_nonfinite_values.py TestTpchNonFinite
+#:     pins the hostile parity): q_percentiles, q_math_funcs,
+#:     q_skyline, q_join_left, q_linreg, q_sql_tpch_q18,
+#:     q_sql_tpch_q2.  The other three changed crashers defer to r9
+#:     with rationale: q_approx_quantiles (its snap is the IDENTICAL
+#:     expression q_percentiles carries — one official row certifies
+#:     the text), q_sql_tpch_q9 / q_sql_tpch_q22 (mechanical
+#:     inner-snap conversion of the exact pattern q18/q2 certify;
+#:     both hostile-pinned and sweep-proven).  q_events_hourly also
+#:     changed (oracle TRY_CAST) and is already in group (1).
+#: (3) the two r5 rows that carry r8 behavior changes of their own:
+#:     s_stream_anomaly (the (2b) snap-domain filter in its core) and
+#:     q_outlier_mad (a (2b) gated crasher).  THIRTY-FIVE r5-era rows
+#:     now defer to r9 with rationale: the eleven trivial one-liners
+#:     below, seven evicted for the (2b) changes (q_bpe_pairs,
+#:     q_quality_score, q_rag_chunk, q_stratified_sample, q_cdc_merge,
+#:     q_event_transitions, q_skyline — q_skyline re-entered via (2d)
+#:     when its snap changed), the full r5 TPC-H block for (2c)/(2d)
+#:     priority (q2 re-entered via (2d); q7/q8/q13/q15/q16/q19/q21
+#:     and the deferred q9/q22 are owed to r9), and the seven
+#:     text/analytics/streaming rows the (2d) crashers displaced
+#:     (q_tfidf, q_bigram_lm, q_filter_report, q_repetition_score,
+#:     q_gapfill, q_zorder_layout, s_stream_topk — all UNCHANGED
+#:     since r5 with standing adversarial coverage).  The eleven:
+#:     trivial single-scan scalar/window one-liners unchanged since
+#:     r5 with standing adversarial coverage (q_case_null,
+#:     q_date_funcs in the relational suite; q_window_lag /
+#:     q_window_rank in the events suite's tie-break battery;
+#:     q_text_tokens, q_token_count, q_token_histogram,
 #:     q_doc_fingerprint, q_normalize_text, q_source_mix in the
 #:     document suites) — q_window_running left this list when the r8
-#:     gate changed it.  All 28 are green in this round's full local
-#:     driver-sims at sf0.01 AND sf0.1; r9 owes them the head of its
-#:     window.
+#:     gate changed it.  All deferrals are green in this round's full
+#:     local driver-sims at sf0.01 AND sf0.1; r9 owes them the head
+#:     of its window.
 _CHECK_WINDOW: tuple[str, ...] = (
     # — (1) the 16 r4-era rows: reference `_fixed` family + scan (10) —
     "q_scan_count", "q_mean", "q_variance_pop", "q_init_means",
@@ -114,12 +129,11 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_embed_norm", "q_similarity_topk", "q_similarity_batch",
     "q_embed_dup", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
     "q_embed_centroid", "q_embed_covariance", "q_semdedup",
-    # — (3) r5 text/document pipelines (4) —
-    "q_tfidf", "q_bigram_lm", "q_filter_report", "q_repetition_score",
-    # — (3) r5 analytics/window/layout (3) —
-    "q_gapfill", "q_outlier_mad", "q_zorder_layout",
-    # — (3) r5 streaming rows (2) —
-    "s_stream_anomaly", "s_stream_topk",
+    # — (2d) poisoned-TPC-H sweep crashers, snaps now TRY_CAST (7) —
+    "q_percentiles", "q_math_funcs", "q_skyline", "q_join_left",
+    "q_linreg", "q_sql_tpch_q18", "q_sql_tpch_q2",
+    # — (3) r5 rows carrying r8 behavior changes of their own (2) —
+    "q_outlier_mad", "s_stream_anomaly",
 )
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md

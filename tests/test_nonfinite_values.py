@@ -240,6 +240,128 @@ class TestEmbeddingDomain:
         assert sum(r.n_vecs for r in rows) == 40
 
 
+#: the second r8 sweep (poisoned TPC-H measure columns, one hostile
+#: column per row, IN-WINDOW dates so the date predicates can't mask
+#: the row) found these 10 crashing — every one a raw
+#: CAST(round(...) AS BIGINT) snap predating the TRY_CAST rule.  The
+#: battery pins their hostile-input parity plus controls whose snaps
+#: were already TRY_CAST (q_pricing_summary, q_sql_tpch_q6/q14/q3)
+#: and q_events_hourly, whose crash the §15 events fixture missed
+#: because its timestamps fell outside the query's window.
+_TPCH_QUERIES = (
+    "q_percentiles", "q_approx_quantiles", "q_math_funcs", "q_skyline",
+    "q_join_left", "q_linreg", "q_sql_tpch_q18", "q_sql_tpch_q2",
+    "q_sql_tpch_q9", "q_sql_tpch_q22",
+    "q_pricing_summary", "q_sql_tpch_q6", "q_sql_tpch_q14",
+    "q_sql_tpch_q3", "q_events_hourly",
+)
+
+_TPCH_POISON = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+}
+
+
+@pytest.fixture(scope="module")
+def tpch_dir(spark, tmp_path_factory) -> str:
+    """sf0.001 plus hostile rows: each poisoned in ONE measure column
+    (NaN / +Inf / -Inf / beyond-headroom 1e17) with benign in-filter
+    values in the others and IN-WINDOW dates (1994-1996 for the TPC-H
+    predicates; 2024-01-02 for q_events_hourly) — a hostile row a date
+    filter silently excludes proves nothing."""
+    import glob
+    import shutil
+
+    root = tmp_path_factory.mktemp("nonfinite_tpch")
+    src = "/root/testdata/sf0.001"
+    hostile = [NAN, INF, -INF, 1e17]
+    dates = [
+        _D(1994, 6, 15), _D(1995, 3, 10), _D(1995, 9, 15), _D(1996, 6, 15)
+    ]
+    benign = {
+        "l_quantity": 10.0, "l_extendedprice": 1000.0,
+        "l_discount": 0.06, "l_tax": 0.04,
+    }
+    from ema_bigdata_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        if t not in _TPCH_POISON and t != "events":
+            shutil.copy(f"{src}/{t}.parquet", f"{root}/{t}.parquet")
+            continue
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        base = df.limit(1).collect()[0].asDict()
+        rows = []
+        if t == "events":
+            for i, h in enumerate(hostile):
+                d = dict(base)
+                d["event_id"] = 10_000_000 + i
+                d["ts"] = _D(2024, 1, 2, 6, i)
+                d["value"] = h
+                rows.append(tuple(d[f.name] for f in df.schema.fields))
+        else:
+            for ci, c in enumerate(_TPCH_POISON[t]):
+                for hi, h in enumerate(hostile):
+                    d = dict(base)
+                    for b, v in benign.items():
+                        if b in d:
+                            d[b] = v
+                    d[c] = h
+                    for dc in ("l_shipdate", "o_orderdate"):
+                        if dc in d:
+                            d[dc] = dates[(ci + hi) % 4]
+                    rows.append(
+                        tuple(d[f.name] for f in df.schema.fields)
+                    )
+        out = df.unionByName(spark.createDataFrame(rows, df.schema))
+        tmp = f"{root}/_{t}"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")
+        assert len(part) == 1
+        shutil.move(part[0], f"{root}/{t}.parquet")
+        shutil.rmtree(tmp)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tpch_duck(tpch_dir):
+    import duckdb
+
+    from ema_bigdata_spark.sources.tables import TABLES
+
+    duck = duckdb.connect()
+    for table in TABLES:
+        duck.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM"
+            f" read_parquet('{tpch_dir}/{table}.parquet')"
+        )
+    return duck
+
+
+class TestTpchNonFinite:
+    @pytest.mark.parametrize("name", _TPCH_QUERIES)
+    def test_parity(self, spark, tpch_duck, tpch_dir, name):
+        from tests.oracle import compare_query
+
+        compare_query(spark, tpch_duck, tpch_dir, name)
+
+    def test_price_bucket_nulls_not_garbage(self, spark, tpch_dir):
+        """Spark's builtin floor(DOUBLE) would emit 0 for NaN and
+        Long.MAX for +Inf (JVM d2l) — the floor_long form must emit
+        NULL, never a silently-wrong bucket."""
+        rows = registry.QUERIES["q_math_funcs"](spark, tpch_dir).collect()
+        buckets = [r.price_bucket for r in rows if r.price_bucket is not None]
+        assert 9223372036854775807 not in buckets
+        # the 1e17 price row is a VALID bucket (floor fits BIGINT)
+        assert 100000000000000 in buckets
+        n_null = sum(1 for r in rows if r.price_bucket is None)
+        # exactly the NaN/+Inf/-Inf extendedprice rows (sf0.001 has
+        # no NULL prices)
+        assert n_null == 3
+
+
 class TestIgnoredSemantics:
     """The declared behavior as exact values, not just parity."""
 
