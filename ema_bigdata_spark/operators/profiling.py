@@ -30,44 +30,58 @@ from ema_bigdata_spark.sources.tables import load_table
 #: _VALUE_DOMAIN = 9.2e12 — the literal appears in the shared
 #: filter text `abs(value) <= 9.2e12` on BOTH engines.
 
-#: (profile column, Spark source expression) — o_orderdate profiles as
-#: exact epoch microseconds so min/max stay engine-exact BIGINT-in-DOUBLE.
+#: (profile column, Spark source expression, round?) — o_orderdate
+#: profiles as exact epoch microseconds so min/max stay engine-exact
+#: BIGINT-in-DOUBLE.  round(x, 6) applies ONLY to the float column:
+#: it exists to stabilize fractional min/max, and at extreme integer
+#: magnitudes it is no longer the identity on DuckDB (measured, r8
+#: hostile-ts sweep: a year-9999 date → 253402214400000000 µs, where
+#: DuckDB's multiply-round-divide round() emits ...0000003 while
+#: Spark's BigDecimal round is exact) — integer-valued profile
+#: columns go through the plain exact BIGINT→DOUBLE cast instead.
 _PROFILE_COLS = [
-    ("o_orderkey", "o_orderkey"),
-    ("o_custkey", "o_custkey"),
-    ("o_totalprice", "o_totalprice"),
+    ("o_orderkey", "o_orderkey", False),
+    ("o_custkey", "o_custkey", False),
+    ("o_totalprice", "o_totalprice", True),
     (
         "o_orderdate_us",
         "CAST(timestampdiff(MICROSECOND,"
         " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) AS BIGINT)",
+        False,
     ),
 ]
 
 _PROFILE_ORACLE_COLS = [
-    ("o_orderkey", "o_orderkey"),
-    ("o_custkey", "o_custkey"),
-    ("o_totalprice", "o_totalprice"),
+    ("o_orderkey", "o_orderkey", False),
+    ("o_custkey", "o_custkey", False),
+    ("o_totalprice", "o_totalprice", True),
     (
         "o_orderdate_us",
         "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',"
         " o_orderdate) AS BIGINT)",
+        False,
     ),
 ]
 
 
 def _profile_oracle() -> str:
-    parts = [
-        f"""
+    parts = []
+    for name, expr, rnd in _PROFILE_ORACLE_COLS:
+        mn = f"CAST(min({expr}) AS DOUBLE)"
+        mx = f"CAST(max({expr}) AS DOUBLE)"
+        if rnd:
+            mn, mx = f"round({mn}, 6)", f"round({mx}, 6)"
+        parts.append(
+            f"""
         SELECT '{name}' AS column_name,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(count({expr}) AS BIGINT) AS n_notnull,
                CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
-               round(CAST(min({expr}) AS DOUBLE), 6) AS min_val,
-               round(CAST(max({expr}) AS DOUBLE), 6) AS max_val
+               {mn} AS min_val,
+               {mx} AS max_val
         FROM orders
         """
-        for name, expr in _PROFILE_ORACLE_COLS
-    ]
+        )
     return " UNION ALL ".join(parts)
 
 
@@ -85,13 +99,16 @@ def q_profile_table(spark, sf_dir):
     trade-off is q_approx_distinct's subject)."""
     o = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-    for name, expr in _PROFILE_COLS:
+    for name, expr, rnd in _PROFILE_COLS:
         c = F.expr(expr)
+        mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+        if rnd:
+            mn, mx = F.round(mn, 6), F.round(mx, 6)
         aggs += [
             F.count(c).cast("long").alias(f"nn_{name}"),
             F.countDistinct(c).cast("long").alias(f"nd_{name}"),
-            F.round(F.min(c).cast("double"), 6).alias(f"mn_{name}"),
-            F.round(F.max(c).cast("double"), 6).alias(f"mx_{name}"),
+            mn.alias(f"mn_{name}"),
+            mx.alias(f"mx_{name}"),
         ]
     wide = o.agg(*aggs)
     return wide.select(
@@ -106,7 +123,7 @@ def q_profile_table(spark, sf_dir):
                         F.col(f"mn_{name}").alias("min_val"),
                         F.col(f"mx_{name}").alias("max_val"),
                     )
-                    for name, _ in _PROFILE_COLS
+                    for name, _, _ in _PROFILE_COLS
                 ]
             )
         )

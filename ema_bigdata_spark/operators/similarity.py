@@ -36,18 +36,24 @@ _SQL_DOT_SELF = (
 )
 
 #: the family's declared vector domain (r6 zero-norm/NULL gate,
-#: widened r8 with the upper bound): Σx² ∈ (0, 100].  Zero-norm and
+#: widened r8 with the upper bound): Σx² ∈ (0, 1e4].  Zero-norm and
 #: NULL vectors have no cosine (r6); NaN/±Inf elements make Σx²
-#: NaN/Inf, and both compare greater than 100 on BOTH engines, so the
-#: bound excludes them — before r8 a NaN element crashed the
+#: NaN/Inf, and both compare greater than the bound on BOTH engines,
+#: so it excludes them — before r8 a NaN element crashed the
 #: fixed-point centroid/covariance snaps (ANSI CAST) and silently
-#: diverged q_ann_ivf's codebook assignment.  100 also caps max|x| at
-#: 10, exactly the documented snap-headroom envelope
-#: (q_embed_covariance docstring: p_u ~1e11/row for |x|~10); real
-#: corpora are unit-normalized (driver testdata: Σx² ≈ 1.0 ± 3e-7),
-#: so the bound is a 100× margin, not a constraint.  Pinned by
+#: diverged q_ann_ivf's codebook assignment.  Why 1e4 and not lower:
+#: RAW (unnormalized) embeddings are a legitimate corpus — a d-dim
+#: Gaussian has Σx² ≈ d, so a tighter bound (an earlier draft used
+#: 100) silently drops ordinary 1024-dim raw vectors and even the
+#: tail of 64-dim ones; 1e4 admits raw corpora to ~4096 dims and
+#: every unit-normalized corpus with a 10⁴ margin.  Why not higher:
+#: Σx² ≤ 1e4 caps any per-row covariance product at Σx²/2 · 1e9 =
+#: 5e12 µ-units, keeping the stage-1 per-partition BIGINT sums
+#: (q_embed_covariance) exact up to ~1.8e6 rows/partition — 6-18×
+#: the rows a 128 MB partition holds — and the ×1e7 centroid snaps
+#: at ≤1e9/row (label sums exact to ~9e9 rows/label).  Pinned by
 #: tests/test_nonfinite_values.py::TestEmbeddingDomain.
-_NORM2_MAX = 100
+_NORM2_MAX = 10_000
 
 
 def _sql_norm_gate(col: str = "embedding") -> str:

@@ -63,13 +63,21 @@ def q_window_rank(spark, sf_dir):
 
 @query(
     "q_window_running",
+    # WHERE ts IS NOT NULL (r8, found by the hostile-ts sweep): an
+    # event with no event time has no position on an ordered timeline,
+    # and the engines disagree on where to put it (Spark windows sort
+    # NULLS FIRST, DuckDB NULLS LAST) — for an ACCUMULATING window
+    # that position shifts every running value after it, so the row is
+    # excluded outright.  Per-row window ops (q_window_lag) keep NULL
+    # rows: their boundary outputs are NULL on both engines either way
+    # (pinned by TestNullTs).
     oracle=f"""
     SELECT event_id, user_id,
            CAST(sum({sql_cents('value')})
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / CAST(100 AS DOUBLE) AS running_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def q_window_running(spark, sf_dir):
@@ -78,7 +86,9 @@ def q_window_running(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return load_table(spark, sf_dir, "events").select(
+    return load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0)).alias(
@@ -135,14 +145,19 @@ def q_window_lag(spark, sf_dir):
                                      ORDER BY ts, event_id),
                        ts) > {SESSION_GAP_US} THEN 1
                   ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     """,
 )
 def q_sessionize(spark, sf_dir):
-    return sessionize(load_table(spark, sf_dir, "events")).select(
-        "event_id", "user_id", "session_id"
-    )
+    # WHERE ts IS NOT NULL: same accumulating-window NULL-ordering
+    # divergence as q_window_running (see its oracle comment) — an
+    # untimed event would renumber every later session on one engine
+    # only.  The gate lives in the QUERY, not the sessionize() library
+    # core (a caller may sessionize frames with their own contracts).
+    return sessionize(
+        load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ).select("event_id", "user_id", "session_id")
 
 
 def sessionize(

@@ -67,13 +67,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     untouched (the gate is identity on finite input — re-proven by
 #:     the 151/151 bit-faithful driver sim on gated code), so window
 #:     priority goes to behavior changes, not text changes.
-#: (2c) the TEN embedding-family queries whose vector domain widened
-#:     late in r8 (Σx² ∈ (0, 100], ``similarity._NORM2_MAX`` — the
-#:     non-finite posture of (2b) applied to embeddings): q_embed_norm,
-#:     q_similarity_topk, q_similarity_batch, q_embed_dup, q_ann_lsh,
-#:     q_ann_ivf, q_ann_pq, q_embed_centroid, q_embed_covariance,
-#:     q_semdedup.  Both sides' gate texts changed, so these outrank
-#:     stale-but-unchanged rows.
+#: (2c) FIVE of the ten embedding-family queries whose vector domain
+#:     widened late in r8 (Σx² ∈ (0, 1e4], ``similarity._NORM2_MAX`` —
+#:     the non-finite posture of (2b) applied to embeddings):
+#:     q_embed_norm (the family anchor), and the four whose code
+#:     changed beyond the shared gate expression (q_embed_centroid /
+#:     q_embed_covariance / q_semdedup gained the gated aggregation
+#:     paths; q_ann_ivf's codebook trainer changed).  The other five
+#:     (q_similarity_topk, q_similarity_batch, q_embed_dup, q_ann_lsh,
+#:     q_ann_pq) defer to r9: their only change is the SAME
+#:     `_norm_gated`/`_sql_norm_gate` expression the five in-window
+#:     rows certify, and all ten are hostile-pinned by
+#:     TestEmbeddingDomain.
 #: (2d) SEVEN of the ten queries the poisoned-TPC-H non-finite sweep
 #:     found CRASHING (raw CAST snaps predating the TRY_CAST rule,
 #:     now converted; tests/test_nonfinite_values.py TestTpchNonFinite
@@ -86,6 +91,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     inner-snap conversion of the exact pattern q18/q2 certify;
 #:     both hostile-pinned and sweep-proven).  q_events_hourly also
 #:     changed (oracle TRY_CAST) and is already in group (1).
+#: (2e) the event-time-domain changes (r8 hostile-ts sweep,
+#:     tests/test_ts_domain.py): q_sessionize (NULL-ts exclusion) and
+#:     the four streaming queries the sweep saw DIVERGE OR DIE
+#:     (s_stream_sliding's year-0 window start, s_stream_session's
+#:     state-core crash, s_stream_tumbling / s_stream_topk window-end
+#:     mismatches).  The other four streaming queries changed only by
+#:     inheriting the SAME `stream_source` seam gate + `sql_ts_domain`
+#:     oracle predicate and defer to r9 (hostile-pinned);
+#:     q_window_running was already in (2b); q_profile_table's change
+#:     (per-column round flags) is output-identity on every value the
+#:     driver's clean data produces and defers with the suite pin.
 #: (3) the two r5 rows that carry r8 behavior changes of their own:
 #:     s_stream_anomaly (the (2b) snap-domain filter in its core) and
 #:     q_outlier_mad (a (2b) gated crasher).  THIRTY-FIVE r5-era rows
@@ -126,12 +142,14 @@ _CHECK_WINDOW: tuple[str, ...] = (
     "q_ab_ttest", "q_join_salted", "q_kmeans", "q_value_outliers",
     "q_window_range_frame", "q_window_running", "q_winsorize",
     # — (2c) embedding vector-domain changes (late r8, _NORM2_MAX) —
-    "q_embed_norm", "q_similarity_topk", "q_similarity_batch",
-    "q_embed_dup", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+    "q_embed_norm", "q_ann_ivf",
     "q_embed_centroid", "q_embed_covariance", "q_semdedup",
     # — (2d) poisoned-TPC-H sweep crashers, snaps now TRY_CAST (7) —
     "q_percentiles", "q_math_funcs", "q_skyline", "q_join_left",
     "q_linreg", "q_sql_tpch_q18", "q_sql_tpch_q2",
+    # — (2e) event-time-domain changes (r8 hostile-ts sweep) —
+    "q_sessionize", "s_stream_sliding", "s_stream_session",
+    "s_stream_tumbling", "s_stream_topk",
     # — (3) r5 rows carrying r8 behavior changes of their own (2) —
     "q_outlier_mad", "s_stream_anomaly",
 )

@@ -115,6 +115,37 @@ def event_instant(df: DataFrame, col: str = "ts") -> F.Column:
     return F.timestamp_micros(event_epoch_us(df, col))
 
 
+#: the streaming event-time domain (r8, found by the hostile-ts
+#: sweep): [1900-01-01, 9000-01-01) as epoch-µs.  Window/watermark
+#: arithmetic (≤ 1-day windows/slides/gaps) can push an event time at
+#: most days past these bounds, so every derived window start/end
+#: stays inside [0001-01-01, 9999-12-31] — the range BOTH engines and
+#: Python datetimes represent.  Outside it, a year-0001 event made
+#: s_stream_sliding emit a year-0 window start (unrepresentable in
+#: Python — the driver's collect() dies), a year-9999 event pushed
+#: tumbling window ends past 9999-12-31, and a NULL event time
+#: crashed the stateful cores.  NULL fails the comparisons, so the
+#: gate subsumes IS NOT NULL.  Out-of-domain events are ignored like
+#: NULL keys; the 7100-year window is ~50× any lived data range.
+TS_DOMAIN_MIN_US = -2_208_988_800_000_000
+TS_DOMAIN_MAX_US = 221_845_392_000_000_000
+
+
+def ts_domain_gate(df: DataFrame, col: str = "ts") -> F.Column:
+    """Spark predicate of the event-time domain (see constants)."""
+    us = event_epoch_us(df, col)
+    return (us >= F.lit(TS_DOMAIN_MIN_US)) & (us < F.lit(TS_DOMAIN_MAX_US))
+
+
+def sql_ts_domain(col: str = "ts") -> str:
+    """Oracle text of :func:`ts_domain_gate` (DuckDB parses these
+    wall-clock literals to the same instants the µs bounds encode)."""
+    return (
+        f"({col} >= TIMESTAMP '1900-01-01 00:00:00'"
+        f" AND {col} < TIMESTAMP '9000-01-01 00:00:00')"
+    )
+
+
 #: memoized spread() verdicts: (sorted input files, n) -> has >= n splits
 _SPREAD_CACHE: dict[tuple, bool] = {}
 

@@ -34,6 +34,8 @@ from ema_bigdata_spark.sources.tables import (
     event_epoch_us,
     event_instant,
     load_raw,
+    sql_ts_domain,
+    ts_domain_gate,
 )
 
 _WATERMARK = "10 minutes"
@@ -146,12 +148,21 @@ def stream_source(spark, sf_dir: str, table: str = "events"):
                 "_WIRE_SCHEMAS to stream this table over Kafka)"
             )
         raw = _configure_kafka(spark.readStream, table).load()
-        return _kafka_parse(raw, _WIRE_SCHEMAS[table])
-    return (
-        spark.readStream.schema(load_raw(spark, sf_dir, table).schema)
-        .option("pathGlobFilter", f"{table}.parquet")
-        .parquet(sf_dir)
-    )
+        stream = _kafka_parse(raw, _WIRE_SCHEMAS[table])
+    else:
+        stream = (
+            spark.readStream.schema(load_raw(spark, sf_dir, table).schema)
+            .option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf_dir)
+        )
+    # event-time domain gate (r8, tables.TS_DOMAIN_*): applied AT THE
+    # SEAM so every streaming query inherits it — a NULL / year-0001 /
+    # year-9999 event time crashed the stateful cores or emitted
+    # window bounds outside what the driver's collect() can represent.
+    # Every oracle mirrors it via sql_ts_domain().
+    if "ts" in stream.columns:
+        stream = stream.where(ts_domain_gate(stream))
+    return stream
 
 
 #: LTZ instant → NTZ wall clock (UTC), session-timezone-independent
@@ -230,7 +241,7 @@ def session_stream(stream):
                   WHEN date_diff('microsecond', lag(ts) OVER w, ts)
                        > {_SESSION_GAP_US} THEN 1
                   ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE {sql_ts_domain()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -286,11 +297,11 @@ def s_stream_session(spark, sf_dir):
 
 @query(
     "s_stream_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('minute', ts) AS window_start,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events
+    FROM events WHERE {sql_ts_domain()}
     GROUP BY date_trunc('minute', ts)
     """,
 )
@@ -335,12 +346,12 @@ def s_stream_tumbling(spark, sf_dir):
 
 @query(
     "s_stream_sliding",
-    oracle="""
+    oracle=f"""
     SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events
     FROM (
       SELECT unnest([date_trunc('minute', ts) - INTERVAL 1 MINUTE,
                      date_trunc('minute', ts)]) AS ws
-      FROM events
+      FROM events WHERE {sql_ts_domain()}
     )
     GROUP BY ws
     """,
@@ -377,8 +388,9 @@ def s_stream_sliding(spark, sf_dir):
 
 @query(
     "s_stream_dedup",
-    oracle="""
+    oracle=f"""
     SELECT DISTINCT user_id, event_type FROM events
+    WHERE {sql_ts_domain()}
     """,
 )
 def s_stream_dedup(spark, sf_dir):
@@ -410,13 +422,14 @@ def s_stream_dedup(spark, sf_dir):
 
 @query(
     "s_stream_join",
-    oracle="""
+    oracle=f"""
     SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.event_id > a.event_id
      AND b.ts >= a.ts
      AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE {sql_ts_domain('a.ts')} AND {sql_ts_domain('b.ts')}
     GROUP BY a.user_id
     """,
 )
@@ -470,11 +483,12 @@ def s_stream_join(spark, sf_dir):
 
 @query(
     "s_stream_static_join",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE {sql_ts_domain('e.ts')}
     GROUP BY c.c_mktsegment
     """,
 )
@@ -533,13 +547,13 @@ def s_stream_static_join(spark, sf_dir):
 
 @query(
     "s_stream_upsert",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_type, ts AS last_ts, value AS last_value
     FROM (
       SELECT user_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM events WHERE {sql_ts_domain()}
     ) WHERE rn = 1
     """,
 )
@@ -665,7 +679,7 @@ def anomaly_stream(stream):
     WITH ev AS (
       SELECT user_id, event_id, ts, value,
              CAST(round(value * 100) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 9.2e16
+      FROM events WHERE abs(value) <= 9.2e16 AND {sql_ts_domain()}
     ),
     run AS (
       SELECT user_id, event_id, value, vu,
@@ -730,7 +744,7 @@ def s_stream_anomaly(spark, sf_dir):
 
 @query(
     "s_stream_topk",
-    oracle="""
+    oracle=f"""
     SELECT window_start, event_type, n, rk FROM (
       SELECT window_start, event_type, n,
              CAST(row_number() OVER (
@@ -739,7 +753,7 @@ def s_stream_anomaly(spark, sf_dir):
       FROM (
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE {sql_ts_domain()} GROUP BY 1, 2
       )
     ) WHERE rk <= 3
     """,

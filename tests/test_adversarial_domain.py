@@ -281,7 +281,7 @@ class TestAdversarialEmbeddings:
         self, spark, tmp_path_factory
     ):
         """r8 semantics change (similarity._NORM2_MAX): components at
-        1e30 put the vector outside the declared domain Σx² ∈ (0, 100]
+        1e30 put the vector outside the declared domain Σx² ∈ (0, 1e4]
         and it is EXCLUDED like a NULL — before r8 this was a loud
         ANSI CAST_OVERFLOW, which at 100 TB means one corrupt vector
         kills the whole job mid-stage (ROUND8_NOTES §15's posture,
