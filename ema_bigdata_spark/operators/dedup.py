@@ -45,16 +45,24 @@ _DUCK_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 #: DuckDB shingle expansion — the same 3-word shingles `_shingles()`
 #: builds Spark-side; shared by every minhash-family oracle below (the
 #: ngram/fuzzy oracles inline a DISTINCT variant of the same shape).
+#: Split ONCE in the subquery, then zip three shifted slices — the
+#: exact lesson `_shingles()`'s docstring records for Spark applies to
+#: DuckDB too: an earlier form re-ran string_split inside the
+#: per-shingle lambda, O(tokens²) per document (measured by the r8
+#: hostile-docs sweep: ONE 20 k-token boilerplate doc took the oracle
+#: 190 s; the zip form is 0.05 s, byte-identical output on a hostile
+#: text battery incl. multi-space/lead/trail/unicode).
 _DUCK_SHINGLES = """
       SELECT doc_id,
-             unnest(CASE WHEN length(string_split(text, ' ')) >= 3
+             unnest(CASE WHEN length(toks) >= 3
                THEN list_transform(
-                      generate_series(1, length(string_split(text, ' ')) - 2),
-                      i -> array_to_string(
-                             list_slice(string_split(text, ' '), i, i + 2),
-                             ' '))
+                      list_zip(list_slice(toks, 1, length(toks) - 2),
+                               list_slice(toks, 2, length(toks) - 1),
+                               list_slice(toks, 3, length(toks))),
+                      t -> concat(t[1], ' ', t[2], ' ', t[3]))
                ELSE [text] END) AS sh
-      FROM documents
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents)
 """
 
 
@@ -559,14 +567,15 @@ _BUCKET_CAP = 100
     WITH sh AS (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
-               unnest(CASE WHEN length(string_split(text, ' ')) >= 3
+               unnest(CASE WHEN length(toks) >= 3
                  THEN list_transform(
-                        generate_series(1, length(string_split(text, ' ')) - 2),
-                        i -> array_to_string(
-                               list_slice(string_split(text, ' '), i, i + 2),
-                               ' '))
+                        list_zip(list_slice(toks, 1, length(toks) - 2),
+                                 list_slice(toks, 2, length(toks) - 1),
+                                 list_slice(toks, 3, length(toks))),
+                        t -> concat(t[1], ' ', t[2], ' ', t[3]))
                  ELSE [text] END) AS sh
-        FROM documents)
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents))
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     keep AS (
@@ -664,14 +673,15 @@ def boilerplate_corpus(spark, n_docs: int) -> DataFrame:
     WITH sh AS (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
-               unnest(CASE WHEN length(string_split(text, ' ')) >= 3
+               unnest(CASE WHEN length(toks) >= 3
                  THEN list_transform(
-                        generate_series(1, length(string_split(text, ' ')) - 2),
-                        i -> array_to_string(
-                               list_slice(string_split(text, ' '), i, i + 2),
-                               ' '))
+                        list_zip(list_slice(toks, 1, length(toks) - 2),
+                                 list_slice(toks, 2, length(toks) - 1),
+                                 list_slice(toks, 3, length(toks))),
+                        t -> concat(t[1], ' ', t[2], ' ', t[3]))
                  ELSE [text] END) AS sh
-        FROM documents)
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents))
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     keep AS (

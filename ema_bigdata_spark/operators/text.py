@@ -281,10 +281,15 @@ _FP_MOD = 1_000_000_007
 
 
 def _word_hash(word: str) -> str:
+    # every term is CAST to BIGINT before its multiply: ascii() is
+    # INT32 on both engines and returns the full CODEPOINT, so a
+    # word starting with an emoji (ascii = 128512) times 40503
+    # overflows INT32 — found by the r8 hostile-docs sweep as an ANSI
+    # ARITHMETIC_OVERFLOW that killed the whole job on one document
     return (
-        f"(length({word}) * 2654435761"
-        f" + ascii(substr({word}, 1, 1)) * 40503"
-        f" + ascii(substr({word}, length({word}), 1)))"
+        f"(CAST(length({word}) AS BIGINT) * 2654435761"
+        f" + CAST(ascii(substr({word}, 1, 1)) AS BIGINT) * 40503"
+        f" + CAST(ascii(substr({word}, length({word}), 1)) AS BIGINT))"
     )
 
 
@@ -479,13 +484,14 @@ _BIGRAMS = (
     oracle="""
     WITH bg AS (
       SELECT doc_id, lang,
-             CASE WHEN len(string_split(text, ' ')) >= 2
+             CASE WHEN len(toks) >= 2
                THEN list_transform(
-                      generate_series(1, len(string_split(text, ' ')) - 1),
-                      i -> string_split(text, ' ')[i] || ' ' ||
-                           string_split(text, ' ')[i + 1])
+                      list_zip(list_slice(toks, 1, len(toks) - 1),
+                               list_slice(toks, 2, len(toks))),
+                      t -> concat(t[1], ' ', t[2]))
                ELSE [] END AS bigrams
-      FROM documents
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents)
     )
     SELECT doc_id, lang,
            CAST(len(bigrams) AS BIGINT) AS n_bigrams,
@@ -1722,7 +1728,8 @@ def _source_interleave_oracle() -> str:
       SELECT source,
              CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
                  AS slot
-      FROM (SELECT DISTINCT source FROM documents)
+      FROM (SELECT DISTINCT source FROM documents
+            WHERE source IS NOT NULL)
     )
     SELECT doc_id, source, round, slot FROM r JOIN s USING (source)
     """
@@ -1762,8 +1769,14 @@ def q_source_interleave(spark, sf_dir):
         (F.row_number().over(w) - 1).cast("long").alias("round"),
     )
     ws = Window.orderBy("source")  # ~|sources| rows: tiny window
+    # source IS NOT NULL (r8, hostile-docs sweep): a doc with no
+    # source cannot be dealt into a source-interleaved order — both
+    # engines' equi-joins already drop such rows, but an un-filtered
+    # slots dimension NUMBERED them (Spark sorts the NULL source
+    # first, DuckDB last), shifting every real source's slot
     slots = (
         docs.select("source")
+        .where(F.col("source").isNotNull())
         .distinct()
         .select(
             "source",

@@ -102,6 +102,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     q_window_running was already in (2b); q_profile_table's change
 #:     (per-column round flags) is output-identity on every value the
 #:     driver's clean data produces and defers with the suite pin.
+#:     Same identity-plus-suite-pin deferral for the two hostile-DOCS
+#:     sweep fixes (late r8): q_doc_fingerprint (BIGINT casts in the
+#:     word hash — values unchanged wherever the old INT32 multiply
+#:     didn't overflow, i.e. on all driver data) and
+#:     q_source_interleave (slots dimension excludes NULL sources —
+#:     none exist in driver data); both pinned on the extended
+#:     adversarial documents corpus (rows 11-13).  The dedup-family
+#:     oracle shingle CTE rewrite (linear zip form) is
+#:     output-IDENTICAL by construction, proven on a hostile text
+#:     battery — text change only, no window claim.
 #: (3) the two r5 rows that carry r8 behavior changes of their own:
 #:     s_stream_anomaly (the (2b) snap-domain filter in its core) and
 #:     q_outlier_mad (a (2b) gated crasher).  THIRTY-FIVE r5-era rows

@@ -196,6 +196,16 @@ def adv_docs_dir(spark, tmp_path_factory):
         (9, "normal document with several words of content here", "en",
          "wiki", 50),
         (10, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en", "web", 29),
+        # r8 hostile-docs sweep additions: an emoji-LEADING word
+        # (ascii() returns the codepoint, 128512 — overflowed the
+        # INT32 multiply in q_doc_fingerprint's word hash before the
+        # BIGINT casts), a NULL source (un-filtered, it shifted every
+        # real source's interleave slot: Spark numbers the NULL
+        # source first, DuckDB last), and a NULL lang (group-key
+        # pass-through)
+        (11, "\U0001f600 emoji leading word", "en", "web", 20),
+        (12, "document with a null source", "en", None, 27),
+        (13, "document with a null lang", None, "web", 25),
     ]
     spark.createDataFrame(
         docs,

@@ -130,9 +130,44 @@ def _build_hostile_ts(spark, tables, root: str) -> None:
         )
 
 
+#: hostile documents: degenerate text and NULL metadata.  n_chars is
+#: kept CONSISTENT with the text (some queries trust the column);
+#: doc_ids far above the corpus range.
+_DOC_ROWS = [
+    (30_000_000, None, "en", "src0"),            # NULL text
+    (30_000_001, "", "en", "src0"),              # empty text
+    (30_000_002, "   \t  \n ", "en", "src1"),    # whitespace only
+    (30_000_003, "x", "en", "src1"),             # single char
+    (30_000_004, "!!! ??? ... ;;; :::", "en", "src2"),  # punct only
+    (30_000_005, "word " * 20_000, "en", "src2"),  # 100 kB one-token-type
+    (30_000_006, "the quick brown fox", None, "src0"),   # NULL lang
+    (30_000_007, "the quick brown fox", "en", None),     # NULL source
+    (30_000_008, "éèê 中文 مرح"
+                 "با \U0001f600", "zh", "src1"),  # non-ASCII+emoji
+]
+
+
+def _build_hostile_docs(spark, tables, root: str) -> None:
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        if t != "documents":
+            shutil.copy(src, f"{root}/{t}.parquet")
+            continue
+        df = spark.read.parquet(src)
+        rows = [
+            (i, txt, lang, source, len(txt) if txt is not None else None)
+            for i, txt, lang, source in _DOC_ROWS
+        ]
+        _single_file(
+            df.unionByName(spark.createDataFrame(rows, df.schema)),
+            f"{root}/{t}.parquet",
+        )
+
+
 _MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
+    "hostile-docs": _build_hostile_docs,
 }
 
 
