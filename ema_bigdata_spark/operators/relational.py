@@ -206,7 +206,12 @@ def q_approx_distinct(spark, sf_dir):
             F.approx_count_distinct("o_custkey", rsd=0.02)
             .cast("long")
             .alias("_approx"),
-            F.count(F.lit(1)).cast("long").alias("exact_custs"),
+            # count(col), not count(*): the pre-aggregate carries a
+            # NULL-custkey group when such rows exist, and both
+            # COUNT(DISTINCT) and the HLL sketch ignore NULLs — a bare
+            # row count silently inflated exact_custs by one (r8
+            # hostile-keys sweep)
+            F.count("o_custkey").cast("long").alias("exact_custs"),
             F.sum("_cnt").cast("long").alias("n_rows"),
         )
         .select(

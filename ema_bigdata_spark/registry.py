@@ -111,7 +111,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     adversarial documents corpus (rows 11-13).  The dedup-family
 #:     oracle shingle CTE rewrite (linear zip form) is
 #:     output-IDENTICAL by construction, proven on a hostile text
-#:     battery — text change only, no window claim.
+#:     battery — text change only, no window claim.  q_approx_distinct
+#:     (hostile-KEYS sweep: exact_custs now counts non-NULL custkey
+#:     groups, matching COUNT(DISTINCT)/HLL NULL semantics) also
+#:     defers on identity-plus-pin: no NULL custkeys in driver data,
+#:     pinned by the adversarial relational fixture's new row.
 #: (3) the two r5 rows that carry r8 behavior changes of their own:
 #:     s_stream_anomaly (the (2b) snap-domain filter in its core) and
 #:     q_outlier_mad (a (2b) gated crasher).  THIRTY-FIVE r5-era rows

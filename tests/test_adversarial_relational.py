@@ -103,6 +103,11 @@ _ORDERS = [
     (13, 3, "F", 1000.0, _D(1994, 12, 31), "1-URGENT"),
     (14, 4, "P", 1000.0, _D(1995, 3, 15), "5-LOW"),
     (99, 42, "O", 1000.0, _D(1997, 7, 7), "3-MEDIUM"),
+    # r8 hostile-keys sweep: a NULL custkey — COUNT(DISTINCT) and the
+    # HLL sketch both ignore it, but q_approx_distinct's pre-aggregate
+    # carried it as a group and its bare row count silently inflated
+    # exact_custs by one
+    (98, None, "O", 1000.0, _D(1997, 8, 8), "3-MEDIUM"),
 ]
 # orphan l_orderkey 777; discounts at 0.0 and 1.0; a negative
 # extendedprice; zero quantity; NULL returnflag/shipdate

@@ -164,10 +164,58 @@ def _build_hostile_docs(spark, tables, root: str) -> None:
         )
 
 
+def _build_hostile_keys(spark, tables, root: str) -> None:
+    """NULL / orphan / negative / duplicated join keys: orders whose
+    custkey is NULL, matches no customer, or is negative; a customer
+    with a duplicated primary key; lineitem rows pointing at a
+    nonexistent order/part/supplier.  Joins must treat these as SQL
+    does (NULL matches nothing, orphans drop from inner joins,
+    duplicate dim keys fan out) — never crash or silently mis-bucket
+    (q_join_salted's salt arithmetic runs on the key itself)."""
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        if t not in ("orders", "customer", "lineitem"):
+            shutil.copy(src, f"{root}/{t}.parquet")
+            continue
+        df = spark.read.parquet(src)
+        base = df.limit(1).collect()[0].asDict()
+        rows = []
+
+        def mk(**over):
+            d = dict(base)
+            d.update(over)
+            return tuple(d[f.name] for f in df.schema.fields)
+
+        if t == "orders":
+            rows = [
+                mk(o_orderkey=40_000_000, o_custkey=None),
+                mk(o_orderkey=40_000_001, o_custkey=88_000_000),
+                mk(o_orderkey=40_000_002, o_custkey=-5),
+            ]
+        elif t == "customer":
+            # duplicate primary key: same c_custkey twice, different
+            # attrs — inner joins fan out, both engines identically
+            rows = [
+                mk(c_custkey=base["c_custkey"], c_name="dupe"),
+                mk(c_custkey=-5, c_name="negative-key"),
+            ]
+        elif t == "lineitem":
+            rows = [
+                mk(l_orderkey=77_000_000, l_linenumber=1),
+                mk(l_orderkey=77_000_001, l_partkey=99_000_000,
+                   l_suppkey=99_000_000, l_linenumber=1),
+            ]
+        _single_file(
+            df.unionByName(spark.createDataFrame(rows, df.schema)),
+            f"{root}/{t}.parquet",
+        )
+
+
 _MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
     "hostile-docs": _build_hostile_docs,
+    "hostile-keys": _build_hostile_keys,
 }
 
 
