@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ema_bigdata_spark.gmm_parity import _fresh_view
 from ema_bigdata_spark.functions.parity import cents, sql_cents
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
@@ -158,10 +159,12 @@ def q_kmeans(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint()
     )
-    hist.createOrReplaceTempView("v_kmeans_hist")
-    return spark.sql(
-        _kmeans_body("spark", "v_kmeans_hist", with_hist_cte=False)
-    )
+    # per-call view name (r8, same class as the gmm_parity ADVICE
+    # fix): a fixed name lets concurrent fits in one session, or a
+    # user view of that name, silently clobber each other
+    view = _fresh_view("v_kmeans_hist")
+    hist.createOrReplaceTempView(view)
+    return spark.sql(_kmeans_body("spark", view, with_hist_cte=False))
 
 
 # -- q_linreg: closed-form OLS from exact integer moment sums --------------
@@ -270,5 +273,6 @@ def q_linreg(spark, sf_dir):
             .alias("syy"),
         )
     )
-    g.createOrReplaceTempView("v_linreg_g")
-    return spark.sql(_linreg_select("v_linreg_g"))
+    view = _fresh_view("v_linreg_g")  # per-call name (see kmeans)
+    g.createOrReplaceTempView(view)
+    return spark.sql(_linreg_select(view))
