@@ -1348,11 +1348,15 @@ def q_embed_covariance(spark, sf_dir):
     form).  The mean vector rides the same pattern over single
     elements (64 keys).  Per-element snapping to integer units before
     the sum makes every cell bit-exact cross-engine AND order-free,
-    so the plan is shuffle-minimal without a determinism tax.  At
-    100 TB: cost is the arithmetic itself (d²/2 multiplies per row —
-    the irreducible math of covariance), network is
-    O(d² × partitions).  The oracle replays via a positional
-    self-join — same integers, different (test-scale-only) plan.
+    so the plan is shuffle-minimal without a determinism tax; network
+    is O(d² × partitions).  The wall-time here is NOT the d²/2
+    multiplies (the r8 measurement corrected the earlier
+    "irreducible arithmetic" claim): it is Spark's interpreted HOF
+    lambda at ~330 ns/product, which still beats the Python-worker
+    spin-up at driver scale — at volume use
+    :func:`embed_covariance_arrow` (bit-identical, 4× per core at a
+    20× corpus).  The oracle replays via a positional self-join —
+    same integers, different (test-scale-only) plan.
     Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
     # domain gate (r8, _NORM2_MAX): a NaN/Inf element would hard-error
@@ -1361,11 +1365,38 @@ def q_embed_covariance(spark, sf_dir):
     # the same predicate).  The ragged-width refusal below still runs
     # on the gated frame — wrong-width FINITE rows stay loud.
     emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
-    # dimension discovery MUST be corpus-wide, not head(1): a single
-    # off-width vector would otherwise emit flatten ordinals laid out
-    # for the wrong triangle and sum into wrong cells with no error.
-    # One tiny min/max aggregate over array lengths fails loudly
-    # instead (and doubles as the d source).
+    d = _cov_width(emb)
+    # overflow-safe two-stage sum (parity.py headroom rule): p_u
+    # reaches ~1e11/row for |x|~10, so one flat BIGINT sum would wrap
+    # past ~1e8 rows.  Stage 1 long-sums per (scan partition, cell) —
+    # exact while a single partition holds < 2^63/max(p_u) rows (~1e7
+    # at 128 MB partitions, orders of magnitude of headroom) — and
+    # stage 2 DECIMAL(38,0)-sums the tiny per-partition partials, so
+    # the decimal arithmetic never touches the hot path (measured:
+    # decimal-everywhere costs +25%, this form is free; DuckDB's
+    # BIGINT sums widen to HUGEINT natively, and both engines widen
+    # to the identical double inside _COV_EXPR).
+    sxy_pos = (
+        emb.select(
+            F.spark_partition_id().alias("pid"),
+            F.posexplode(F.expr(_OUTER_U)).alias("pos", "p_u"),
+        )
+        .groupBy("pid", "pos")
+        .agg(F.sum("p_u").alias("ps"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
+    )
+    return _cov_assemble(spark, emb, d, sxy_pos)
+
+
+def _cov_width(emb) -> int:
+    """Corpus-wide embedding width with a loud ragged-width refusal.
+
+    Dimension discovery MUST be corpus-wide, not head(1): a single
+    off-width vector would otherwise emit flatten ordinals laid out
+    for the wrong triangle and sum into wrong cells with no error.
+    One tiny min/max aggregate over array lengths fails loudly
+    instead (and doubles as the d source)."""
     bounds = emb.agg(
         F.min(F.size("embedding")).alias("mn"),
         F.max(F.size("embedding")).alias("mx"),
@@ -1375,6 +1406,15 @@ def q_embed_covariance(spark, sf_dir):
         raise ValueError(
             f"ragged embedding widths: {bounds['mn']}..{bounds['mx']}"
         )
+    return d
+
+
+def _cov_assemble(spark, emb, d: int, sxy_pos):
+    """Shared back half of both covariance paths: label the flat
+    upper-tri cell sums (``pos``, ``sxy`` DECIMAL) with (i, j) from a
+    broadcast dim, join the exact mean sums, and evaluate
+    :data:`_COV_EXPR` — identical integers in, identical doubles out,
+    whichever producer made the partials."""
     # row-major upper-tri cell ids: pos(i, j) = i·d − i(i−1)/2 + (j−i)
     cells = (
         spark.range(d)
@@ -1396,27 +1436,7 @@ def q_embed_covariance(spark, sf_dir):
             "j",
         )
     )
-    # overflow-safe two-stage sum (parity.py headroom rule): p_u
-    # reaches ~1e11/row for |x|~10, so one flat BIGINT sum would wrap
-    # past ~1e8 rows.  Stage 1 long-sums per (scan partition, cell) —
-    # exact while a single partition holds < 2^63/max(p_u) rows (~1e7
-    # at 128 MB partitions, orders of magnitude of headroom) — and
-    # stage 2 DECIMAL(38,0)-sums the tiny per-partition partials, so
-    # the decimal arithmetic never touches the hot path (measured:
-    # decimal-everywhere costs +25%, this form is free; DuckDB's
-    # BIGINT sums widen to HUGEINT natively, and both engines widen
-    # to the identical double inside _COV_EXPR).
-    sxy = (
-        emb.select(
-            F.spark_partition_id().alias("pid"),
-            F.posexplode(F.expr(_OUTER_U)).alias("pos", "p_u"),
-        )
-        .groupBy("pid", "pos")
-        .agg(F.sum("p_u").alias("ps"))
-        .groupBy("pos")
-        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
-        .join(F.broadcast(cells), "pos")
-    )
+    sxy = sxy_pos.join(F.broadcast(cells), "pos")
     m = (
         emb.select(F.explode(F.expr(_ELEM_U)).alias("e"))
         .select("e.i", "e.x_u")
@@ -1435,3 +1455,65 @@ def q_embed_covariance(spark, sf_dir):
         .join(F.broadcast(mj), sxy.j == mj.mj_i)
         .select("i", "j", F.expr(_COV_EXPR).alias("cov"))
     )
+
+
+def _cov_arrow_partials(it):
+    """Arrow batch → per-batch exact upper-tri integer sums (the
+    map-side combine of the covariance reduce, vectorized in numpy).
+
+    The snap reproduces Spark's ``round(x, 0)`` (BigDecimal HALF_UP)
+    EXACTLY: ``a = |p|`` and ``a - floor(a)`` are both exact doubles
+    for |p| < 2⁵³, so ``floor(|p|) + (frac ≥ 0.5)`` with the sign
+    reapplied is the true round-half-away-from-zero of the double's
+    exact value — no ``p + 0.5`` representability caveat, no numpy
+    half-even.  Verified bit-identical to the HOF snap over the
+    driver corpus (1.2e7 products) and a randomized ±9 battery."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = X.shape
+        iu = np.triu_indices(d)
+        acc = np.zeros(len(iu[0]), dtype=np.int64)
+        for lo in range(0, n, 512):  # bound the n×d² intermediate
+            c = X[lo : lo + 512]
+            p = (c[:, :, None] * c[:, None, :])[:, iu[0], iu[1]] * 1e9
+            a = np.abs(p)
+            ra = np.floor(a)
+            o = (ra + (a - ra >= 0.5)).astype(np.int64)
+            acc += np.where(p < 0, -o, o).sum(axis=0)
+        yield pd.DataFrame(
+            {"pos": np.arange(len(acc), dtype=np.int32), "ps": acc}
+        )
+
+
+def embed_covariance_arrow(spark, emb):
+    """Production-scale covariance over any (…, ``embedding``) frame —
+    bit-identical output to ``q_embed_covariance``, with the per-row
+    product stage Arrow-vectorized instead of interpreted.
+
+    Why this exists alongside the registered JVM form (the
+    ``_SPARK_XXH60`` precedent — provide the scale path, keep the
+    registered query on the measured-best-at-driver-scale form): the
+    nested-``transform`` HOF runs ~330 ns/product in Spark's lambda
+    interpreter, which at the driver's corpus is FASTER end-to-end
+    than paying the Python-worker spin-up (measured sf0.1: HOF 4.1 s
+    vs Arrow 5.1 s cold), but at volume the fixed cost amortizes and
+    numpy wins 4× per core (measured 20× corpus, warm interleaved:
+    Arrow 1.15 s vs HOF 4.57 s) — and the gap keeps growing with
+    rows.  Same domain gate, same ragged refusal, same two-stage
+    exact-integer reduce (per-batch int64 partials here ARE the
+    stage-1 combine; headroom |p|≤5e12 × 10⁴ rows/batch ≪ 2⁶³), same
+    assembly."""
+    emb = _norm_gated(emb)
+    d = _cov_width(emb)
+    sxy_pos = (
+        emb.select("embedding")
+        .mapInPandas(_cov_arrow_partials, "pos INT, ps LONG")
+        .groupBy("pos")
+        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
+    )
+    return _cov_assemble(spark, emb, d, sxy_pos)

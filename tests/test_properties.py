@@ -3956,3 +3956,58 @@ class TestParityEMInvariants:
             assert multi[k][0] == nd
             assert _packed(multi[k][1]) == _packed(P), k
             assert _packed({"l": multi[k][2]}) == _packed({"l": lnl}), k
+
+
+def test_covariance_arrow_path_bit_identical(spark, sf_dir):
+    """The documented production swap (embed_covariance_arrow) must be
+    bit-identical to the registered JVM-HOF covariance — same domain
+    gate, same exact-integer snap (the numpy HALF_UP reproduction),
+    same assembly — on the driver corpus AND a hostile table carrying
+    NaN/zero/NULL vectors the gate must exclude identically."""
+    from ema_bigdata_spark.operators.similarity import (
+        embed_covariance_arrow,
+    )
+    from ema_bigdata_spark import registry
+    from ema_bigdata_spark.sources.tables import load_table
+
+    ref = sorted(
+        tuple(r) for r in registry.QUERIES["q_embed_covariance"](
+            spark, sf_dir
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in embed_covariance_arrow(
+            spark, load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    )
+    assert len(ref) == 2080 and got == ref
+
+    hostile = spark.createDataFrame(
+        [
+            (1, [0.5] * 64, 0),
+            (2, [float("nan")] * 64, 0),
+            (3, [0.0] * 64, 0),
+            (4, None, 0),
+            (5, [-0.25] * 64, 0),
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    hostile.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    ref2 = sorted(
+        tuple(r) for r in registry.QUERIES["q_embed_covariance"](
+            spark, d
+        ).collect()
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in embed_covariance_arrow(
+            spark, load_table(spark, d, "embeddings")
+        ).collect()
+    )
+    assert got2 == ref2 and len(ref2) == 2080
