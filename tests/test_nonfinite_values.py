@@ -188,7 +188,11 @@ def emb_dir(spark, nf_dir, tmp_path_factory) -> str:
         (F.col("id") % 3).cast("int").alias("label"),
     )
     bad = spark.createDataFrame(
-        [(100, "nan", 0), (101, "inf", 1), (102, "huge", 2)],
+        # the fourth row is IN-domain with a NULL label: both engines
+        # group NULL labels together (probed r8 — parity holds; this
+        # row pins it)
+        [(100, "nan", 0), (101, "inf", 1), (102, "huge", 2),
+         (103, "ok", None)],
         "vec_id BIGINT, kind STRING, label INT",
     ).select(
         "vec_id",
@@ -196,6 +200,7 @@ def emb_dir(spark, nf_dir, tmp_path_factory) -> str:
             f"transform(sequence(1, {d}), i -> CASE WHEN i = 3 THEN"
             " CASE kind WHEN 'nan' THEN float('NaN')"
             " WHEN 'inf' THEN float('Infinity')"
+            " WHEN 'ok' THEN CAST(0.1 AS FLOAT)"
             " ELSE CAST(3e38 AS FLOAT) END"
             " ELSE CAST(0.1 AS FLOAT) END)"
         ).alias("embedding"),
@@ -235,9 +240,11 @@ class TestEmbeddingDomain:
         rows = registry.QUERIES["q_embed_centroid"](
             spark, emb_dir
         ).collect()
-        # 40 good vectors over 3 labels; the three hostile vectors
+        # 40 good vectors over 3 labels plus the in-domain NULL-label
+        # vector (its own group, counted); the three hostile vectors
         # (labels 0/1/2) are excluded from both n_vecs and the means
-        assert sum(r.n_vecs for r in rows) == 40
+        assert sum(r.n_vecs for r in rows) == 41
+        assert {r.label for r in rows} == {0, 1, 2, None}
 
 
 #: the second r8 sweep (poisoned TPC-H measure columns, one hostile
