@@ -59,14 +59,6 @@ def dlit(v: float) -> str:
     return f"CAST({v!r} AS DOUBLE)"
 
 
-#: largest finite double — the shared bound for the ROW-FILTER form of
-#: the gate (profiling / gmm histograms / streaming anomaly drop the
-#: whole row; NaN/±Inf compare greater than this on both engines, and
-#: NULL fails the predicate, so ``abs(x) <= DBL_MAX`` subsumes
-#: ``IS NOT NULL``)
-DBL_MAX = 1.7976931348623157e308
-
-
 # ---- Spark side ----------------------------------------------------------
 
 
@@ -105,13 +97,32 @@ def floor_long(expr: str) -> Column:
     function with JVM d2l semantics — NaN silently becomes 0 and ±Inf
     saturates to ±Long.MAX even under ANSI (measured on 4.1.2): silent
     corruption, not the declared ignore.  This form floors in DOUBLE
-    domain (``y - ((y % 1 + 1) % 1)`` — exact for every finite double,
-    NaN-propagating for NaN/±Inf since ``Inf % 1`` is NaN) and then
-    ``try_cast``s, matching :func:`sql_floor_long` on NaN, ±Inf, and
-    the ±2^63 overflow boundary (probed: 1e22/-1e22 → NULL on both).
+    domain with an explicit negative-fraction case (``%`` keeps the
+    dividend's sign, so ``y - (y % 1)`` truncates toward zero; the
+    ``- 1`` supplies floor's downward step) and then ``try_cast``s,
+    matching :func:`sql_floor_long` on NaN/±Inf (``Inf % 1`` is NaN,
+    which propagates to NULL through the else branches) and the ±2^63
+    overflow boundary (probed: 1e22/-1e22 → NULL on both).
+
+    The r8 form ``y - ((y % 1 + 1) % 1)`` was NOT exact everywhere
+    (ADVICE r8): for y ∈ (-2^-54, 0) the ``y % 1 + 1`` term rounds to
+    exactly 1.0, the expression returns y itself, and the cast
+    truncates to 0 while real floor is -1 (probed: -1e-17 → 0 vs
+    DuckDB's -1).  This form never adds a constant to the fraction, so
+    every step is exact: ``y % 1`` is exact (fmod), ``y - (y % 1)`` is
+    an integer of magnitude ≤ |y| < 2^52 on the fractional branches
+    (same-sign cancellation), and the ``- 1`` stays exact below 2^53;
+    |y| ≥ 2^52 doubles are already integers and take the first branch.
+    Pinned across the boundary battery and a 20k-sample fuzz vs DuckDB
+    (tests/test_nonfinite_values.py).
     """
     y = f"({expr})"
-    return F.expr(f"try_cast({y} - (({y} % 1 + 1) % 1) AS BIGINT)")
+    f = f"({y} % 1)"
+    return F.expr(
+        f"try_cast(CASE WHEN {f} = 0 THEN {y}"
+        f" WHEN {y} < 0 THEN {y} - {f} - 1"
+        f" ELSE {y} - {f} END AS BIGINT)"
+    )
 
 
 # ---- DuckDB side (SQL text) ---------------------------------------------

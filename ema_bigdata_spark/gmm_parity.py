@@ -431,113 +431,77 @@ def prepare_hist(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events")
     ev_view = _fresh_view("v_gmm_events")
     ev.createOrReplaceTempView(ev_view)
-    hist = spark.sql(hist_sql(ev_view)).coalesce(4).localCheckpoint()
+    try:
+        # localCheckpoint is EAGER: the histogram is materialized
+        # here, so the events view has served its purpose
+        hist = spark.sql(hist_sql(ev_view)).coalesce(4).localCheckpoint()
+    finally:
+        # drop immediately (ADVICE r8): per-call names otherwise
+        # accumulate in the session catalog for its whole lifetime
+        spark.catalog.dropTempView(ev_view)
     hist_view = _fresh_view("v_gmm_hist")
     hist.createOrReplaceTempView(hist_view)
     return hist_view
 
 
-#: iterations unrolled per Spark action (r7).  MEASURED NEGATIVE
-#: RESULT, kept deliberately at 1: chaining the engine-neutral
-#: ``update_ctes`` through several iterations per action (the oracle's
-#: own shape, lazily composed through temp views so the analyzer's
-#: 100-pass Resolution cap never trips) was built to amortize the
-#: ~0.25 s/statement analyze+JIT fixed cost, but Catalyst's optimizer
-#: cost grows superlinearly with the merged tree depth and LOSES:
-#: warm min-of-3 at sf0.1 for the 15-iteration fit = 4.2 s (chunk 1),
-#: 5.7 s (3), 7.5 s (5), 28.6 s (15 — single action).  Horizontal
-#: merging (q_gmm_bic's across-K lockstep) keeps tree depth constant
-#: and wins; vertical merging deepens the tree and doesn't.  The
-#: chunked path stays available (bit-identical at every chunk size —
-#: TestParityEMInvariants.test_chunked_equals_per_iteration) as the
-#: recorded evidence for this decision.
-CHUNK_FIT = 1
-
-_PKEYS = ("phi", "mu", "s2", "nrm")
-
-
 def parity_em_spark(spark: SparkSession, sf_dir: str, k: int, iters: int,
-                    want_lnl: bool = False, hist_view: str | None = None,
-                    chunk: int = CHUNK_FIT):
+                    want_lnl: bool = False, hist_view: str | None = None):
     """Run the bit-exact EM on Spark: one histogram scan, then ONE
-    statement per ``chunk`` iterations (SURVEY §4.3), params folded
-    driver-side with the Python mirrors between statements.  Returns
-    ``(nd, P, lnl)``.
+    statement per iteration (SURVEY §4.3), params folded driver-side
+    with the Python mirrors between statements (``update_fold`` is the
+    op-for-op mirror of the oracle's ``update_ctes`` — same IEEE ops
+    on the same doubles).  Returns ``(nd, P, lnl)``.
 
     Params fold as literals — measured against the alternative (1-row
     params temp view cross-joined for constant statement text): the
     view costs a createDataFrame round-trip + a broadcast join per
     iteration and times WORSE (9 s vs 5.5 s for the 15-iteration fit
-    at sf0.1).  r7 removes most of the remaining ~0.3 s/statement
-    analyze+JIT fixed cost by unrolling ``chunk`` iterations per
-    statement: inside a chunk the parameter update runs as the SAME
-    ``update_ctes`` SQL the DuckDB oracle replays (op-for-op mirror of
-    :func:`update_fold` — same IEEE ops on the same doubles, so the
-    chunked path is BIT-identical to chunk=1; pinned by
-    TestParityEMInvariants.test_chunked_equals_per_iteration)."""
-    if hist_view is None:
+    at sf0.1).  A chunked variant (several iterations unrolled per
+    action, the update running as Spark-side ``update_ctes`` SQL) was
+    built in r7 to amortize the ~0.3 s/statement analyze+JIT fixed
+    cost and REMOVED in r9 after staying dormant at chunk=1: Catalyst
+    optimizer cost grows superlinearly with merged tree depth and the
+    chunk always lost (measured at sf0.1, 15-iteration fit: 4.2 s
+    per-iteration vs 5.7/7.5/28.6 s at chunk 3/5/15 — ROUND8_NOTES §9,
+    decision recorded per VERDICT r8 item 8).  Horizontal merging
+    (q_gmm_bic's across-K lockstep) keeps tree depth constant and
+    stays.
+
+    If ``hist_view`` is None the histogram view is created AND dropped
+    here (ADVICE r8: per-call view names must not accumulate in the
+    session catalog); pass an explicit view to share one histogram
+    across fits — then the caller owns the drop."""
+    own_view = hist_view is None
+    if own_view:
         hist_view = prepare_hist(spark, sf_dir)
+    try:
+        ctes, fin = init_ctes(hist_view, k, "ini")
+        row = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
+        _require_nonempty(row["n"])
+        nd, P = init_fold(row, k)
 
-    ctes, fin = init_ctes(hist_view, k, "ini")
-    row = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
-    _require_nonempty(row["n"])
-    n_int = int(row["n"])
-    nd, P = init_fold(row, k)
-
-    cols = [f"{a}{j}" for j in range(1, k + 1) for a in _PKEYS]
-    done = 0
-    while done < iters:
-        c = min(chunk, iters - done)
-        if c == 1:
-            # the measured-fastest shape (r6): collect the raw sums
-            # row and fold the update in Python (update_fold is the
-            # op-for-op mirror of update_ctes, so both branches are
-            # bit-identical — pinned by the chunk-identity test)
+        for _ in range(iters):
             pt = {key: X.dlit_exact(val) for key, val in P.items()}
             ic, sfin = iter_ctes("spark", hist_view, pt, k, "it", "fit")
-            srow = spark.sql(_with(ic, f"SELECT * FROM {sfin}")).collect()[0]
+            srow = spark.sql(
+                _with(ic, f"SELECT * FROM {sfin}")
+            ).collect()[0]
             P = update_fold(srow, nd, k)
-            done += 1
-            continue
-        dfp = None
-        for m in range(done, done + c):
-            ctes = [("tot0", f"SELECT CAST({n_int} AS BIGINT) AS n")]
-            if m == done:
-                # chunk head: params enter as exact folded literals
-                pm = {key: X.dlit_exact(val) for key, val in P.items()}
-                src = hist_view
-            else:
-                # within the chunk: params are the previous
-                # iteration's update_ctes row (the oracle's shape),
-                # chained LAZILY through a temp view so each
-                # statement stays shallow for the analyzer's
-                # Resolution fixed point (a single WITH chain of
-                # chunk×13 CTEs blows its 100-pass cap at chunk ≥ 4)
-                # while the chunk still runs as ONE action — one
-                # optimize+codegen+schedule instead of per-iteration
-                prev_view = _fresh_view("v_em_prev")
-                dfp.createOrReplaceTempView(prev_view)
-                pm = {f"{a}{j}": f"{a}{j}" for j in range(1, k + 1)
-                      for a in ("mu", "s2", "nrm")}
-                src = f"{hist_view} CROSS JOIN {prev_view}"
-            ic, sfin = iter_ctes("spark", src, pm, k, f"it{m}", "fit")
-            uc, pcur = update_ctes(sfin, "tot0", k, f"it{m}")
-            dfp = spark.sql(_with(
-                ctes + ic + uc, f"SELECT {', '.join(cols)} FROM {pcur}"
-            ))
-        row = dfp.collect()[0]
-        P = {col: float(row[col]) for col in cols}
-        done += c
 
-    lnl = None
-    if want_lnl:
-        pt = {key: X.dlit_exact(val) for key, val in P.items()}
-        for j in range(1, k + 1):
-            pt[f"lnc{j}"] = X.dlit_exact(X.xln(P[f"nrm{j}"]))
-        ctes, fin = iter_ctes("spark", hist_view, pt, k, "ll", "lnl")
-        lrow = spark.sql(_with(ctes, f"SELECT * FROM {fin}")).collect()[0]
-        lnl = float(lrow["lnlu"]) / _LNL_SCF
-    return nd, P, lnl
+        lnl = None
+        if want_lnl:
+            pt = {key: X.dlit_exact(val) for key, val in P.items()}
+            for j in range(1, k + 1):
+                pt[f"lnc{j}"] = X.dlit_exact(X.xln(P[f"nrm{j}"]))
+            ctes, fin = iter_ctes("spark", hist_view, pt, k, "ll", "lnl")
+            lrow = spark.sql(
+                _with(ctes, f"SELECT * FROM {fin}")
+            ).collect()[0]
+            lnl = float(lrow["lnlu"]) / _LNL_SCF
+        return nd, P, lnl
+    finally:
+        if own_view:
+            spark.catalog.dropTempView(hist_view)
 
 
 def parity_em_spark_multi(spark: SparkSession, sf_dir: str,
@@ -554,10 +518,20 @@ def parity_em_spark_multi(spark: SparkSession, sf_dir: str,
     untouched: each fit's expressions are the same text as the
     single-K path, so results are bit-identical to running the fits
     separately (asserted by TestParityEMInvariants).  Returns
-    ``{k: (nd, P, lnl)}``."""
-    if hist_view is None:
+    ``{k: (nd, P, lnl)}``.  View ownership as in
+    :func:`parity_em_spark`: a self-created histogram view is dropped
+    on exit."""
+    own_view = hist_view is None
+    if own_view:
         hist_view = prepare_hist(spark, sf_dir)
+    try:
+        return _parity_em_multi_body(spark, hist_view, ks, iters, want_lnl)
+    finally:
+        if own_view:
+            spark.catalog.dropTempView(hist_view)
 
+
+def _parity_em_multi_body(spark, hist_view, ks, iters, want_lnl):
     # one statement for ALL inits (cum/tot shared across k)
     ctes: list[tuple[str, str]] = []
     sels = []

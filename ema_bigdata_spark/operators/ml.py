@@ -161,10 +161,19 @@ def q_kmeans(spark, sf_dir):
     )
     # per-call view name (r8, same class as the gmm_parity ADVICE
     # fix): a fixed name lets concurrent fits in one session, or a
-    # user view of that name, silently clobber each other
+    # user view of that name, silently clobber each other.  Dropped
+    # as soon as the statement is ANALYZED (r9, ADVICE r8: per-call
+    # names otherwise accumulate in the catalog, pinning their
+    # localCheckpoint storage for the session's lifetime) — the
+    # returned DataFrame holds the resolved plan, so a later collect
+    # doesn't need the catalog entry (probed; pinned by
+    # test_gmm_views_do_not_accumulate).
     view = _fresh_view("v_kmeans_hist")
     hist.createOrReplaceTempView(view)
-    return spark.sql(_kmeans_body("spark", view, with_hist_cte=False))
+    try:
+        return spark.sql(_kmeans_body("spark", view, with_hist_cte=False))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # -- q_linreg: closed-form OLS from exact integer moment sums --------------
@@ -273,6 +282,9 @@ def q_linreg(spark, sf_dir):
             .alias("syy"),
         )
     )
-    view = _fresh_view("v_linreg_g")  # per-call name (see kmeans)
+    view = _fresh_view("v_linreg_g")  # per-call name + drop (see kmeans)
     g.createOrReplaceTempView(view)
-    return spark.sql(_linreg_select(view))
+    try:
+        return spark.sql(_linreg_select(view))
+    finally:
+        spark.catalog.dropTempView(view)

@@ -19,16 +19,34 @@ from pyspark.sql import functions as F
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table
 
-#: the profiling family's declared value domain (r8, parity.py
-#: posture): the ×1e6 ``vu`` snap is BIGINT-exact for |value| ≤
-#: 9.2e12 (9.2e18/1e6); rows outside — non-finite included, since
-#: NaN/±Inf compare greater than any finite bound on both engines,
-#: and NULL fails the predicate — are excluded like NULLs.  A plain
-#: row filter keeps every downstream count/sum/percentile consistent
-#: (an in-pipeline NULL snap would make count(*) disagree with the
-#: sums that skip it).
-#: _VALUE_DOMAIN = 9.2e12 — the literal appears in the shared
-#: filter text `abs(value) <= 9.2e12` on BOTH engines.
+#: the profiling family's declared value domains (r8 posture, r9
+#: per-pipeline bounds — ADVICE r8): each query's row filter is its
+#: own arithmetic's PROVEN headroom, not just the ×1e6 snap's cast
+#: safety.  Rows outside — non-finite included, since NaN/±Inf
+#: compare greater than any finite bound on both engines, and NULL
+#: fails the predicate — are excluded like NULLs.  A plain row filter
+#: keeps every downstream count/sum/percentile consistent (an
+#: in-pipeline NULL snap would make count(*) disagree with the sums
+#: that skip it).  Per pipeline (each literal appears in the shared
+#: filter text `abs(value) <= B` on BOTH engines):
+#:
+#: - q_winsorize: 9.2e12 (linear BIGINT ops only — the ×1e6 snap's
+#:   cast headroom IS the binding constraint);
+#: - q_value_outliers: 1e9 — sxx0 = Σvu² must fit DECIMAL(38,0) /
+#:   HUGEINT.  The old 9.2e12 gate let two same-user rows near the
+#:   bound overflow the sum on BOTH engines (probed r9: Spark
+#:   "Overflow in sum of decimals", DuckDB "Overflow in HUGEINT
+#:   addition") — an in-domain crash.  At 1e9, vu² ≤ 1e30 leaves
+#:   1e7-events-per-user headroom (the docstring's long-standing
+#:   claim, now enforced by the gate);
+#: - q_outlier_mad: 1e8 — the integer gate `6745·au > 35000·mad_u`
+#:   runs in BIGINT; au ≤ 2·vu_max needs vu_max ≤ 1.3e14 for the
+#:   35000· product (probed r9: ±9.2e12 in one event_type overflowed
+#:   BIGINT on both engines).  At 1e8, 6745·au ≤ 1.35e18 and
+#:   35000·mad_u ≤ 7e18, both inside int64.
+#:
+#: Boundary parity is pinned by tests/test_adversarial_domain.py
+#: (TestProfilingDomain).
 
 #: (profile column, Spark source expression, round?) — o_orderdate
 #: profiles as exact epoch microseconds so min/max stay engine-exact
@@ -236,7 +254,7 @@ def value_outliers(events) -> "DataFrame":
     |value| ≤ 1e9 with up to ~1e7 events per user — far beyond the
     |mean|/sd ≈ 1e8 point where the unshifted doubles had already
     failed."""
-    ev = events.where(F.abs(F.col("value")) <= F.lit(9.2e12)).select(
+    ev = events.where(F.abs(F.col("value")) <= F.lit(1e9)).select(
         "event_id",
         "user_id",
         "value",
@@ -288,7 +306,7 @@ def value_outliers(events) -> "DataFrame":
     WITH ev AS (
       SELECT event_id, user_id, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 9.2e12
+      FROM events WHERE abs(value) <= 1e9
     ),
     raw AS (
       SELECT user_id,
@@ -410,7 +428,7 @@ _MAD_Z = (
     WITH ev AS (
       SELECT event_id, event_type, value,
              CAST(round(value * 1000000) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 9.2e12
+      FROM events WHERE abs(value) <= 1e8
     ),
     med AS (
       SELECT event_type,
@@ -456,7 +474,7 @@ def q_outlier_mad(spark, sf_dir):
     counterpart."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.abs(F.col("value")) <= F.lit(9.2e12))
+        .where(F.abs(F.col("value")) <= F.lit(1e8))
         .select(
             "event_id",
             "event_type",

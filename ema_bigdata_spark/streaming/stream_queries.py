@@ -616,11 +616,23 @@ def s_stream_upsert(spark, sf_dir):
 #: gate: flag an arriving value once ≥ _ANOM_MIN_N PRIOR events exist
 #: for the key and |v − mean| > 3σ of those priors.  Cross-multiplied
 #: to exact integers on ×100 fixed-point (cents):
-#: (n·vu − sx)² > 9·(n·sxx − sx²) — with n ≤ ~10⁶ and vu ≤ ~10⁵ both
-#: sides stay under 2⁶³; the oracle still computes them in HUGEINT
-#: (and the Python state fn in arbitrary-precision int), so the first
-#: scale at which BIGINT would wrap changes nothing.
+#: (n·vu − sx)² > 9·(n·sxx − sx²).  The Python state fn computes this
+#: in arbitrary-precision int and the oracle in HUGEINT, so the gate
+#: itself never wraps; what CAN wrap is the PERSISTED Σvu² — r8
+#: stored it in a BIGINT state field, which overflows once
+#: Σvu² > 9.2e18 (a single |value| ≥ ~3.04e7 row, or a long stream of
+#: moderate ones — ADVICE r8: an in-domain corrupt double hard-killed
+#: the whole stream, the exact failure the r8 gate claimed to
+#: remove).  r9: sx/sxx persist as DECIMAL(38,0) (round-trips the
+#: state store exactly — probed), the oracle's window sums run in
+#: HUGEINT, and the row gate is the value-domain |value| ≤
+#: _ANOM_DOMAIN shared with q_value_outliers.  Exactness headroom at
+#: the bound: vu ≤ 1e11, Σvu² ≤ n·1e22, and the gate's n·sxx ≤ n²·1e22
+#: stays inside HUGEINT for n ≤ ~4e7 events per key; at realistic
+#: magnitudes (|value| ~1e3) headroom is n ≤ ~4e13 — effectively
+#: unbounded.  Pinned by test_adversarial_streaming's domain battery.
 _ANOM_MIN_N = 10
+_ANOM_DOMAIN = 1e9
 
 
 def anomaly_stream(stream):
@@ -636,6 +648,8 @@ def anomaly_stream(stream):
     :func:`session_stream`: same ``applyInPandasWithState`` machinery,
     but emission is PER-EVENT conditioned on state rather than
     per-aggregate — the shape of alerting/DQ gates on a live feed."""
+    import decimal
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -658,7 +672,9 @@ def anomaly_stream(stream):
             if n >= min_n and (n * vu - sx) ** 2 > 9 * (n * sxx - sx * sx):
                 out.append((key[0], event_id, value, n))
             n, sx, sxx = n + 1, sx + vu, sxx + vu * vu
-        state.update((n, sx, sxx))
+        # sx/sxx persist as DECIMAL(38,0): Python's exact ints survive
+        # the state-store round trip beyond int64 (_ANOM_DOMAIN note)
+        state.update((n, decimal.Decimal(sx), decimal.Decimal(sxx)))
         yield pd.DataFrame(
             out, columns=["user_id", "event_id", "value", "n_prior"]
         )
@@ -667,7 +683,7 @@ def anomaly_stream(stream):
         detect,
         outputStructType="user_id BIGINT, event_id BIGINT, value DOUBLE,"
         " n_prior BIGINT",
-        stateStructType="n BIGINT, sx BIGINT, sxx BIGINT",
+        stateStructType="n BIGINT, sx DECIMAL(38,0), sxx DECIMAL(38,0)",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -679,13 +695,13 @@ def anomaly_stream(stream):
     WITH ev AS (
       SELECT user_id, event_id, ts, value,
              CAST(round(value * 100) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= 9.2e16 AND {sql_ts_domain()}
+      FROM events WHERE abs(value) <= {_ANOM_DOMAIN!r} AND {sql_ts_domain()}
     ),
     run AS (
       SELECT user_id, event_id, value, vu,
              CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS n,
-             CAST(coalesce(sum(vu) OVER w, 0) AS BIGINT) AS sx,
-             CAST(coalesce(sum(vu * vu) OVER w, 0) AS BIGINT) AS sxx
+             coalesce(sum(CAST(vu AS HUGEINT)) OVER w, 0) AS sx,
+             coalesce(sum(CAST(vu AS HUGEINT) * vu) OVER w, 0) AS sxx
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -693,8 +709,8 @@ def anomaly_stream(stream):
     SELECT user_id, event_id, value, n AS n_prior
     FROM run
     WHERE n >= {_ANOM_MIN_N}
-      AND CAST(n * vu - sx AS HUGEINT) * (n * vu - sx)
-          > 9 * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      AND (CAST(n AS HUGEINT) * vu - sx) * (CAST(n AS HUGEINT) * vu - sx)
+          > 9 * (CAST(n AS HUGEINT) * sxx - sx * sx)
     """,
 )
 def s_stream_anomaly(spark, sf_dir):
@@ -711,12 +727,13 @@ def s_stream_anomaly(spark, sf_dir):
     evicting keys idle past the watermark.  Driver-mandated surface
     (SURVEY §2.4); no Main.scala counterpart."""
     src = stream_source(spark, sf_dir)
-    # snap-domain gate, not just IS NOT NULL (r8, parity.py posture):
-    # a NaN/Inf — or a finite value whose ×100 snap exceeds BIGINT
-    # (|v| > 9.2e16) — would hard-error the cast and kill the STREAM,
-    # state and all; out-of-domain rows are excluded like NULLs
+    # value-domain gate, not just IS NOT NULL (r8 posture, r9 bound —
+    # _ANOM_DOMAIN note): a NaN/Inf would hard-error the snap, and the
+    # old cast-safety bound (9.2e16) let an in-domain value overflow
+    # the accumulated Σvu² and kill the STREAM, state and all;
+    # out-of-domain rows are excluded like NULLs
     stream = src.where(
-        F.abs(F.col("value")) <= F.lit(9.2e16)
+        F.abs(F.col("value")) <= F.lit(_ANOM_DOMAIN)
     ).select(
         "user_id",
         event_epoch_us(src).alias("ts_us"),

@@ -307,3 +307,65 @@ class TestAdversarialEmbeddings:
         )
         out = registry.QUERIES["q_embed_centroid"](spark, d).collect()
         assert [(r.label, r.n_vecs) for r in out] == [(0, 3)]
+
+
+class TestProfilingDomain:
+    """r9 per-pipeline value domains (profiling.py module comment).
+
+    The r8 shared gate |value| ≤ 9.2e12 was CAST-safety only; each
+    profiling query's quadratic/cross-multiplied integer arithmetic
+    overflows well inside it (probed r9: q_value_outliers' Σvu² blew
+    DECIMAL(38,0)/HUGEINT with 12 same-user rows at 9.19e12;
+    q_outlier_mad's 6745·au blew BIGINT on ±9.2e12 in one event_type —
+    in-domain crashes on BOTH engines, ADVICE r8).  The r9 gates are
+    each pipeline's proven headroom: 1e9 (value_outliers), 1e8
+    (outlier_mad), 9.2e12 unchanged (winsorize, linear ops only).
+    This fixture parks values exactly AT each bound (many same-user
+    rows, the old crash shape) and just above it, and requires full
+    bit-parity — at-bound rows aggregate crash-free, above-bound rows
+    are excluded identically on both engines.
+    """
+
+    _QUERIES = ("q_value_outliers", "q_outlier_mad", "q_winsorize")
+
+    @pytest.fixture(scope="class")
+    def bounds_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("profdomain"))
+        values = (
+            # 84 rows AT the value_outliers bound → 12 rows/user at
+            # vu=1e15: Σvu² = 1.2e31, the exact shape that overflowed
+            # the old 9.2e12 gate's headroom
+            [1e9] * 84
+            + [-1e9] * 42
+            # AT the outlier_mad bound, both signs in every event_type
+            # (worst-case au = 2e14 → 6745·au = 1.349e18 < 2^63)
+            + [1e8, -1e8] * 12
+            # just above each bound: excluded by the tighter gates,
+            # still IN-domain for winsorize
+            + [1000000000.01, -1000000000.01, 100000000.01]
+            # winsorize bound and beyond, plus non-finites and NULL
+            + [9.2e12, -9.2e12, 9200000000000.01, float("nan"),
+               float("inf"), -float("inf"), None]
+            # benign spread so medians/σ are nondegenerate
+            + [round(100.0 + 0.25 * i, 2) for i in range(40)]
+        )
+        _write_events(spark, d, values)
+        return d
+
+    @pytest.mark.parametrize("name", _QUERIES)
+    def test_at_and_above_bound_parity(self, spark, bounds_dir, name):
+        duck = _make_duck(bounds_dir, "events")
+        try:
+            _check_parity(spark, duck, bounds_dir, name)
+        finally:
+            duck.close()
+
+    def test_above_bound_rows_are_ignored_not_fatal(
+        self, spark, bounds_dir
+    ):
+        """The 1e9+ε rows must vanish from value_outliers' statistics
+        (not crash them), and the at-bound rows must still be judged."""
+        out = registry.QUERIES["q_value_outliers"](
+            spark, bounds_dir
+        ).collect()
+        assert all(abs(r.value) <= 1e9 for r in out)

@@ -275,3 +275,97 @@ class TestLateFlood:
         assert per_window[0] == [1]
         assert all(m not in per_window for m in (1, 2, 3, 4))
         assert per_window[60] == [1] and per_window[62] == [1]
+
+
+class TestAnomalyDomain:
+    """r9 (ADVICE r8 medium): the anomaly core's accumulated Σvu² used
+    to live in a BIGINT state field, so an IN-domain |value| ≥ ~3.04e7
+    (vu² > 2^63) hard-errored the state write and killed the whole
+    stream — the exact failure class the r8 gate claimed to remove.
+    Now sx/sxx persist as DECIMAL(38,0), the oracle sums in HUGEINT,
+    and the declared domain is |value| ≤ _ANOM_DOMAIN (1e9, shared
+    with q_value_outliers).  These tests drive the core at the bound.
+    """
+
+    def test_huge_magnitudes_survive_state_store(self, spark, tmp_path):
+        """Two batches at |value| = 1e9 (vu = 1e11, single vu² = 1e22 ≫
+        2^63): state must round-trip exactly and the batch-2 outlier
+        must be judged against all 10 batch-1 priors."""
+        from ema_bigdata_spark.streaming.stream_queries import (
+            _ANOM_MIN_N,
+            anomaly_stream,
+        )
+
+        schema = (
+            "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+            " value DOUBLE, vu BIGINT"
+        )
+        calm = [
+            (1, i * MIN, i, 1e9 - 0.01 * (i % 2),
+             100_000_000_000 - (i % 2))
+            for i in range(_ANOM_MIN_N)
+        ]
+        stream = SE._two_batches(
+            spark, f"{tmp_path}/an", schema,
+            calm,
+            # batch 2: one wild drop (5e8) then one calm follower
+            [(1, 100 * MIN, 100, 5e8, 50_000_000_000),
+             (1, 101 * MIN, 101, 1e9, 100_000_000_000)],
+        )
+        out = SE._drain(anomaly_stream(stream), _sink("adv_anom"),
+                        "update", spark)
+        rows = [(r.event_id, r.value, r.n_prior) for r in out.collect()]
+        # only the wild event fires; n_prior proves the Σvu² ≈ 1e23
+        # state survived the batch boundary bit-exactly
+        assert rows == [(100, 5e8, _ANOM_MIN_N)], rows
+
+    def test_registered_query_parity_at_bound(self, spark, tmp_path):
+        """s_stream_anomaly ↔ its HUGEINT oracle on an events table
+        whose values park AT ±1e9 (old code: stream death) and just
+        above it (must be ignored identically on both engines)."""
+        import datetime
+
+        import duckdb
+
+        from ema_bigdata_spark import registry
+        from tests.oracle import compare_query
+
+        registry.load_all()
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for uid, vals in (
+            (1, [1e9 - 0.01 * (i % 2) for i in range(12)] + [-5e8]),
+            (2, [100.0 + i for i in range(12)] + [1000000000.01, 9.5]),
+        ):
+            for v in vals:
+                rows.append((
+                    eid, base + datetime.timedelta(minutes=eid), uid,
+                    "view", v, "{}",
+                ))
+                eid += 1
+        import glob as _glob
+        import shutil
+
+        d = str(tmp_path / "anomb")
+        # stream_source path-glob-filters for the single FILE
+        # events.parquet (the driver testdata layout), so unwrap the
+        # part file out of the Spark output directory
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+            " event_type STRING, value DOUBLE, props STRING",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/ev__d")
+        (part,) = _glob.glob(f"{d}/ev__d/part-*.parquet")
+        shutil.move(part, f"{d}/events.parquet")
+        shutil.rmtree(f"{d}/ev__d")
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW events AS SELECT * FROM"
+            f" read_parquet('{d}/events.parquet')"
+        )
+        try:
+            compare_query(spark, duck, d, "s_stream_anomaly")
+        finally:
+            duck.close()

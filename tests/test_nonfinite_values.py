@@ -14,8 +14,9 @@ scale's headroom — are ignored by the statistic**: ``cents`` /
 ±Inf, and overflow; no per-row branch), and the row-filter family
 (profiling, the gmm histograms, the streaming anomaly core) extends
 its ``IS NOT NULL`` filter to each pipeline's snap-safe domain
-(``abs(value) <= 9.2e12`` for profiling's ×1e6 snap, ``9.2e16`` for
-the anomaly core's ×100, ``1e6`` for the EM's documented headroom) —
+(per-pipeline arithmetic headroom since r9 — see profiling.py's
+module comment and the anomaly core's ``_ANOM_DOMAIN``; ``1e6`` for
+the EM's documented headroom) —
 a row filter, because an in-pipeline NULL snap would make count(*)
 disagree with the sums that skip it.
 Denominators count the SNAP (q_ab_ttest / q_variance_pop /
@@ -412,3 +413,57 @@ class TestIgnoredSemantics:
         # NaN/±Inf rows AND the 1e17 beyond-snap-domain row excluded
         assert ids.isdisjoint({3, 4, 13, 25})
         assert {1, 2, 10, 12, 14, 15, 22, 23, 24} <= ids
+
+
+class TestFloorLongBoundaries:
+    """floor_long ↔ sql_floor_long parity on the double-domain edges.
+
+    The r8 form broke on tiny negatives (ADVICE r8): for
+    y ∈ (-2^-54, 0) its ``y % 1 + 1`` rounded to exactly 1.0 and the
+    cast truncated to 0 where floor is -1 — a cross-engine break on
+    price_bucket.  This battery pins the corrected negative-fraction
+    CASE form on every boundary class; a 60k-sample fuzz (random bit
+    patterns included) ran clean at fix time (ROUND9_NOTES).
+    """
+
+    #: tiny negatives (the r8 bug), signed zeros, halves, exact-double
+    #: edges at 2^52/2^53, BIGINT overflow edges, non-finites
+    _BATTERY = [
+        -1e-17, -(2.0 ** -54), -(2.0 ** -53), -(2.0 ** -52),
+        -0.5, -2.5, 2.5, 0.0, -0.0, 1e-17,
+        -1.0 - 2.0 ** -52, 1.0 - 2.0 ** -53, -(1.0 - 2.0 ** -53),
+        2.0 ** 52, -(2.0 ** 52), 2.0 ** 52 - 0.5, -(2.0 ** 52) - 0.5,
+        -(2.0 ** 52) + 0.5, 2.0 ** 53, -(2.0 ** 53),
+        9.223372036854775e18, -9.223372036854776e18, 1e22, -1e22,
+        NAN, INF, -INF,
+    ]
+
+    def test_boundary_battery_matches_duckdb(self, spark):
+        import duckdb
+
+        from ema_bigdata_spark.functions.parity import (
+            floor_long,
+            sql_floor_long,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self._BATTERY)],
+            "i long, y double",
+        )
+        got = {
+            r.i: r.f
+            for r in df.select("i", floor_long("y").alias("f")).collect()
+        }
+        duck = duckdb.connect()
+        try:
+            for i, v in enumerate(self._BATTERY):
+                want = duck.execute(
+                    f"SELECT {sql_floor_long('CAST(? AS DOUBLE)')}", [v]
+                ).fetchone()[0]
+                assert got[i] == want or (got[i] is None and want is None), (
+                    f"y={v!r}: spark={got[i]!r} duck={want!r}"
+                )
+        finally:
+            duck.close()
+        # the r8 regression, pinned by value: floor(-1e-17) is -1
+        assert got[0] == -1 and got[1] == -1

@@ -3920,24 +3920,29 @@ class TestParityEMInvariants:
             assert struct.pack(">d", sv) == want, ("spark", c, sv)
             assert struct.pack(">d", dv) == want, ("duckdb", c, dv)
 
-    def test_chunked_equals_per_iteration(self, spark, sf_dir):
-        """r7: unrolling several iterations per statement (update_ctes
-        running Spark-side inside the chunk) is a scheduling change,
-        not a math change — params after 7 iterations must be
-        BIT-identical for chunk sizes 1, 3, and 7."""
-        from ema_bigdata_spark import gmm_parity as G
+    def test_gmm_views_do_not_accumulate(self, spark, sf_dir):
+        """r9 (ADVICE r8): the per-call temp-view names (gmm histogram,
+        kmeans histogram, linreg moments) must be DROPPED once their
+        consuming statement is analyzed — a long-lived session or a
+        bench loop must not accumulate catalog entries (each pinning a
+        localCheckpoint'ed frame).  The r7 chunked-EM path — the other
+        leak site ADVICE named — was removed outright in r9 (dormant
+        since its negative measurement, VERDICT r8 item 8)."""
+        from ema_bigdata_spark import registry
 
-        hv = G.prepare_hist(spark, sf_dir)
-        base = G.parity_em_spark(
-            spark, sf_dir, 3, 7, want_lnl=True, hist_view=hv, chunk=1
-        )
-        for c in (3, 7):
-            got = G.parity_em_spark(
-                spark, sf_dir, 3, 7, want_lnl=True, hist_view=hv, chunk=c
-            )
-            assert got[0] == base[0], c
-            assert _packed(got[1]) == _packed(base[1]), c
-            assert _packed({"l": got[2]}) == _packed({"l": base[2]}), c
+        registry.load_all()
+        def temp_views():
+            return {
+                t.name
+                for t in spark.catalog.listTables()
+                if t.tableType == "TEMPORARY"
+            }
+
+        before = temp_views()
+        for name in ("gmm_fit", "q_gmm_bic", "q_kmeans", "q_linreg"):
+            registry.QUERIES[name](spark, sf_dir).collect()
+        after = temp_views()
+        assert after == before, sorted(after - before)
 
     def test_lockstep_multi_equals_single_k(self, spark, sf_dir):
         """The merged per-iteration statement (all K fits in one SQL)
