@@ -1336,27 +1336,36 @@ def q_embed_covariance(spark, sf_dir):
     MLlib's own PCA stages it (RowMatrix.computeCovariance → local
     Breeze eig).
 
-    Spark-first plan with NO self-join and NO d×-row shuffle: each
-    row emits its 2 080 upper-tri products via nested array
-    ``transform`` (JVM higher-order functions, zero Python) as a flat
-    BIGINT array whose posexplode ordinal is the cell id, and the
-    following hash aggregate combines them MAP-SIDE — the exchange
-    carries at most 2 080 keys per partition regardless of row count;
-    the (i, j) labels rejoin from a broadcast dim built join-free
-    (range × sequence explode) AFTER the aggregate, so the per-row
-    Generate never carries them (measured 25% faster than the struct
-    form).  The mean vector rides the same pattern over single
-    elements (64 keys).  Per-element snapping to integer units before
-    the sum makes every cell bit-exact cross-engine AND order-free,
-    so the plan is shuffle-minimal without a determinism tax; network
-    is O(d² × partitions).  The wall-time here is NOT the d²/2
-    multiplies (the r8 measurement corrected the earlier
-    "irreducible arithmetic" claim): it is Spark's interpreted HOF
-    lambda at ~330 ns/product, which still beats the Python-worker
-    spin-up at driver scale — at volume use
-    :func:`embed_covariance_arrow` (bit-identical, 4× per core at a
-    20× corpus).  The oracle replays via a positional self-join —
-    same integers, different (test-scale-only) plan.
+    Spark-first plan with NO self-join and NO d×-row shuffle: the
+    per-row upper-tri product stage feeds a MAP-SIDE-combined hash
+    aggregate — the exchange carries at most 2 080 keys per partition
+    regardless of row count; the (i, j) labels rejoin from a broadcast
+    dim built join-free (range × sequence explode) AFTER the aggregate
+    (measured 25% faster than the struct form); the mean vector rides
+    the same pattern over single elements (64 keys).  Per-element
+    snapping to integer units before the sum makes every cell
+    bit-exact cross-engine AND order-free, so the plan is
+    shuffle-minimal without a determinism tax; network is
+    O(d² × partitions).
+
+    The product stage AUTO-SWITCHES on corpus size (r9, VERDICT r8
+    item 4 — both producers feed the identical :func:`_cov_assemble`
+    back half and are proven bit-identical by
+    test_covariance_arrow_path_bit_identical): corpora of
+    ≥ :data:`_COV_ARROW_MIN_ROWS` rows take the Arrow/numpy partials
+    (:func:`_cov_sxy_arrow`), smaller ones the zero-Python JVM-HOF
+    form (:func:`_cov_sxy_hof`).  Threshold from an r9 size sweep
+    (64/128/256/512/500/2k/4k/10k/20k/40k rows, warm min-of-4 plus
+    fresh-session cold runs, ROUND9_NOTES): Arrow wins every size
+    ≥ 500 (sf0.1: 6.6 → 2.6 s warm, 13.9 → 11.6 s cold; 40 k rows:
+    38 → 5.7 s, and the gap grows linearly with rows since the HOF
+    interpreter costs ~330 ns/product) and TIES within noise at
+    64-512, where both are overhead-bound — so the threshold only
+    decides who handles degenerate corpora, and the no-Python path's
+    simpler failure surface wins those.  The r8 claim that the HOF
+    beat Arrow cold at driver scale did NOT reproduce and is
+    retracted by this sweep.  The oracle replays via a positional
+    self-join — same integers, different (test-scale-only) plan.
     Driver-mandated surface (SURVEY §2.4); no Main.scala
     counterpart."""
     # domain gate (r8, _NORM2_MAX): a NaN/Inf element would hard-error
@@ -1365,18 +1374,36 @@ def q_embed_covariance(spark, sf_dir):
     # the same predicate).  The ragged-width refusal below still runs
     # on the gated frame — wrong-width FINITE rows stay loud.
     emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
-    d = _cov_width(emb)
-    # overflow-safe two-stage sum (parity.py headroom rule): p_u
-    # reaches ~1e11/row for |x|~10, so one flat BIGINT sum would wrap
-    # past ~1e8 rows.  Stage 1 long-sums per (scan partition, cell) —
-    # exact while a single partition holds < 2^63/max(p_u) rows (~1e7
-    # at 128 MB partitions, orders of magnitude of headroom) — and
-    # stage 2 DECIMAL(38,0)-sums the tiny per-partition partials, so
-    # the decimal arithmetic never touches the hot path (measured:
-    # decimal-everywhere costs +25%, this form is free; DuckDB's
-    # BIGINT sums widen to HUGEINT natively, and both engines widen
-    # to the identical double inside _COV_EXPR).
-    sxy_pos = (
+    d, n = _cov_stats(emb)
+    if n >= _COV_ARROW_MIN_ROWS:
+        sxy_pos = _cov_sxy_arrow(emb)
+    else:
+        sxy_pos = _cov_sxy_hof(emb)
+    return _cov_assemble(spark, emb, d, sxy_pos)
+
+
+#: producer switch point for q_embed_covariance — see its docstring
+#: for the r9 measurement that set it
+_COV_ARROW_MIN_ROWS = 256
+
+
+def _cov_sxy_hof(emb):
+    """JVM-HOF product partials: nested array ``transform`` emits each
+    row's 2 080 upper-tri products as a flat BIGINT array whose
+    posexplode ordinal is the cell id — zero Python, ~330 ns/product
+    in Spark's lambda interpreter.
+
+    Overflow-safe two-stage sum (parity.py headroom rule): p_u reaches
+    ~1e11/row for |x|~10, so one flat BIGINT sum would wrap past ~1e8
+    rows.  Stage 1 long-sums per (scan partition, cell) — exact while
+    a single partition holds < 2^63/max(p_u) rows (~1e7 at 128 MB
+    partitions, orders of magnitude of headroom) — and stage 2
+    DECIMAL(38,0)-sums the tiny per-partition partials, so the decimal
+    arithmetic never touches the hot path (measured:
+    decimal-everywhere costs +25%, this form is free; DuckDB's BIGINT
+    sums widen to HUGEINT natively, and both engines widen to the
+    identical double inside _COV_EXPR)."""
+    return (
         emb.select(
             F.spark_partition_id().alias("pid"),
             F.posexplode(F.expr(_OUTER_U)).alias("pos", "p_u"),
@@ -1386,27 +1413,84 @@ def q_embed_covariance(spark, sf_dir):
         .groupBy("pos")
         .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
     )
-    return _cov_assemble(spark, emb, d, sxy_pos)
 
 
-def _cov_width(emb) -> int:
-    """Corpus-wide embedding width with a loud ragged-width refusal.
+def _cov_sxy_arrow(emb):
+    """Arrow/numpy product partials: per-batch int64 sums ARE the
+    stage-1 combine (headroom |p| ≤ 5e12 × 10⁴ rows/batch ≪ 2⁶³); the
+    same stage-2 DECIMAL(38,0) reduce as the HOF form.
+
+    The batch fn is a ``<locals>`` closure ON PURPOSE (the
+    multimodal.py module-docstring rule): cloudpickle serializes
+    locals BY VALUE, while a module-level fn ships as an import
+    reference that a worker under a neutral-sys.path driver (the
+    external driver imports ``__spark_entry__`` by path) cannot
+    resolve — the r8 module-level form died with ModuleNotFoundError
+    the first time the REGISTERED query took this path (r9).
+
+    The snap reproduces Spark's ``round(x, 0)`` (BigDecimal HALF_UP)
+    EXACTLY: ``a = |p|`` and ``a - floor(a)`` are both exact doubles
+    for |p| < 2⁵³, so ``floor(|p|) + (frac ≥ 0.5)`` with the sign
+    reapplied is the true round-half-away-from-zero of the double's
+    exact value — no ``p + 0.5`` representability caveat, no numpy
+    half-even.  Verified bit-identical to the HOF snap over the
+    driver corpus (1.2e7 products) and a randomized ±9 battery."""
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = X.shape
+            iu = np.triu_indices(d)
+            acc = np.zeros(len(iu[0]), dtype=np.int64)
+            for lo in range(0, n, 512):  # bound the n×d² intermediate
+                c = X[lo : lo + 512]
+                p = (c[:, :, None] * c[:, None, :])[:, iu[0], iu[1]] * 1e9
+                a = np.abs(p)
+                ra = np.floor(a)
+                o = (ra + (a - ra >= 0.5)).astype(np.int64)
+                acc += np.where(p < 0, -o, o).sum(axis=0)
+            yield pd.DataFrame(
+                {"pos": np.arange(len(acc), dtype=np.int32), "ps": acc}
+            )
+
+    return (
+        emb.select("embedding")
+        .mapInPandas(partials, "pos INT, ps LONG")
+        .groupBy("pos")
+        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
+    )
+
+
+def _cov_stats(emb) -> tuple[int, int]:
+    """Corpus-wide (embedding width, row count) with a loud
+    ragged-width refusal — ONE tiny aggregate job.
 
     Dimension discovery MUST be corpus-wide, not head(1): a single
     off-width vector would otherwise emit flatten ordinals laid out
     for the wrong triangle and sum into wrong cells with no error.
-    One tiny min/max aggregate over array lengths fails loudly
-    instead (and doubles as the d source)."""
+    The row count rides the same aggregate for free — it drives the
+    producer auto-switch (:data:`_COV_ARROW_MIN_ROWS`)."""
     bounds = emb.agg(
         F.min(F.size("embedding")).alias("mn"),
         F.max(F.size("embedding")).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     d = bounds["mn"] if bounds["mn"] is not None else 0
     if d != (bounds["mx"] if bounds["mx"] is not None else 0):
         raise ValueError(
             f"ragged embedding widths: {bounds['mn']}..{bounds['mx']}"
         )
-    return d
+    return d, int(bounds["n"])
+
+
+def _cov_width(emb) -> int:
+    """See :func:`_cov_stats` (kept for callers that only need d)."""
+    return _cov_stats(emb)[0]
 
 
 def _cov_assemble(spark, emb, d: int, sxy_pos):
@@ -1457,63 +1541,17 @@ def _cov_assemble(spark, emb, d: int, sxy_pos):
     )
 
 
-def _cov_arrow_partials(it):
-    """Arrow batch → per-batch exact upper-tri integer sums (the
-    map-side combine of the covariance reduce, vectorized in numpy).
-
-    The snap reproduces Spark's ``round(x, 0)`` (BigDecimal HALF_UP)
-    EXACTLY: ``a = |p|`` and ``a - floor(a)`` are both exact doubles
-    for |p| < 2⁵³, so ``floor(|p|) + (frac ≥ 0.5)`` with the sign
-    reapplied is the true round-half-away-from-zero of the double's
-    exact value — no ``p + 0.5`` representability caveat, no numpy
-    half-even.  Verified bit-identical to the HOF snap over the
-    driver corpus (1.2e7 products) and a randomized ±9 battery."""
-    import numpy as np
-    import pandas as pd
-
-    for pdf in it:
-        if len(pdf) == 0:
-            continue
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        n, d = X.shape
-        iu = np.triu_indices(d)
-        acc = np.zeros(len(iu[0]), dtype=np.int64)
-        for lo in range(0, n, 512):  # bound the n×d² intermediate
-            c = X[lo : lo + 512]
-            p = (c[:, :, None] * c[:, None, :])[:, iu[0], iu[1]] * 1e9
-            a = np.abs(p)
-            ra = np.floor(a)
-            o = (ra + (a - ra >= 0.5)).astype(np.int64)
-            acc += np.where(p < 0, -o, o).sum(axis=0)
-        yield pd.DataFrame(
-            {"pos": np.arange(len(acc), dtype=np.int32), "ps": acc}
-        )
-
-
 def embed_covariance_arrow(spark, emb):
-    """Production-scale covariance over any (…, ``embedding``) frame —
-    bit-identical output to ``q_embed_covariance``, with the per-row
-    product stage Arrow-vectorized instead of interpreted.
-
-    Why this exists alongside the registered JVM form (the
-    ``_SPARK_XXH60`` precedent — provide the scale path, keep the
-    registered query on the measured-best-at-driver-scale form): the
-    nested-``transform`` HOF runs ~330 ns/product in Spark's lambda
-    interpreter, which at the driver's corpus is FASTER end-to-end
-    than paying the Python-worker spin-up (measured sf0.1: HOF 4.1 s
-    vs Arrow 5.1 s cold), but at volume the fixed cost amortizes and
-    numpy wins 4× per core (measured 20× corpus, warm interleaved:
-    Arrow 1.15 s vs HOF 4.57 s) — and the gap keeps growing with
-    rows.  Same domain gate, same ragged refusal, same two-stage
-    exact-integer reduce (per-batch int64 partials here ARE the
-    stage-1 combine; headroom |p|≤5e12 × 10⁴ rows/batch ≪ 2⁶³), same
-    assembly."""
+    """Covariance over any (…, ``embedding``) frame, FORCED onto the
+    Arrow/numpy product stage — bit-identical output to
+    ``q_embed_covariance`` (which since r9 auto-switches to this same
+    producer at ≥ :data:`_COV_ARROW_MIN_ROWS` rows; the size sweep
+    behind the threshold lives in its docstring).  Kept as a library
+    entry point for frames whose row count the caller already knows
+    to be large — it skips nothing but the switch.  Same domain gate,
+    same ragged refusal, same two-stage exact-integer reduce
+    (per-batch int64 partials here ARE the stage-1 combine; headroom
+    |p|≤5e12 × 10⁴ rows/batch ≪ 2⁶³), same assembly."""
     emb = _norm_gated(emb)
     d = _cov_width(emb)
-    sxy_pos = (
-        emb.select("embedding")
-        .mapInPandas(_cov_arrow_partials, "pos INT, ps LONG")
-        .groupBy("pos")
-        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).alias("sxy"))
-    )
-    return _cov_assemble(spark, emb, d, sxy_pos)
+    return _cov_assemble(spark, emb, d, _cov_sxy_arrow(emb))

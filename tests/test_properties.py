@@ -3964,29 +3964,45 @@ class TestParityEMInvariants:
 
 
 def test_covariance_arrow_path_bit_identical(spark, sf_dir):
-    """The documented production swap (embed_covariance_arrow) must be
-    bit-identical to the registered JVM-HOF covariance — same domain
-    gate, same exact-integer snap (the numpy HALF_UP reproduction),
-    same assembly — on the driver corpus AND a hostile table carrying
-    NaN/zero/NULL vectors the gate must exclude identically."""
+    """Both covariance producers (JVM-HOF vs Arrow/numpy) must be
+    bit-identical — same domain gate, same exact-integer snap (the
+    numpy HALF_UP reproduction), same assembly — on the driver
+    corpus.  Since r9 the registered query AUTO-SWITCHES between
+    them, so this test drives BOTH producers EXPLICITLY through the
+    internal seams (comparing the registered query to
+    embed_covariance_arrow would compare Arrow to itself at sf0.01's
+    500 rows)."""
     from ema_bigdata_spark.operators.similarity import (
-        embed_covariance_arrow,
+        _cov_assemble,
+        _cov_stats,
+        _cov_sxy_arrow,
+        _cov_sxy_hof,
+        _norm_gated,
     )
-    from ema_bigdata_spark import registry
     from ema_bigdata_spark.sources.tables import load_table
 
+    emb = _norm_gated(load_table(spark, sf_dir, "embeddings"))
+    d, n = _cov_stats(emb)
+    assert n > 0
     ref = sorted(
-        tuple(r) for r in registry.QUERIES["q_embed_covariance"](
-            spark, sf_dir
-        ).collect()
+        tuple(r)
+        for r in _cov_assemble(spark, emb, d, _cov_sxy_hof(emb)).collect()
     )
     got = sorted(
         tuple(r)
-        for r in embed_covariance_arrow(
-            spark, load_table(spark, sf_dir, "embeddings")
+        for r in _cov_assemble(
+            spark, emb, d, _cov_sxy_arrow(emb)
         ).collect()
     )
     assert len(ref) == 2080 and got == ref
+
+    # hostile table: NaN/zero/NULL vectors — BOTH producers must apply
+    # the identical domain gate (here the registered query takes the
+    # HOF branch, 2 gated rows < _COV_ARROW_MIN_ROWS, so the pair
+    # really is HOF vs forced-Arrow)
+    from ema_bigdata_spark.operators.similarity import (
+        embed_covariance_arrow,
+    )
 
     hostile = spark.createDataFrame(
         [
