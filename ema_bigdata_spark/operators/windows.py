@@ -166,6 +166,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_us: int = SESSION_GAP_US,
+    day_bucket: bool = False,
 ):
     """Assign 1-based ``session_id`` per ``user_col``: a new session
     starts when the gap since the previous event exceeds ``gap_us``.
@@ -174,7 +175,17 @@ def sessionize(
     then a running sum of flags numbers the sessions.  Both windows
     share one partitioning → a single shuffle on ``user_col``; per-key
     state is one row of lookback, so any events volume streams through.
+
+    ``day_bucket=True`` selects :func:`_sessionize_day_bucket` — the
+    hot-key mitigation (identical output, sub-partitioned plan).  The
+    default stays the single-window form: it is one shuffle and one
+    sort, and the zipfian probes show it sublinear until one tenant
+    owns a double-digit share of the corpus (the documented 0.56
+    exponent floor at a 10%-hot key) — switch when key skew is the
+    measured bottleneck, not before.
     """
+    if day_bucket:
+        return _sessionize_day_bucket(df, user_col, ts_col, id_col, gap_us)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(ts_col).over(w)
@@ -190,6 +201,112 @@ def sessionize(
         .withColumn("is_new", is_new)
         .withColumn("session_id", F.sum("is_new").over(wrun).cast("long"))
         .drop("_prev", "is_new")
+    )
+
+
+#: one day in microseconds — the sub-partition width of the day-bucket
+#: sessionizer.  Any width > the session gap is CORRECT (the stitch
+#: only needs every true predecessor to sit in the current or previous
+#: bucket... in fact only in SOME earlier bucket, since buckets
+#: partition time); a day keeps the per-(user, day) summary table
+#: small while splitting a hot tenant's year into ~365 parallel tasks.
+_DAY_US = 86_400_000_000
+
+
+def _sessionize_day_bucket(df, user_col, ts_col, id_col, gap_us):
+    """Hot-key sessionization: identical output to the global form,
+    with the heavy windows sub-partitioned per (user, UTC day) and the
+    cross-midnight sessions stitched on a tiny per-bucket summary.
+
+    Why (r9, VERDICT r8 item 5): the global form's per-user window is
+    a single task per key — a tenant owning 10% of a 100 TB corpus is
+    a 10 TB sort on one core (the measured 0.56 scaling-exponent
+    floor).  Here the event-level windows partition by (user, day), so
+    the hottest key splits into per-day tasks, and only the per-bucket
+    summary (one row per user-day: first/last ts, local start count)
+    sees a per-user window — 5-6 orders of magnitude smaller.
+
+    Stitching: within a bucket, local gaps-and-islands numbers
+    sessions 1..starts_b (the bucket's first event is locally flagged
+    new).  Globally, that first event's true predecessor is the LAST
+    event of the user's PREVIOUS bucket — buckets partition the time
+    axis, so bucket order IS event order across buckets — and the
+    local flag is wrong exactly when that cross-bucket gap is within
+    ``gap_us``: merge_b = 1 then, else 0.  With offset_b =
+    Σ_{b'<b}(starts_b' − merge_b') (the number of global sessions
+    closed before bucket b), every event maps to
+    ``offset_b + local_idx − merge_b``.  All exact integer arithmetic;
+    property-tested equal to the global form on random corpora whose
+    sessions straddle midnight (tests/test_properties.py).
+
+    Plan: one shuffle on (user, day) shared by the event-level window
+    and the summary aggregation (same keys → exchange reuse), one tiny
+    per-user window over the summary, one co-partitioned join back.
+    """
+    ep = (
+        f"timestampdiff(MICROSECOND,"
+        f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    # floor division in DOUBLE is exact here: |epoch µs| < 2^53 for
+    # every ts inside the engine's event-time domain [1900, 9000)
+    d = df.withColumn(
+        "_day", F.expr(f"CAST(floor(({ep}) / {_DAY_US}) AS BIGINT)")
+    )
+    wl = Window.partitionBy(user_col, "_day").orderBy(ts_col, id_col)
+    wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(wl)
+    is_new = (
+        F.when(prev.isNull(), 1)
+        .when(
+            F.expr(f"timestampdiff(MICROSECOND, _prev, {ts_col})") > gap_us, 1
+        )
+        .otherwise(0)
+    )
+    flagged = (
+        d.withColumn("_prev", prev)
+        .withColumn("_new", is_new)
+        .withColumn("_lidx", F.sum("_new").over(wrun).cast("long"))
+        .drop("_prev")
+    )
+    summ = flagged.groupBy(user_col, "_day").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.sum("_new").cast("long").alias("_starts"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("_day")
+    prev_last = F.lag("_last_ts").over(wu)
+    merge = (
+        F.when(prev_last.isNull(), 0)
+        .when(
+            F.expr("timestampdiff(MICROSECOND, _prev_last, _first_ts)")
+            <= gap_us,
+            1,
+        )
+        .otherwise(0)
+    )
+    stitched = (
+        summ.withColumn("_prev_last", prev_last)
+        .withColumn("_merge", merge)
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum(F.col("_starts") - F.col("_merge")).over(
+                    wu.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select(user_col, "_day", "_merge", "_offset")
+    )
+    return (
+        flagged.join(stitched, [user_col, "_day"])
+        .withColumn(
+            "session_id",
+            (F.col("_offset") + F.col("_lidx") - F.col("_merge")).cast(
+                "long"
+            ),
+        )
+        .drop("_day", "_new", "_lidx", "_merge", "_offset")
     )
 
 

@@ -386,6 +386,84 @@ class TestSessionizeProperty:
 
         run()
 
+    def test_day_bucket_equals_global(self, spark):
+        """r9 hot-key mitigation (VERDICT r8 item 5): the
+        day-bucketed sessionizer must assign IDENTICAL session ids to
+        the global single-window form on event sets engineered to
+        stress the stitch — sessions straddling midnight (gap inside
+        vs outside 30 min across the bucket boundary), multi-day idle
+        gaps (non-adjacent buckets must not merge), boundary ties, and
+        a hypothesis sweep over random corpora spanning several days."""
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from ema_bigdata_spark.operators.windows import (
+            SESSION_GAP_US,
+            sessionize,
+        )
+
+        day = 86_400_000_000
+        mi = 60_000_000
+
+        def compare(events):
+            df = spark.createDataFrame(
+                events, "event_id BIGINT, user_id BIGINT, ts_us BIGINT"
+            ).select(
+                "event_id",
+                "user_id",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts_us,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ).alias("ts"),
+            )
+            want = {
+                (r.event_id, r.session_id)
+                for r in sessionize(df).collect()
+            }
+            got = {
+                (r.event_id, r.session_id)
+                for r in sessionize(df, day_bucket=True).collect()
+            }
+            assert got == want
+            assert want == {
+                (e, s)
+                for e, s in self._reference(
+                    [(e, u, t) for e, u, t in events], SESSION_GAP_US
+                ).items()
+            }
+
+        base = 20_000 * day  # ≈ 2024, inside the event-time domain
+        # hand-built boundary battery: one user, events hugging
+        # midnight of day N/N+1 — 10-min gap (merges), then a 31-min
+        # gap (new session), then a 3-day idle (new session, buckets
+        # NOT adjacent)
+        compare([
+            (1, 7, base + day - 5 * mi),      # 23:55 day 0
+            (2, 7, base + day + 5 * mi),      # 00:05 day 1  (merge)
+            (3, 7, base + day + 36 * mi),     # 00:36 day 1  (new)
+            (4, 7, base + 4 * day + 36 * mi), # 3 days later (new)
+            (5, 7, base + day - 5 * mi),      # 23:55 tie by event_id
+        ])
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 2),
+                    st.integers(0, 5 * day),
+                ),
+                min_size=1,
+                max_size=40,
+                unique_by=lambda t: t,
+            )
+        )
+        def run(raw):
+            compare([
+                (i, uid, base + ts) for i, (uid, ts) in enumerate(raw)
+            ])
+
+        run()
+
 
 def test_embed_quantize_error_bound(spark, sf_dir):
     """int8 symmetric quantization error is ≤ scale/254 per element
