@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ema_bigdata_spark.functions.textfold import fold_lower, lev_bytes
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table, spread
 
@@ -169,9 +170,9 @@ def _shingles(col: str = "text") -> F.Column:
     oracle="""
     SELECT min(doc_id) AS keep_doc_id,
            CAST(count(*) AS BIGINT) AS n_copies,
-           CAST(length(lower(trim(text))) AS BIGINT) AS norm_len
+           CAST(length(lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ'))) AS BIGINT) AS norm_len
     FROM documents
-    GROUP BY lower(trim(text))
+    GROUP BY lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ'))
     """,
 )
 def q_dedup_exact(spark, sf_dir):
@@ -179,7 +180,7 @@ def q_dedup_exact(spark, sf_dir):
     # 128-bit content hash instead to shrink the exchange — same plan.
     return (
         load_table(spark, sf_dir, "documents")
-        .groupBy(F.lower(F.trim(F.col("text"))).alias("_norm"))
+        .groupBy(fold_lower(F.trim(F.col("text"))).alias("_norm"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_copies"),
@@ -201,7 +202,7 @@ def q_dedup_exact(spark, sf_dir):
     SELECT min(doc_id) AS keep_doc_id,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents
-    GROUP BY lower(trim(text))
+    GROUP BY lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ'))
     """,
 )
 def q_dedup_exact_hash(spark, sf_dir):
@@ -212,7 +213,7 @@ def q_dedup_exact_hash(spark, sf_dir):
     is the full-text dedup: results are identical unless two distinct
     normalized texts collide in 128 bits (P ≈ n²/2¹²⁹ — at 10¹²
     documents, ~1e-15)."""
-    norm = F.lower(F.trim(F.col("text")))
+    norm = fold_lower(F.trim(F.col("text")))
     return (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -704,7 +705,7 @@ def boilerplate_corpus(spark, n_docs: int) -> DataFrame:
            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
            round(CAST(1 AS DOUBLE)
                  - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                   / greatest(length(da.text), length(db.text)), 6)
+                   / greatest(strlen(da.text), strlen(db.text)), 6)
              AS edit_sim
     FROM cand
     JOIN documents da ON da.doc_id = cand.doc_a
@@ -722,8 +723,13 @@ def q_dedup_fuzzy(spark, sf_dir):
     The verify join brings the texts back by doc_id with the CANDIDATE
     side broadcast (it is orders of magnitude smaller than the corpus),
     so the corpus is scanned, never shuffled.  Integer edit distance is
-    engine-exact; the normalized similarity is one rounded double
-    formula over identical integer inputs."""
+    engine-exact IN UTF-8 BYTES (r9, hostile-unicode sweep: Spark's
+    levenshtein counts code points, DuckDB's counts bytes, so the
+    NFC/NFD twin pair read 2 vs 3 — the declared unit is bytes via
+    textfold.lev_bytes, and the similarity denominator is byte length
+    to match; identity on ASCII corpora, hence on all driver data);
+    the normalized similarity is one rounded double formula over
+    identical integer inputs."""
     cand = ngram_jaccard_pairs(
         spread(load_table(spark, sf_dir, "documents"))
     ).select("doc_a", "doc_b")
@@ -731,9 +737,9 @@ def q_dedup_fuzzy(spark, sf_dir):
     # one hash-probe against the broadcast candidates — widening it
     # would just add a round-robin exchange of the whole corpus
     texts = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    lev = lev_bytes(F.col("da.text"), F.col("db.text"))
     longest = F.greatest(
-        F.length(F.col("da.text")), F.length(F.col("db.text"))
+        F.octet_length(F.col("da.text")), F.octet_length(F.col("db.text"))
     )
     # BOTH text fetches keep the candidate side broadcast (ADVICE r2):
     # the first join's result is still candidate-sized (pairs + one
@@ -1111,11 +1117,11 @@ _INC_NEW = 4
     "q_dedup_incremental",
     oracle=f"""
     WITH corpus AS (
-      SELECT lower(trim(text)) AS norm FROM documents
+      SELECT lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ')) AS norm FROM documents
       WHERE doc_id % {_INC_MOD} <> {_INC_NEW}
     ),
     batch AS (
-      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      SELECT doc_id, lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ')) AS norm FROM documents
       WHERE doc_id % {_INC_MOD} = {_INC_NEW}
     )
     SELECT b.doc_id,
@@ -1135,7 +1141,7 @@ def q_dedup_incremental(spark, sf_dir):
     only the (small) daily batch shuffles; here the key is the
     normalized text itself to keep the DuckDB oracle exact."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.trim(F.col("text"))).alias("norm")
+        "doc_id", fold_lower(F.trim(F.col("text"))).alias("norm")
     )
     is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
     corpus = docs.where(~is_new).select("norm")

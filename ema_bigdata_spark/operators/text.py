@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ema_bigdata_spark.functions.textfold import (
+    fold_lower,
+    sql_fold_lower,
+)
 from ema_bigdata_spark.registry import query
 from ema_bigdata_spark.sources.tables import load_table, spread
 
@@ -397,13 +401,14 @@ def q_tfidf(spark, sf_dir):
 
 @query(
     "q_normalize_text",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            norm,
            CAST(length(norm) AS BIGINT) AS norm_len
     FROM (
       SELECT doc_id,
-             trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+             trim(regexp_replace({sql_fold_lower('text')},
+                                 ' +', ' ', 'g')) AS norm
       FROM documents
     )
     """,
@@ -415,11 +420,11 @@ def q_normalize_text(spark, sf_dir):
     under Java regex and DuckDB RE2 (no classes, no backrefs)."""
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")).alias(
+        F.trim(F.regexp_replace(fold_lower("text"), " +", " ")).alias(
             "norm"
         ),
         F.length(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+            F.trim(F.regexp_replace(fold_lower("text"), " +", " "))
         ).cast("long").alias("norm_len"),
     )
 
@@ -635,7 +640,7 @@ _CLEAN_MIN_QUALITY = 2.0
     ),
     winners AS (
       SELECT min(doc_id) AS doc_id FROM gated
-      GROUP BY lower(trim(text))
+      GROUP BY lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ'))
     )
     SELECT g.doc_id, g.source, g.n_tokens, g.quality
     FROM gated g JOIN winners w ON g.doc_id = w.doc_id
@@ -692,7 +697,7 @@ def q_corpus_clean(spark, sf_dir):
         & F.col("n_tokens").between(_CLEAN_MIN_TOKENS, _CLEAN_MAX_TOKENS)
         & (F.col("quality") >= _CLEAN_MIN_QUALITY)
     )
-    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    w = Window.partitionBy(fold_lower(F.trim(F.col("text")))).orderBy("doc_id")
     return (
         gated.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)  # row 1 by doc_id == min doc_id
@@ -1114,7 +1119,7 @@ def assign_splits(docs, text_col: str = "text"):
     keeps the DuckDB oracle exact here."""
     from ema_bigdata_spark.operators.dedup import _SPARK_H60
 
-    h = _SPARK_H60.format(x=f"lower(trim({text_col}))")
+    h = _SPARK_H60.format(x=f"lower(replace(replace(trim({text_col}), 'İ', 'i'), 'Σ', 'σ'))")
     bucket = f"pmod({h}, 100)"
     return docs.select(
         "doc_id",
@@ -1130,7 +1135,7 @@ def assign_splits(docs, text_col: str = "text"):
 def _train_val_split_oracle() -> str:
     from ema_bigdata_spark.operators.dedup import _DUCK_H60
 
-    h = _DUCK_H60.format(x="lower(trim(text))")
+    h = _DUCK_H60.format(x="lower(replace(replace(trim(text), 'İ', 'i'), 'Σ', 'σ'))")
     bucket = f"({h}) % 100"  # h is a positive 60-bit value: % == pmod
     return f"""
     SELECT doc_id,

@@ -4110,3 +4110,75 @@ def test_covariance_arrow_path_bit_identical(spark, sf_dir):
         ).collect()
     )
     assert got2 == ref2 and len(ref2) == 2080
+
+
+class TestTextFoldParity:
+    """r9 (hostile-unicode sweep): the two declared text-builtin
+    parity classes — see functions/textfold.py."""
+
+    def test_fold_lower_battery_matches_duckdb(self, spark):
+        import duckdb
+
+        from ema_bigdata_spark.functions.textfold import (
+            fold_lower,
+            sql_fold_lower,
+        )
+
+        battery = [
+            "İstanbul", "İİİ", "ΟΣ ΑΣ", "Σ", "ϹΣϹ", "ß STRASSE ﬁ",
+            "café nfd", "café nfc", "mixed İ and ΟΣ text",
+            "plain ascii", "", "ŉ ǅ Ǆ",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(battery)], "i INT, t STRING"
+        )
+        got = {
+            r.i: r.f
+            for r in df.select("i", fold_lower("t").alias("f")).collect()
+        }
+        duck = duckdb.connect()
+        try:
+            for i, t in enumerate(battery):
+                want = duck.execute(
+                    f"SELECT {sql_fold_lower('?')}", [t]
+                ).fetchone()[0]
+                assert got[i] == want, (t, got[i], want)
+        finally:
+            duck.close()
+        # the declared simple folds, by value
+        assert got[0] == "istanbul" and got[3] == "σ"
+
+    def test_lev_bytes_battery_matches_duckdb(self, spark):
+        import duckdb
+
+        from ema_bigdata_spark.functions.textfold import (
+            lev_bytes,
+            sql_lev_bytes,
+        )
+
+        pairs = [
+            ("café", "café"), ("é", "e"), ("中", "a"),
+            ("abc", "abd"), ("", "xyz"), ("🚀🚀", "🚀"),
+            ("same", "same"), ("a\x00b", "ab"),
+        ]
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "i INT, a STRING, b STRING",
+        )
+        got = {
+            r.i: r.d
+            for r in df.select(
+                "i", lev_bytes(F.col("a"), F.col("b")).alias("d")
+            ).collect()
+        }
+        duck = duckdb.connect()
+        try:
+            for i, (a, b) in enumerate(pairs):
+                want = duck.execute(
+                    f"SELECT {sql_lev_bytes('?', '?')}", [a, b]
+                ).fetchone()[0]
+                assert got[i] == want, (a, b, got[i], want)
+        finally:
+            duck.close()
+        # byte semantics by value: NFC/NFD pair is 3 byte edits
+        assert got[0] == 3 and got[2] == 3

@@ -10,7 +10,10 @@ hostile class on top of a pristine sf-dir copy:
                                                  # IN-WINDOW dates
   python tools/hostile_sweep.py hostile-ts       # NULL / year-0001 /
                                                  # year-9999 timestamps
-  python tools/hostile_sweep.py all              # both, sequentially
+  python tools/hostile_sweep.py hostile-docs     # degenerate text/metadata
+  python tools/hostile_sweep.py hostile-keys     # NULL/orphan/dup join keys
+  python tools/hostile_sweep.py hostile-unicode  # encoding battery (r9)
+  python tools/hostile_sweep.py all              # every mode, sequentially
 
 Exit code 0 only if every oracled query is parity-OK and crash-free.
 The fixture rules that make a sweep honest (learned the hard way):
@@ -211,11 +214,101 @@ def _build_hostile_keys(spark, tables, root: str) -> None:
         )
 
 
+#: hostile unicode (r9, VERDICT r8 item 6): the hostile-docs mode's
+#: one emoji found a BIGINT overflow, so this mode runs the
+#: systematic encoding battery — astral-plane text, combining marks
+#: and NFC/NFD twins, zero-width joiners/non-joiners inside words,
+#: bidi controls, NUL and C0 controls, Unicode line/para separators
+#: (U+2028/29 probe Java-vs-RE2 regex class differences), ideographic
+#: space, case-folding traps (dotted I / sharp s / fi ligature), and
+#: a 200-combining-mark pileup.  All non-ASCII spelled as \u escapes
+#: so the fixture is unambiguous in source.  n_chars stays CONSISTENT
+#: with the text in CODE POINTS (Python len == Spark length() ==
+#: DuckDB length()).  doc_ids far above the corpus range.
+_UNI_DOC_ROWS = [
+    # astral plane: math letters + emoji with skin-tone modifier
+    (31_000_000, "\U0001d54a\U0001d55a\U0001d556 astral \U0001f680"
+                 "\U0001f9d1\U0001f3fd plane math letters", "en", "src0"),
+    # NFC vs NFD twins: same rendered text, different code points —
+    # byte-level dedup/hashing must treat them as DIFFERENT docs,
+    # identically on both engines
+    (31_000_001, "caf\u00e9 au lait nfc/nfd twin", "fr", "src0"),
+    (31_000_002, "cafe\u0301 au lait nfc/nfd twin", "fr", "src0"),
+    # ZWJ emoji sequence (family: 4 emoji joined by U+200D)
+    (31_000_003, "family \U0001f468\u200d\U0001f469\u200d"
+                 "\U0001f467\u200d\U0001f466 zwj sequence", "en", "src1"),
+    # ZWNJ inside a word
+    (31_000_004, "auf\u200czug zwnj inside word", "de", "src1"),
+    # RTL text + explicit bidi override/pop controls
+    (31_000_005, "mixed English \u0627\u0644\u0639\u0631\u0628"
+                 "\u064a\u0629 rtl \u202ereversed\u202c bidi",
+     "ar", "src1"),
+    # NUL and C0 controls inside the text
+    (31_000_006, "before\x00after nul byte", "en", "src2"),
+    (31_000_007, "ctrl \x01\x02 chars line\x0bfeed\x0cpage",
+     "en", "src2"),
+    # combining mark with no base char, at string start
+    (31_000_008, "\u0301leading combining mark", "en", "src2"),
+    # LINE/PARAGRAPH SEPARATOR between words (Java \\s vs RE2 \\s
+    # class-membership probe)
+    (31_000_009, "line1\u2028line2\u2029line3 separators", "en", "src0"),
+    # ideographic space U+3000 between words
+    (31_000_010, "word\u3000ideographic\u3000space", "ja", "src0"),
+    # case-folding traps: dotted capital I, sharp s, fi ligature
+    (31_000_011, "\u0130stanbul \u00df STRASSE \ufb01 ligature case",
+     "tr", "src1"),
+    # 200 combining marks on one base char
+    (31_000_012, "a" + "\u0301" * 200 + " combining pileup",
+     "en", "src2"),
+]
+
+#: events.props poisoning for the same mode: escaped lone surrogates
+#: and astral text INSIDE valid-looking JSON (parsers may reject the
+#: \\ud800 escape — both engines must agree), plus a raw NUL in a
+#: JSON string and a combining-mark key
+_UNI_PROPS = [
+    '{"k": "\\ud800 lone escaped surrogate"}',
+    '{"k": "\\ud83d\\ude00 paired escape"}',
+    '{"k": "\U0001f680 raw astral"}',
+    '{"k": "nul \x00 inside"}',
+    '{"k": 7, "\u0301": "combining key"}',
+]
+
+
+def _build_hostile_unicode(spark, tables, root: str) -> None:
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        if t not in ("documents", "events"):
+            shutil.copy(src, f"{root}/{t}.parquet")
+            continue
+        df = spark.read.parquet(src)
+        if t == "documents":
+            rows = [
+                (i, txt, lang, source, len(txt))
+                for i, txt, lang, source in _UNI_DOC_ROWS
+            ]
+        else:
+            base = df.limit(1).collect()[0].asDict()
+            rows = []
+            for i, props in enumerate(_UNI_PROPS):
+                d = dict(base)
+                d["event_id"] = 31_500_000 + i
+                d["ts"] = _D(2024, 1, 2, 7, i)
+                d["value"] = 10.0 + i
+                d["props"] = props
+                rows.append(tuple(d[f.name] for f in df.schema.fields))
+        _single_file(
+            df.unionByName(spark.createDataFrame(rows, df.schema)),
+            f"{root}/{t}.parquet",
+        )
+
+
 _MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
     "hostile-docs": _build_hostile_docs,
     "hostile-keys": _build_hostile_keys,
+    "hostile-unicode": _build_hostile_unicode,
 }
 
 
