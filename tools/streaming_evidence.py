@@ -253,6 +253,152 @@ def check_tumbling_late_drop(spark, work: str) -> dict:
     return {"got": rows, "want_window5": [1], "pass": bool(ok)}
 
 
+def check_rate_soak(spark, work: str, seconds: int | None = None) -> dict:
+    """r9 (VERDICT r8 item 7): a wall-clock soak of the two
+    ``applyInPandasWithState`` cores on the RATE source — the one
+    evidence class the micro-batch fixtures can't give: state size
+    under sustained load, watermark movement, and zero query death
+    over hundreds of batches.
+
+    Both cores run CONCURRENTLY for ``seconds`` (default 300, env
+    ``STREAM_SOAK_SECONDS``) at 2 000 rows/s over ``n_keys=500``
+    distinct users, progress sampled every 5 s.  Pass criteria:
+
+    - neither query raises (``exception() is None`` throughout);
+    - peak state rows == key count for BOTH cores (state is per-key
+      scalars by construction — a leak shows as rows ≫ keys);
+    - the sessionizer ingests ≥ 50% of the nominal rate (generous:
+      co-tenant load must not flake the check; the point is sustained
+      progress, not throughput);
+    - the watermark (attached to the rate timestamp, 30 s delay)
+      advances monotonically and its final lag stays under 120 s.
+    """
+    import datetime as _dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _state_partitions,
+        anomaly_stream,
+        session_stream,
+    )
+
+    seconds = seconds or int(os.environ.get("STREAM_SOAK_SECONDS", "300"))
+    n_keys, rps = 500, 2000
+
+    def rate():
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rps))
+            .load()
+            .withWatermark("timestamp", "30 seconds")
+        )
+
+    sess_in = rate().select(
+        F.pmod(F.col("value"), F.lit(n_keys)).alias("user_id"),
+        F.unix_micros("timestamp").alias("ts_us"),
+    )
+    anom_in = rate().select(
+        F.pmod(F.col("value"), F.lit(n_keys)).alias("user_id"),
+        F.unix_micros("timestamp").alias("ts_us"),
+        F.col("value").alias("event_id"),
+        (F.pmod(F.col("value"), F.lit(997)).cast("double") / 100.0
+         ).alias("value"),
+        F.pmod(F.col("value"), F.lit(997)).alias("vu"),
+    )
+    samples: dict[str, list] = {"session": [], "anomaly": []}
+    #: batchId → numInputRows, accumulated from recentProgress each
+    #: tick (lastProgress alone skips the batches between samples —
+    #: the 45 s smoke read 18 k of 90 k rows that way)
+    per_batch_in: dict[str, dict[int, int]] = {"session": {}, "anomaly": {}}
+    errors: list[str] = []
+    with _state_partitions(spark):
+        queries = {
+            "session": session_stream(sess_in)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .start(),
+            "anomaly": anomaly_stream(anom_in)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .start(),
+        }
+        t_end = time.monotonic() + seconds
+        try:
+            while time.monotonic() < t_end:
+                time.sleep(5)
+                for name, q in queries.items():
+                    if q.exception() is not None:
+                        errors.append(f"{name}: {q.exception()!s:.300}")
+                        t_end = 0
+                        break
+                    for rp in q.recentProgress:
+                        if rp and rp.get("batchId") is not None:
+                            per_batch_in[name][rp["batchId"]] = (
+                                rp.get("numInputRows") or 0
+                            )
+                    p = q.lastProgress
+                    if not p:
+                        continue
+                    state = (p.get("stateOperators") or [{}])[0]
+                    wm = (p.get("eventTime") or {}).get("watermark")
+                    samples[name].append({
+                        "batch": p.get("batchId"),
+                        "state_rows": state.get("numRowsTotal"),
+                        "watermark": wm,
+                    })
+        finally:
+            for q in queries.values():
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+
+    def peak(name):
+        vals = [s["state_rows"] for s in samples[name]
+                if s["state_rows"] is not None]
+        return max(vals) if vals else 0
+
+    def total_in(name):
+        return sum(per_batch_in[name].values())
+
+    def wm_series(name):
+        out = []
+        for s in samples[name]:
+            if s["watermark"]:
+                out.append(_dt.datetime.fromisoformat(
+                    s["watermark"].replace("Z", "+00:00")
+                ).timestamp())
+        return out
+
+    wms = wm_series("session")
+    wm_monotone = all(a <= b for a, b in zip(wms, wms[1:]))
+    wm_lag = (time.time() - wms[-1]) if wms else None
+    result = {
+        "seconds": seconds,
+        "n_keys": n_keys,
+        "rows_per_sec": rps,
+        "errors": errors,
+        "batches": {n: (samples[n][-1]["batch"] if samples[n] else 0)
+                    for n in samples},
+        "peak_state_rows": {n: peak(n) for n in samples},
+        "total_input_rows": {n: total_in(n) for n in samples},
+        "watermark_monotone": wm_monotone,
+        "final_watermark_lag_sec": round(wm_lag, 1) if wm_lag else None,
+    }
+    result["pass"] = bool(
+        not errors
+        and result["peak_state_rows"]["session"] == n_keys
+        and result["peak_state_rows"]["anomaly"] == n_keys
+        and total_in("session") >= 0.5 * rps * seconds
+        and wm_monotone
+        and wm_lag is not None
+        and wm_lag < 120
+    )
+    return result
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "STREAMING_r8.json"
@@ -270,6 +416,8 @@ def main() -> None:
         "join_xbatch": check_join_xbatch,
         "tumbling_late_drop": check_tumbling_late_drop,
     }
+    if int(os.environ.get("STREAM_SOAK_SECONDS", "0")) > 0:
+        checks["rate_soak"] = check_rate_soak
     results: dict[str, dict] = {}
     for name, fn in checks.items():
         try:
