@@ -469,6 +469,12 @@ def test_global_plan_invariants_every_batch_query(spark, sf_dir):
     arrow_ok = {
         "q_embed_quantize", "q_mm_features", "q_mm_frames", "q_mm_png",
         "q_mm_histogram",
+        # r9: the covariance producer auto-switch selects the Arrow
+        # partials at ≥ _COV_ARROW_MIN_ROWS (sf0.01's 500 rows
+        # qualifies) — the deliberate scale path, measured 3-4× faster
+        # at every size ≥ 500 (similarity.py docstring);
+        # test_covariance_auto_switch_by_corpus_size pins BOTH sides
+        "q_embed_covariance",
     }
     offenders = []
     for name, fn in registry.QUERIES.items():

@@ -1468,12 +1468,16 @@ def test_value_outliers_large_mean_small_sd(spark):
     difference of two ~1e30 doubles — the true variance (~1) vanished
     below double precision, z-scores were garbage, and the cross-engine
     oracle couldn't see it (both engines agreed on the same wrong
-    number).  The min-shifted algebra must recover the exact z."""
+    number).  The min-shifted algebra must recover the exact z.
+
+    Base sits just UNDER 1e9: the r9 domain gate (profiling.py —
+    |value| ≤ 1e9 is the Σvu² headroom) must keep these rows, and the
+    cancellation magnitude is unchanged."""
     import math
 
     from ema_bigdata_spark.operators.profiling import value_outliers
 
-    base = 1_000_000_000.0
+    base = 999_999_000.0
     # 19 values at base + (0..4) µ-scale offsets, one at base + 50:
     # sd ~ 10, mean offset ~ 2.6 → the spike is ~ +4.8 sd
     offsets = [float((i % 5) * 4) for i in range(19)] + [50.0]
