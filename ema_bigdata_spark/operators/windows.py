@@ -239,9 +239,19 @@ def _sessionize_day_bucket(df, user_col, ts_col, id_col, gap_us):
     property-tested equal to the global form on random corpora whose
     sessions straddle midnight (tests/test_properties.py).
 
-    Plan: one shuffle on (user, day) shared by the event-level window
-    and the summary aggregation (same keys → exchange reuse), one tiny
-    per-user window over the summary, one co-partitioned join back.
+    Plan (verified on the executed plan, r9): the event-level windows
+    partition by (user, day) — the hot key's serial task becomes
+    per-day parallel tasks — the per-user stitch window runs over the
+    tiny summary only, and the stitch joins back by BROADCAST (the
+    summary is user-days-sized).  Honest cost note: the summary branch
+    RECOMPUTES the flagged frame (scan + window twice — Spark plans no
+    ReusedExchange across join branches without materialization, and
+    checkpointing the corpus would defeat the point at scale), so this
+    form does ~2× the fully-parallel work to remove the serial
+    bottleneck; the measured 0.48 exponent (vs the global form's 0.80
+    on the 100× zipfian fixture) already includes that cost, which is
+    also why the global form stays the default below the skew
+    threshold.
     """
     ep = (
         f"timestampdiff(MICROSECOND,"

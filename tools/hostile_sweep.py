@@ -13,6 +13,7 @@ hostile class on top of a pristine sf-dir copy:
   python tools/hostile_sweep.py hostile-docs     # degenerate text/metadata
   python tools/hostile_sweep.py hostile-keys     # NULL/orphan/dup join keys
   python tools/hostile_sweep.py hostile-unicode  # encoding battery (r9)
+  python tools/hostile_sweep.py hostile-embeddings  # vector domain (r9)
   python tools/hostile_sweep.py all              # every mode, sequentially
 
 Exit code 0 only if every oracled query is parity-OK and crash-free.
@@ -303,12 +304,48 @@ def _build_hostile_unicode(spark, tables, root: str) -> None:
         )
 
 
+#: hostile embeddings (r9, sixth mode): the embedding family's domain
+#: gate (similarity._NORM2_MAX, Σx² ∈ (0, 1e4]) was pinned by pytest
+#: fixtures in r8; this mode gives it FILE-LEVEL sweep coverage so
+#: every similarity/ANN/dedup-embedding query meets the hostile rows
+#: through the same parquet seam the driver uses.  All rows keep the
+#: CORRECT width (64) — ragged width is a DECLARED LOUD REFUSAL
+#: (q_embed_covariance's _cov_stats), pinned separately in pytest, and
+#: planting it here would count a designed refusal as a crash.
+_EMB_ROWS = [
+    (32_000_000, [float("nan")] * 64, 0),          # NaN vector
+    (32_000_001, [1.0] * 63 + [float("inf")], 1),  # one +Inf element
+    (32_000_002, [0.0] * 64, 2),                   # zero norm (out: >0)
+    (32_000_003, [1e20] * 64, 3),                  # huge norm
+    (32_000_004, None, 0),                         # NULL embedding
+    (32_000_005, [-0.3] * 64, None),               # NULL label
+    (32_000_006, [1e-30] * 64, 1),                 # denormal-tiny norm
+    (32_000_007, [12.5] * 64, 2),                  # Σx² = 1e4 AT bound
+    (32_000_008, [12.500001] * 64, 3),             # just above bound
+    (32_000_009, [-12.5] * 64, 0),                 # at bound, negative
+]
+
+
+def _build_hostile_embeddings(spark, tables, root: str) -> None:
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        if t != "embeddings":
+            shutil.copy(src, f"{root}/{t}.parquet")
+            continue
+        df = spark.read.parquet(src)
+        _single_file(
+            df.unionByName(spark.createDataFrame(_EMB_ROWS, df.schema)),
+            f"{root}/{t}.parquet",
+        )
+
+
 _MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
     "hostile-docs": _build_hostile_docs,
     "hostile-keys": _build_hostile_keys,
     "hostile-unicode": _build_hostile_unicode,
+    "hostile-embeddings": _build_hostile_embeddings,
 }
 
 
