@@ -22,9 +22,15 @@ from ema_bigdata_spark.sources.tables import load_table
 
 @query(
     "q_retention",
+    # user_id IS NOT NULL (r9, hostile-nulls sweep): cohorts are
+    # per-user — a userless event belongs to no cohort.  Concretely,
+    # the NULL-user group survives Spark's window-MIN shape but drops
+    # from the oracle's self-JOIN on user_id (NULL matches nothing),
+    # a 1-row count divergence.
     oracle="""
     WITH days AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL
     ),
     cohort AS (
       SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id
@@ -49,6 +55,7 @@ def q_retention(spark, sf_dir):
     table turns every later retention run into the tiny tail only."""
     days = (
         load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
@@ -180,6 +187,7 @@ def _pagerank_oracle() -> str:
     WITH pairs AS (
       SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
     edges AS (
       SELECT c AS src, s AS dst FROM pairs
@@ -240,8 +248,17 @@ def q_pagerank(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # node-key gate (r9, hostile-nulls sweep): a NULL custkey/suppkey
+    # is not a node.  Without it the NULL "node" leaks ASYMMETRICALLY
+    # — the oracle's GROUP BY src keeps a NULL degree row (inflating
+    # its |V| by one, shifting every teleport scalar) while Spark's
+    # n comes after a join that drops NULL — so the gate is declared
+    # domain, applied identically on both engines.
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
@@ -322,7 +339,7 @@ _SKY_BUCKET_C = 1000
         SELECT p_partkey, p_retailprice, p_size,
                TRY_CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
         FROM part
-      ) WHERE price_c IS NOT NULL
+      ) WHERE price_c IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT a.p_partkey,
            round(a.p_retailprice, 2) AS price,
@@ -374,7 +391,11 @@ def q_skyline(spark, sf_dir):
             # oracle comment
             cents("p_retailprice").alias("price_c"),
         )
-        .where(F.col("price_c").isNotNull())
+        # p_size IS NOT NULL (r9, hostile-nulls sweep): a sizeless
+        # part can't be compared on the size axis — NULL comparisons
+        # made it un-dominatable in the oracle's NOT EXISTS (it
+        # survived) while the window-min decomposition dropped it
+        .where(F.col("price_c").isNotNull() & F.col("p_size").isNotNull())
         .withColumn("bkt", F.expr(f"price_c DIV {_SKY_BUCKET_C}"))
     )
 
@@ -517,12 +538,18 @@ def q_gapfill(spark, sf_dir):
 
 @query(
     "q_event_transitions",
+    # ts/event_id IS NOT NULL (r9, hostile-nulls sweep): the lag's
+    # (ts, event_id) total order is the transition structure itself —
+    # a NULL position key lands on opposite ends of a tie group
+    # between engines (Spark ASC = NULLS FIRST, DuckDB NULLS LAST)
+    # and rewires the transition counts around it.  Same posture as
+    # q_window_running's accumulating-window gate.
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     ),
     t AS (
       SELECT prev_type AS from_type, event_type AS to_type,
@@ -551,7 +578,9 @@ def q_event_transitions(spark, sf_dir):
     already prices; probabilities divide exact BIGINTs so the rounded
     doubles are bit-equal cross-engine.  Driver-mandated surface
     (SURVEY §2.4); no Main.scala counterpart."""
-    seq = load_table(spark, sf_dir, "events").select(
+    seq = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
         "event_type",
         F.lag("event_type")
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))

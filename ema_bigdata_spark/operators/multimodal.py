@@ -389,7 +389,7 @@ def _build_codecs():
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
              {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
       SELECT doc_id, hx, bl, w,
@@ -456,8 +456,11 @@ def q_mm_features(spark, sf_dir):
     docs = (
         load_table(spark, sf_dir, "documents")
         # NULL text has no synthesizable payload: bytes(None)
-        # crashes the Arrow worker; both engines skip the row
-        .where(F.col("text").isNotNull())
+        # crashes the Arrow worker; both engines skip the row.
+        # NULL doc_id (r9, hostile-nulls sweep): the doc id keys the
+        # output AND modulates the encode width — int(None) killed
+        # the worker; an identity-less doc is excluded on both engines
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = (
@@ -489,7 +492,7 @@ def q_mm_features(spark, sf_dir):
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
              {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
       SELECT doc_id, hx, bl, w,
@@ -559,8 +562,11 @@ def q_mm_png(spark, sf_dir):
     docs = (
         spread(load_table(spark, sf_dir, "documents"))
         # NULL text has no synthesizable payload: bytes(None)
-        # crashes the Arrow worker; both engines skip the row
-        .where(F.col("text").isNotNull())
+        # crashes the Arrow worker; both engines skip the row.
+        # NULL doc_id (r9, hostile-nulls sweep): the doc id keys the
+        # output AND modulates the encode width — int(None) killed
+        # the worker; an identity-less doc is excluded on both engines
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = (
@@ -635,7 +641,7 @@ _DUCK_ABS_SAMPLE = (
     WITH d AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     s AS (
       SELECT doc_id,
@@ -698,8 +704,11 @@ def q_mm_frames(spark, sf_dir):
     docs = (
         load_table(spark, sf_dir, "documents")
         # NULL text has no synthesizable payload: bytes(None)
-        # crashes the Arrow worker; both engines skip the row
-        .where(F.col("text").isNotNull())
+        # crashes the Arrow worker; both engines skip the row.
+        # NULL doc_id (r9, hostile-nulls sweep): the doc id keys the
+        # output AND modulates the encode width — int(None) killed
+        # the worker; an identity-less doc is excluded on both engines
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = (
@@ -734,7 +743,7 @@ def _mm_histogram_oracle() -> str:
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
              {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
       SELECT doc_id, hx, bl, w,
@@ -794,8 +803,11 @@ def q_mm_histogram(spark, sf_dir):
     docs = (
         load_table(spark, sf_dir, "documents")
         # NULL text has no synthesizable payload: bytes(None)
-        # crashes the Arrow worker; both engines skip the row
-        .where(F.col("text").isNotNull())
+        # crashes the Arrow worker; both engines skip the row.
+        # NULL doc_id (r9, hostile-nulls sweep): the doc id keys the
+        # output AND modulates the encode width — int(None) killed
+        # the worker; an identity-less doc is excluded on both engines
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     schema = "doc_id BIGINT, n_px BIGINT, " + ", ".join(

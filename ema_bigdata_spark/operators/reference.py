@@ -111,9 +111,14 @@ _HASH_ORDER = "(event_id * 2654435761) % 1000000007"
 
 @query(
     "q_init_means",
+    # event_id IS NOT NULL (r9, hostile-nulls sweep): the sample key
+    # IS the event identity — hash(NULL) is NULL and the engines sort
+    # it to opposite ends (Spark ASC = NULLS FIRST, DuckDB NULLS
+    # LAST), silently swapping which rows make the K-sample.  An
+    # identity-less event cannot be deterministically sampled.
     oracle=f"""
     SELECT round(value, 6) AS init_mean
-    FROM events
+    FROM events WHERE event_id IS NOT NULL
     ORDER BY {_HASH_ORDER}, event_id
     LIMIT {K}
     """,
@@ -123,6 +128,7 @@ def q_init_means(spark, sf_dir):
     # the driver — no full sort/shuffle of the table at any scale.
     return (
         _events(spark, sf_dir)
+        .where(F.col("event_id").isNotNull())
         .orderBy(F.expr(_HASH_ORDER), F.col("event_id"))
         .select(F.round("value", 6).alias("init_mean"))
         .limit(K)

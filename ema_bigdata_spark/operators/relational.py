@@ -728,10 +728,22 @@ def collect_agg_arrays(spark, sf_dir):
 
 @query(
     "q_collect_agg",
+    # FILTER + coalesce (r9, hostile-nulls sweep): collected multisets
+    # EXCLUDE NULL elements — Spark's collect_list semantics.  DuckDB's
+    # bare list() INCLUDES the NULL, which the string join then
+    # silently skips but length() counts: the '|' strings matched while
+    # n_nations read one high.  coalesce([]): an all-NULL group must
+    # read as an empty list (size 0), not a NULL aggregate — and
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join is
+    # '', hence the outer coalesce('').
     oracle="""
     SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
-           array_to_string(list_sort(list(n_name)), '|') AS nations,
-           CAST(length(list_sort(list(n_name))) AS BIGINT) AS n_nations
+           coalesce(array_to_string(list_sort(coalesce(
+             list(n_name) FILTER (n_name IS NOT NULL), [])), '|'), '')
+             AS nations,
+           CAST(length(coalesce(
+             list(n_name) FILTER (n_name IS NOT NULL), []))
+             AS BIGINT) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     """,

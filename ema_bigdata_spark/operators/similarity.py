@@ -56,18 +56,33 @@ _SQL_DOT_SELF = (
 _NORM2_MAX = 10_000
 
 
-def _sql_norm_gate(col: str = "embedding") -> str:
-    """Oracle text of the domain gate for a given embedding column."""
+def _sql_norm_gate(col: str = "embedding", id_col: str | None = "vec_id") -> str:
+    """Oracle text of the domain gate for a given embedding column.
+
+    ``id_col`` (r9, hostile-nulls sweep): corpus rows must carry a
+    non-NULL vector id — the family keys, pairs, ranks, and
+    tie-orders rows by ``vec_id``, and a NULL id silently falls out
+    of the oracles' join-back shapes (covariance's positional
+    self-join, topk's id tiebreak) while surviving Spark's
+    projection shapes.  Pass ``id_col=None`` for probe-vector
+    operands, which have no row identity."""
     d = _SQL_DOT_SELF.replace("embedding", col)
-    return f"({d} > 0 AND {d} <= {_NORM2_MAX})"
+    gate = f"({d} > 0 AND {d} <= {_NORM2_MAX})"
+    if id_col is not None:
+        gate = f"({id_col} IS NOT NULL AND {gate})"
+    return gate
 
 
 def _norm_gated(df):
     """ONE source of truth for the family's vector domain on the Spark
-    side — see `_NORM2_MAX`.  The oracle texts spell the same gate via
-    :func:`_sql_norm_gate`."""
+    side — see `_NORM2_MAX`, and `_sql_norm_gate` for why the row id
+    is part of the domain (r9).  The oracle texts spell the same gate
+    via :func:`_sql_norm_gate`."""
     return df.where(
-        F.expr(f"{_DOT_SELF} > 0 AND {_DOT_SELF} <= {_NORM2_MAX}")
+        F.expr(
+            f"vec_id IS NOT NULL"
+            f" AND {_DOT_SELF} > 0 AND {_DOT_SELF} <= {_NORM2_MAX}"
+        )
     )
 
 
@@ -164,7 +179,7 @@ def _cosine_to_probe(probe: list[float]) -> F.Column:
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
              6) AS cosine
       FROM embeddings e, p
-      WHERE {_sql_norm_gate('e.embedding')}
+      WHERE {_sql_norm_gate('e.embedding', 'e.vec_id')}
     )
     SELECT vec_id, label, cosine FROM scored
     ORDER BY cosine DESC, vec_id
@@ -265,7 +280,7 @@ def _ann_lsh_oracle() -> str:
     sigs AS (SELECT e.vec_id, e.label, e.embedding,
                     {_duck_signature('e.embedding')} AS sig
              FROM embeddings e
-             WHERE {_sql_norm_gate('e.embedding')}),
+             WHERE {_sql_norm_gate('e.embedding', 'e.vec_id')}),
     cand AS (SELECT s.vec_id, s.label, s.embedding FROM sigs s, ps
              WHERE bit_count(xor(s.sig, ps.psig)) <= 1)
     SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
@@ -458,7 +473,7 @@ _IVF_RECALL_FLOOR = 3
       SELECT e.vec_id,
              round({_duck_cosine('e.embedding', 'p.pe')}, 6) AS cosine
       FROM embeddings e, p
-      WHERE {_sql_norm_gate('e.embedding')}
+      WHERE {_sql_norm_gate('e.embedding', 'e.vec_id')}
     ),
     topk AS (SELECT vec_id FROM scored
              ORDER BY cosine DESC, vec_id LIMIT {_TOPK})
@@ -799,8 +814,8 @@ _BATCH_K = 5
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
              6) DESC, e.vec_id) AS rn
       FROM embeddings e CROSS JOIN p
-      WHERE {_sql_norm_gate('e.embedding')}
-        AND {_sql_norm_gate('p.pe')}
+      WHERE {_sql_norm_gate('e.embedding', 'e.vec_id')}
+        AND {_sql_norm_gate('p.pe', None)}
     )
     SELECT probe_id, vec_id, cosine FROM scored WHERE rn <= {_BATCH_K}
     """,

@@ -80,7 +80,7 @@ def _lexicon_sql_values() -> str:
       SELECT t.doc_id, l.lex_lang, count(*) AS n_hits
       FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
       ) t JOIN lex l ON t.token = l.word
       GROUP BY t.doc_id, l.lex_lang
     ),
@@ -95,6 +95,7 @@ def _lexicon_sql_values() -> str:
            CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    WHERE d.doc_id IS NOT NULL
     """,
 )
 def q_lang_id(spark, sf_dir):
@@ -107,7 +108,14 @@ def q_lang_id(spark, sf_dir):
     that is two corpus-sized exchanges for something each row can
     answer alone.  For REAL lexicons (100k+ words, too big to inline)
     use :func:`lang_id_join`, which keeps the broadcast-join shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    # doc_id IS NOT NULL (r9, hostile-nulls sweep): the output is
+    # keyed by doc_id, and the oracle's hits re-attach through a
+    # LEFT JOIN USING (doc_id) that a NULL id never matches (it
+    # read 'und' where the projection read the true language) —
+    # an identity-less doc has no per-document row
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     toks = "split(text, ' ', -1)"
     langs = sorted(LEXICON)
     hit_cols = []
@@ -1721,6 +1729,7 @@ def _source_interleave_oracle() -> str:
     return f"""
     WITH h AS (
       SELECT doc_id, source, {h} AS h FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     r AS (
       SELECT doc_id, source,
@@ -1762,7 +1771,11 @@ def q_source_interleave(spark, sf_dir):
     from ema_bigdata_spark.operators.dedup import _SPARK_H60
 
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select(
+    # doc_id IS NOT NULL (r9, hostile-nulls sweep): doc_id is the
+    # per-source tiebreak — identical texts hash equal, and a NULL id
+    # in the tie group lands on opposite ends between engines,
+    # shifting every later round number.  No id, no position.
+    h = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         "source",
         F.expr(f"coalesce({_SPARK_H60.format(x='text')}, -1)").alias("h"),

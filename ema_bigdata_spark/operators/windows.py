@@ -70,14 +70,17 @@ def q_window_rank(spark, sf_dir):
     # that position shifts every running value after it, so the row is
     # excluded outright.  Per-row window ops (q_window_lag) keep NULL
     # rows: their boundary outputs are NULL on both engines either way
-    # (pinned by TestNullTs).
+    # (pinned by TestNullTs).  event_id IS NOT NULL (r9, hostile-nulls
+    # sweep): same argument for the TIEBREAK key — a NULL id at a tied
+    # ts shifts the running sum by the engines' opposite NULL
+    # placement.
     oracle=f"""
     SELECT event_id, user_id,
            CAST(sum({sql_cents('value')})
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / CAST(100 AS DOUBLE) AS running_value
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     """,
 )
 def q_window_running(spark, sf_dir):
@@ -87,7 +90,7 @@ def q_window_running(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return load_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
     ).select(
         "event_id",
         "user_id",
@@ -102,18 +105,26 @@ def q_window_running(spark, sf_dir):
 
 @query(
     "q_window_lag",
+    # event_id IS NOT NULL (r9, hostile-nulls sweep): the (ts,
+    # event_id) tiebreak is what makes the lag deterministic, and the
+    # engines place a NULL tiebreak on opposite ends of a tie group
+    # (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) — an
+    # identity-less event has no position in the total order.  NULL
+    # ts rows still flow through: their boundary gaps are NULL on
+    # both engines either way (pinned by TestNullTs).
     oracle="""
     SELECT event_id, user_id,
            CAST(date_diff('microsecond',
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 ts) AS BIGINT) AS gap_us
-    FROM events
+    FROM events WHERE event_id IS NOT NULL
     """,
 )
 def q_window_lag(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         load_table(spark, sf_dir, "events")
+        .where(F.col("event_id").isNotNull())
         .withColumn("_prev", F.lag("ts").over(w))
         .select(
             "event_id",
@@ -325,6 +336,12 @@ def _sessionize_day_bucket(df, user_col, ts_col, id_col, gap_us):
 
 @query(
     "q_window_frames",
+    # sort keys IS NOT NULL (r9, hostile-nulls sweep): ntile /
+    # percent_rank / cume_dist are POSITIONAL — a row whose sort key
+    # or tiebreak is NULL lands on opposite ends of the partition
+    # between engines (Spark ASC = NULLS FIRST, DuckDB NULLS LAST)
+    # and shifts every rank after it; a row without its ranking keys
+    # has no place in the distribution.
     oracle="""
     SELECT o_orderkey, o_orderstatus,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -333,6 +350,7 @@ def _sessionize_day_bucket(df, user_col, ts_col, id_col, gap_us):
            first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) AS first_key
     FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderstatus
                  ORDER BY o_totalprice, o_orderkey)
     """,
@@ -345,7 +363,9 @@ def q_window_frames(spark, sf_dir):
         "o_totalprice", "o_orderkey"
     )
     wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return load_table(spark, sf_dir, "orders").select(
+    return load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
         "o_orderkey",
         "o_orderstatus",
         F.ntile(4).over(w).cast("long").alias("quartile"),

@@ -77,6 +77,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     and q_normalize_text, whose r9 fold_lower change makes its row
 #:     doubly owed.
 #:
+#: LATE-r9 ADDENDUM (hostile-nulls sweep, after this window was set):
+#: the seventh sweep mode's NULL-entity-key rule (SURVEY §2.4 r9)
+#: changed 17 query texts.  Seven of them have in-window rows that
+#: certify the new text (s_stream_anomaly, q_embed_covariance,
+#: q_window_lag, q_event_transitions, and the gate-sharing
+#: q_similarity_topk/q_similarity_batch/q_embed_dup/q_ann_lsh/
+#: q_ann_pq rows certify the id-extended _sql_norm_gate).  The other
+#: changed names are OWED r10 rows: q_init_means, q_lang_id,
+#: q_retention, q_pagerank, q_skyline, q_ann_ivf, q_collect_agg,
+#: q_window_running, q_window_frames, q_mm_features/_png/_histogram,
+#: q_embed_centroid, q_semdedup, q_source_interleave.  All are
+#: identity on driver data (every added gate is a no-op on NULL-free
+#: benign input), pinned by tests/test_null_identity.py (24 checks on
+#: the sweep's own fixture) and the seven-mode 151/151 sweep.
+#:
 #: NINE names defer to r10 with rationale (the window is exactly 50):
 #: - gmm_fit / q_gmm_bic / q_kmeans / q_linreg (r8 rows): r9 changed
 #:   only dead-branch removal (chunked EM) and temp-view drops after

@@ -695,7 +695,8 @@ def anomaly_stream(stream):
     WITH ev AS (
       SELECT user_id, event_id, ts, value,
              CAST(round(value * 100) AS BIGINT) AS vu
-      FROM events WHERE abs(value) <= {_ANOM_DOMAIN!r} AND {sql_ts_domain()}
+      FROM events WHERE abs(value) <= {_ANOM_DOMAIN!r}
+        AND event_id IS NOT NULL AND {sql_ts_domain()}
     ),
     run AS (
       SELECT user_id, event_id, value, vu,
@@ -731,9 +732,13 @@ def s_stream_anomaly(spark, sf_dir):
     # _ANOM_DOMAIN note): a NaN/Inf would hard-error the snap, and the
     # old cast-safety bound (9.2e16) let an in-domain value overflow
     # the accumulated Σvu² and kill the STREAM, state and all;
-    # out-of-domain rows are excluded like NULLs
+    # out-of-domain rows are excluded like NULLs.  event_id gate (r9,
+    # hostile-nulls sweep): the state fn totally orders each batch by
+    # (ts_us, event_id) and alerts BY event id — a NULL id has no
+    # deterministic position (and int(None) hard-killed the stream)
     stream = src.where(
-        F.abs(F.col("value")) <= F.lit(_ANOM_DOMAIN)
+        (F.abs(F.col("value")) <= F.lit(_ANOM_DOMAIN))
+        & F.col("event_id").isNotNull()
     ).select(
         "user_id",
         event_epoch_us(src).alias("ts_us"),

@@ -14,6 +14,8 @@ hostile class on top of a pristine sf-dir copy:
   python tools/hostile_sweep.py hostile-keys     # NULL/orphan/dup join keys
   python tools/hostile_sweep.py hostile-unicode  # encoding battery (r9)
   python tools/hostile_sweep.py hostile-embeddings  # vector domain (r9)
+  python tools/hostile_sweep.py hostile-nulls    # one NULL per column,
+                                                 # every table (r9)
   python tools/hostile_sweep.py all              # every mode, sequentially
 
 Exit code 0 only if every oracled query is parity-OK and crash-free.
@@ -339,6 +341,85 @@ def _build_hostile_embeddings(spark, tables, root: str) -> None:
         )
 
 
+#: hostile nulls (r9, seventh mode): SYSTEMATIC single-column NULLs —
+#: one added row per column per table (51 rows across all ten tables),
+#: NULL in exactly that column, benign IN-WINDOW values everywhere
+#: else (the §17 lesson: a hostile row a predicate excludes proves
+#: nothing).  Prior modes planted NULLs opportunistically (ts, join
+#: keys, doc metadata, embeddings); this mode guarantees every column
+#: of every table has file-level NULL coverage, probing the
+#: engine-divergence classes NULLs are famous for: ASC NULL ordering
+#: (Spark NULLS FIRST vs DuckDB NULLS LAST) under windows,
+#: greatest/least NULL propagation, concat vs ||, and NULL group keys.
+#: PK-uniqueness per table so dup-key fan-out (hostile-keys' job)
+#: doesn't confound the NULL signal — except of course the row whose
+#: NULL target IS the PK.
+_NULL_BENIGN = {
+    "region": {"r_regionkey": 90, "r_name": "NULLPROBE"},
+    "nation": {"n_nationkey": 990, "n_name": "NULLPROBE",
+               "n_regionkey": 0},
+    "customer": {"c_custkey": 90_000_000, "c_name": "nullprobe",
+                 "c_nationkey": 0, "c_acctbal": 100.0,
+                 "c_mktsegment": "BUILDING"},
+    "supplier": {"s_suppkey": 90_000_000, "s_name": "nullprobe",
+                 "s_nationkey": 0, "s_acctbal": 100.0},
+    "part": {"p_partkey": 90_000_000, "p_name": "nullprobe part",
+             "p_brand": "Brand#13", "p_type": "ECONOMY ANODIZED STEEL",
+             "p_size": 15, "p_retailprice": 900.0},
+    "orders": {"o_orderkey": 90_000_000, "o_custkey": 1,
+               "o_orderstatus": "O", "o_totalprice": 1000.0,
+               "o_orderdate": _D(1995, 6, 15),
+               "o_orderpriority": "1-URGENT"},
+    "lineitem": {"l_orderkey": 90_000_000, "l_partkey": 1,
+                 "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 10.0,
+                 "l_extendedprice": 1000.0, "l_discount": 0.06,
+                 "l_tax": 0.04, "l_returnflag": "N",
+                 "l_linestatus": "O", "l_shipdate": _D(1994, 6, 15)},
+    "events": {"event_id": 90_000_000, "ts": _D(2024, 1, 2, 7, 30),
+               "user_id": 1, "event_type": "click", "value": 10.0,
+               "props": '{"k": 7}'},
+    "documents": {"doc_id": 90_000_000,
+                  "text": "the quick brown fox jumps",
+                  "lang": "en", "source": "src0", "n_chars": 25},
+    "embeddings": {"vec_id": 90_000_000, "embedding": [0.5] * 64,
+                   "label": 1},
+}
+#: per-table PK columns to keep unique across the fixture's rows
+_NULL_PK = {
+    "region": ("r_regionkey",), "nation": ("n_nationkey",),
+    "customer": ("c_custkey",), "supplier": ("s_suppkey",),
+    "part": ("p_partkey",), "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",), "events": ("event_id",),
+    "documents": ("doc_id",), "embeddings": ("vec_id",),
+}
+
+
+def _build_hostile_nulls(spark, tables, root: str) -> None:
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        benign = _NULL_BENIGN[t]
+        df = spark.read.parquet(src)
+        names = [f.name for f in df.schema.fields]
+        assert set(names) == set(benign), (t, names, sorted(benign))
+        rows = []
+        for i, target in enumerate(names):
+            d = dict(benign)
+            for pk in _NULL_PK[t]:
+                if isinstance(d[pk], int):
+                    d[pk] = d[pk] + i
+            # documents: n_chars stays CONSISTENT with text (some
+            # queries trust the column) — NULL text carries NULL
+            # n_chars; the explicit NULL-n_chars row keeps real text
+            if t == "documents" and target == "text":
+                d["n_chars"] = None
+            d[target] = None
+            rows.append(tuple(d[n] for n in names))
+        _single_file(
+            df.unionByName(spark.createDataFrame(rows, df.schema)),
+            f"{root}/{t}.parquet",
+        )
+
+
 _MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
@@ -346,6 +427,7 @@ _MODES = {
     "hostile-keys": _build_hostile_keys,
     "hostile-unicode": _build_hostile_unicode,
     "hostile-embeddings": _build_hostile_embeddings,
+    "hostile-nulls": _build_hostile_nulls,
 }
 
 
