@@ -158,6 +158,14 @@ def q_funnel(spark, sf_dir):
 #: convergence-driven stopping is the gmm_fit-style rows-only variant)
 _PR_ITERS = 3
 
+#: node-encode key domain (r9, hostile-extremes sweep): custkey maps
+#: to node 2k and suppkey to 2k+1, so |key| must leave one headroom
+#: bit — k ∈ [−2^62, 2^62) keeps 2k and 2k+1 inside int64.  Keys
+#: outside the encodable domain are excluded like NULLs (same gate
+#: text on both engines; spelled BETWEEN, not abs(), because ANSI
+#: abs(−2^63) is itself an overflow kill).
+_PR_KEY_MAX = 2**62
+
 #: per-edge rank transfer in integer µ-units: inputs (r_u, deg) are
 #: exact integers, the expression text is shared verbatim, and the
 #: snap-to-BIGINT before the per-node sum makes every iteration's
@@ -188,6 +196,8 @@ def _pagerank_oracle() -> str:
       SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        AND o_custkey BETWEEN -{_PR_KEY_MAX} AND {_PR_KEY_MAX} - 1
+        AND l_suppkey BETWEEN -{_PR_KEY_MAX} AND {_PR_KEY_MAX} - 1
     ),
     edges AS (
       SELECT c AS src, s AS dst FROM pairs
@@ -253,11 +263,20 @@ def q_pagerank(spark, sf_dir):
     # — the oracle's GROUP BY src keeps a NULL degree row (inflating
     # its |V| by one, shifting every teleport scalar) while Spark's
     # n comes after a join that drops NULL — so the gate is declared
-    # domain, applied identically on both engines.
+    # domain, applied identically on both engines.  |key| < 2^62
+    # (r9, hostile-extremes sweep): the ±(2k, 2k+1) node encode needs
+    # one headroom bit — a key at 2^62 overflows the multiply into an
+    # ANSI job kill; beyond-encode keys are excluded like NULLs.
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .where(
             F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        # two-sided compare, not abs(): ANSI abs(-2^63) is itself an
+        # overflow kill
+        .where(
+            F.col("o_custkey").between(-_PR_KEY_MAX, _PR_KEY_MAX - 1)
+            & F.col("l_suppkey").between(-_PR_KEY_MAX, _PR_KEY_MAX - 1)
         )
         .select(
             (F.col("o_custkey") * 2).alias("c"),

@@ -379,7 +379,10 @@ def _build_codecs():
     # bytes as a real BMP and DECODES it back with the pure-Python
     # parser; DuckDB replays the decoded statistics from the hex dump
     # of the same bytes — geometry from the encoder's layout math
-    # (width = 8 + doc_id % 9, stride padded to 4, ≥1 row), channel
+    # (width = 8 + doc_id mod 9 — FLOORED mod, the Python % the
+    # encoder runs; SQL's truncated % goes negative with a negative
+    # doc_id (r9, hostile-extremes sweep), hence the oracle's
+    # ((x % 9) + 9) % 9 form), stride padded to 4, ≥1 row), channel
     # sums from every 3rd byte (data byte i → channel i mod 3, B/G/R;
     # zero padding adds 0).  Agreement proves encode∘decode is the
     # identity on pixels AND that header/stride/row-order parsing is
@@ -388,7 +391,7 @@ def _build_codecs():
     WITH d AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
-             {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
+             {_BMP_WIDTH_BASE} + ((doc_id % {_BMP_WIDTH_SPAN}) + {_BMP_WIDTH_SPAN}) % {_BMP_WIDTH_SPAN} AS w
       FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
@@ -491,7 +494,7 @@ def q_mm_features(spark, sf_dir):
     WITH d AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
-             {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
+             {_BMP_WIDTH_BASE} + ((doc_id % {_BMP_WIDTH_SPAN}) + {_BMP_WIDTH_SPAN}) % {_BMP_WIDTH_SPAN} AS w
       FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (
@@ -742,7 +745,7 @@ def _mm_histogram_oracle() -> str:
     WITH d AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS bl,
-             {_BMP_WIDTH_BASE} + doc_id % {_BMP_WIDTH_SPAN} AS w
+             {_BMP_WIDTH_BASE} + ((doc_id % {_BMP_WIDTH_SPAN}) + {_BMP_WIDTH_SPAN}) % {_BMP_WIDTH_SPAN} AS w
       FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     g AS (

@@ -173,7 +173,7 @@ def q_skew_metrics(spark, sf_dir):
     before a 100 TB join: one groupBy on the key (the same shuffle
     the join would do), then ONE scalar aggregate over the tiny
     per-key counts (r3 rework: the hottest key comes from the same
-    aggregate via max over (cnt, −key) structs — lexicographic max =
+    aggregate via max over (cnt, ~key) structs — lexicographic max =
     highest count, lowest key on ties, identical to the oracle's
     (count DESC, key) order — where the previous top-1 sort branch
     re-evaluated the whole per-key aggregate: 2 scans → 1)."""
@@ -186,11 +186,14 @@ def q_skew_metrics(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
         F.max("cnt").cast("long").alias("max_count"),
+        # ~key, not -key (r9, hostile-extremes sweep): bitwise NOT is
+        # the overflow-free order-reversing involution on int64 —
+        # ANSI negate(-2^63) is a job kill, ~ is total
         F.max(
-            F.struct(F.col("cnt"), (-F.col("user_id")).alias("nid"))
+            F.struct(F.col("cnt"), F.expr("~user_id").alias("nid"))
         ).alias("_h"),
     ).select(
-        (-F.col("_h.nid")).cast("long").alias("hottest_user"),
+        F.expr("~_h.nid").cast("long").alias("hottest_user"),
         "max_count",
         "n_keys",
         "n_rows",

@@ -106,7 +106,12 @@ def q_variance_pop(spark, sf_dir):
 # arithmetic → identical in Spark and DuckDB.
 
 
-_HASH_ORDER = "(event_id * 2654435761) % 1000000007"
+#: mod-first (r9, hostile-extremes sweep): event_id * 2654435761
+#: overflows int64 under ANSI for event_id >= ~3.5e9; reducing the
+#: id first caps the product at ~2.7e18 and is value-identical
+#: everywhere the old form didn't overflow (same congruence class,
+#: same truncated-% sign on both engines)
+_HASH_ORDER = "((event_id % 1000000007) * 2654435761) % 1000000007"
 
 
 @query(

@@ -323,7 +323,16 @@ def q_ann_lsh(spark, sf_dir):
 # -- q_ann_ivf: inverted-file (IVF) ANN (exact+recall oracled) ------------
 
 _IVF_LISTS = 8
-_IVF_NPROBE = 2
+#: 3 of 8 lists probed (r9, hostile-extremes sweep — was 2): recall
+#: sat ON the declared floor (3/10) at tiny corpus scale, where any
+#: corpus perturbation reshuffles the hash-ordered training sample
+#: and can push one true-neighbor-rich list to probe rank 3 (the
+#: planted duplicate cluster did exactly that: exact top-10 had four
+#: ids in the third-ranked list, recall 2 < floor).  nprobe=3 still
+#: prunes 5/8 of all exact-distance work and restores margin;
+#: measured recall after the bump: pristine sf0.001 5/10 and
+#: sf0.01 6/10, extremes fixture 6/10, nulls fixture 5/10.
+_IVF_NPROBE = 3
 
 
 _IVF_SWEEPS = 2
@@ -410,7 +419,26 @@ def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
         .collect()
     )
     X = np.array([r.embedding for r in rows], dtype=np.float64)
-    cents = X[: _IVF_LISTS].copy()
+    # DISTINCT seeds (r9, hostile-extremes sweep): a duplicate-heavy
+    # corpus (boilerplate embeddings) can put identical vectors among
+    # the first _IVF_LISTS sample rows — duplicate seeds collapse two
+    # lists into one (argmin ties take the lowest index, the higher
+    # seed's list starves) and measured recall fell below the floor.
+    # Take the first pairwise-distinct vectors in sample order instead
+    # (FAISS trains on deduped points for the same reason); identical
+    # on corpora whose leading sample vectors are already distinct —
+    # every benign float64 corpus.
+    seed_idx: list[int] = []
+    for i in range(len(X)):
+        if len(seed_idx) == _IVF_LISTS:
+            break
+        if all(not np.array_equal(X[i], X[j]) for j in seed_idx):
+            seed_idx.append(i)
+    if len(seed_idx) < _IVF_LISTS:  # < K distinct vectors exist at all
+        seed_idx += [
+            i for i in range(len(X)) if i not in seed_idx
+        ][: _IVF_LISTS - len(seed_idx)]
+    cents = X[seed_idx].copy()
     for _ in range(_IVF_SWEEPS):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         best = d2.argmin(axis=1)  # ties → lowest list index

@@ -451,7 +451,7 @@ _SAMPLE_RATES = {"en": 200, "es": 100, "de": 100, "fr": 50, "zh": 50}
     oracle=f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE (doc_id * {_SAMPLE_C}) % 1000 <
+    WHERE ((doc_id % 1000) * {_SAMPLE_C}) % 1000 <
           CASE lang {" ".join(f"WHEN '{k}' THEN {v}"
                               for k, v in sorted(_SAMPLE_RATES.items()))}
           ELSE 0 END
@@ -466,7 +466,12 @@ def q_stratified_sample(spark, sf_dir):
     rate = F.lit(0)
     for k, v in sorted(_SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    bucket = (F.col("doc_id") * F.lit(_SAMPLE_C)) % 1000
+    # mod-first (r9, hostile-extremes sweep): doc_id * C overflows
+    # int64 under ANSI for |doc_id| >= ~3.5e9; (d % 1000) * C tops out
+    # at ~2.7e12 and is value-identical everywhere the old form
+    # didn't overflow ((d*C) mod m == ((d mod m)*C) mod m, and both
+    # engines' truncated % keeps the dividend's sign on both forms)
+    bucket = ((F.col("doc_id") % 1000) * F.lit(_SAMPLE_C)) % 1000
     return (
         load_table(spark, sf_dir, "documents")
         .where(bucket < rate)

@@ -87,10 +87,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: changed names are OWED r10 rows: q_init_means, q_lang_id,
 #: q_retention, q_pagerank, q_skyline, q_ann_ivf, q_collect_agg,
 #: q_window_running, q_window_frames, q_mm_features/_png/_histogram,
-#: q_embed_centroid, q_semdedup, q_source_interleave.  All are
-#: identity on driver data (every added gate is a no-op on NULL-free
-#: benign input), pinned by tests/test_null_identity.py (24 checks on
-#: the sweep's own fixture) and the seven-mode 151/151 sweep.
+#: q_embed_centroid, q_semdedup, q_source_interleave, q_skew_metrics
+#: (~key hottest-key trick, hostile-extremes).  q_stratified_sample's
+#: mod-first hash is certified by its own in-window (3) row.
+#: All are identity on driver data (every added gate
+#: is a no-op on benign input; the mod-first rewrites are congruent;
+#: the IVF distinct-seed rule is a no-op on distinct-vector corpora)
+#: EXCEPT q_ann_ivf's nprobe 2→3, which changes the IVF candidate
+#: set by design (recall margin — similarity._IVF_NPROBE note) while
+#: the hashed columns (exact_topk, recall_ok) stay identical.
+#: Pinned by tests/test_null_identity.py (24 nulls checks + 9
+#: extremes checks — incl. q_skew_metrics's overflow-free ~key
+#: hottest-key trick — on the sweeps' own fixtures) and the
+#: eight-mode 151/151 sweep.
 #:
 #: NINE names defer to r10 with rationale (the window is exactly 50):
 #: - gmm_fit / q_gmm_bic / q_kmeans / q_linreg (r8 rows): r9 changed

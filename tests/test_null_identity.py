@@ -26,6 +26,11 @@ classes, all fixed with ONE declared rule mirrored on both engines:
 
 These tests pin every fixed query on the sweep's own fixture; the
 sweep tool stays the fleet-level regression armor.
+
+Also here: the hostile-EXTREMES battery (r9, eighth mode — INT64/INT32
+boundary values in every integer key column), which found three ANSI
+overflow job kills on key arithmetic, a Python-vs-SQL signed-modulo
+divergence, and an IVF seed/recall fragility — see _EXTREMES_FIXED.
 """
 
 from __future__ import annotations
@@ -103,6 +108,66 @@ class TestNullIdentity:
             for c in cols:
                 n_null = df.where(df[c].isNull()).count()
                 assert n_null >= 1, f"{t}.{c} has no NULL row"
+
+
+#: every query the first hostile-extremes run broke (r9, eighth sweep
+#: mode: INT64/INT32 boundary values in every integer key column)
+_EXTREMES_FIXED = (
+    # ANSI int64-overflow job kills on key arithmetic
+    "q_init_means",        # event_id * 2654435761 → mod-first
+    "q_stratified_sample",  # doc_id * C → mod-first
+    "q_pagerank",          # key * 2 node encode → declared key domain
+    # Python floored % vs SQL truncated % on a negative doc_id
+    "q_mm_features", "q_mm_png", "q_mm_histogram",
+    # duplicate-vector seeds collapsed IVF lists + recall margin
+    "q_ann_ivf",
+    # ANSI negate(-2^63) in the hottest-key trick → bitwise NOT
+    "q_skew_metrics",
+)
+
+
+@pytest.fixture(scope="module")
+def extremes_fixture(spark, tmp_path_factory):
+    from ema_bigdata_spark.sources.tables import TABLES
+    from tools.hostile_sweep import _build_hostile_extremes
+
+    root = str(tmp_path_factory.mktemp("hostile_extremes"))
+    _build_hostile_extremes(spark, TABLES, root)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{root}/{t}.parquet')"
+        )
+    yield root, con
+    con.close()
+
+
+class TestExtremeKeys:
+    @pytest.mark.parametrize("name", _EXTREMES_FIXED)
+    def test_parity_on_extreme_keys(self, spark, extremes_fixture, name):
+        root, con = extremes_fixture
+        compare_query(spark, con, root, name)
+
+    def test_ivf_recall_holds_on_duplicate_heavy_corpus(
+        self, spark, extremes_fixture
+    ):
+        """The planted identical-vector cluster must not push IVF
+        recall below the declared floor (the distinct-seed rule +
+        nprobe=3 margin — similarity.py's _IVF_NPROBE note)."""
+        from ema_bigdata_spark.operators import similarity as sim
+        from ema_bigdata_spark.sources.tables import load_table
+
+        root, _ = extremes_fixture
+        probe = sim._probe_vector(spark, root)
+        ivf = {r.vec_id for r in sim.ann_ivf_topk(spark, root).collect()}
+        ex = {
+            r.vec_id
+            for r in sim.cosine_topk(
+                load_table(spark, root, "embeddings"), probe
+            ).select("vec_id").collect()
+        }
+        assert len(ivf & ex) >= sim._IVF_RECALL_FLOOR
 
 
 class TestCollectAggNullSemantics:

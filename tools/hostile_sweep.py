@@ -16,6 +16,8 @@ hostile class on top of a pristine sf-dir copy:
   python tools/hostile_sweep.py hostile-embeddings  # vector domain (r9)
   python tools/hostile_sweep.py hostile-nulls    # one NULL per column,
                                                  # every table (r9)
+  python tools/hostile_sweep.py hostile-extremes # INT64/INT32 boundary
+                                                 # keys (r9)
   python tools/hostile_sweep.py all              # every mode, sequentially
 
 Exit code 0 only if every oracled query is parity-OK and crash-free.
@@ -420,6 +422,66 @@ def _build_hostile_nulls(spark, tables, root: str) -> None:
         )
 
 
+#: hostile extremes (r9, eighth mode): INT64/INT32 boundary values in
+#: every integer key/attribute column — one hostile value per row,
+#: benign in-window values elsewhere (same honesty rules as the other
+#: modes, same benign templates as hostile-nulls).  The overflow
+#: surface this probes is ARITHMETIC ON KEYS: hash-sample multiplies
+#: (q_init_means' event_id * 2654435761), node encodes (q_pagerank's
+#: key * 2), salt/bucket arithmetic (q_join_salted, q_zorder_layout)
+#: — under ANSI Spark an int64 overflow is a hard job kill, and
+#: "both engines crash" is still a failed sweep row.  INT32 columns
+#: get int32 extremes (they widen safely in arithmetic but stress
+#: join/dominance/grouping paths).
+_EXTREME_I64 = [2**63 - 1, -(2**63 - 1), 2**62, -(2**63)]
+_EXTREME_I32 = [2**31 - 1, -(2**31 - 1), -(2**31)]
+#: integer columns per table, split by physical width (see TESTDATA
+#: schemas); PK columns are included — an extreme id is a valid id
+_EXTREME_COLS = {
+    "region": {"i32": ("r_regionkey",)},
+    "nation": {"i32": ("n_nationkey", "n_regionkey")},
+    "customer": {"i64": ("c_custkey",), "i32": ("c_nationkey",)},
+    "supplier": {"i64": ("s_suppkey",), "i32": ("s_nationkey",)},
+    "part": {"i64": ("p_partkey",), "i32": ("p_size",)},
+    "orders": {"i64": ("o_orderkey", "o_custkey")},
+    "lineitem": {"i64": ("l_orderkey", "l_partkey", "l_suppkey"),
+                 "i32": ("l_linenumber",)},
+    "events": {"i64": ("event_id", "user_id")},
+    "documents": {"i64": ("doc_id", "n_chars")},
+    "embeddings": {"i64": ("vec_id",), "i32": ("label",)},
+}
+
+
+def _build_hostile_extremes(spark, tables, root: str) -> None:
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        benign = _NULL_BENIGN[t]
+        spec = _EXTREME_COLS[t]
+        df = spark.read.parquet(src)
+        names = [f.name for f in df.schema.fields]
+        rows = []
+        i = 0
+        for width, vals in (("i64", _EXTREME_I64), ("i32", _EXTREME_I32)):
+            for target in spec.get(width, ()):
+                for v in vals:
+                    d = dict(benign)
+                    for pk in _NULL_PK[t]:
+                        if isinstance(d[pk], int):
+                            d[pk] = d[pk] + 1_000_000 + i
+                    d[target] = v
+                    if t == "documents" and target == "n_chars":
+                        # n_chars normally mirrors len(text); here the
+                        # LIE is the probe — queries must not trust it
+                        # into overflow
+                        pass
+                    rows.append(tuple(d[n] for n in names))
+                    i += 1
+        _single_file(
+            df.unionByName(spark.createDataFrame(rows, df.schema)),
+            f"{root}/{t}.parquet",
+        )
+
+
 _MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
@@ -428,6 +490,7 @@ _MODES = {
     "hostile-unicode": _build_hostile_unicode,
     "hostile-embeddings": _build_hostile_embeddings,
     "hostile-nulls": _build_hostile_nulls,
+    "hostile-extremes": _build_hostile_extremes,
 }
 
 
