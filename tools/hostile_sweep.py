@@ -18,6 +18,8 @@ hostile class on top of a pristine sf-dir copy:
                                                  # every table (r9)
   python tools/hostile_sweep.py hostile-extremes # INT64/INT32 boundary
                                                  # keys (r9)
+  python tools/hostile_sweep.py hostile-combined # every class at once:
+                                                 # interaction probe (r9)
   python tools/hostile_sweep.py all              # every mode, sequentially
 
 Exit code 0 only if every oracled query is parity-OK and crash-free.
@@ -482,7 +484,7 @@ def _build_hostile_extremes(spark, tables, root: str) -> None:
         )
 
 
-_MODES = {
+_BASE_MODES = {
     "nonfinite-tpch": _build_nonfinite_tpch,
     "hostile-ts": _build_hostile_ts,
     "hostile-docs": _build_hostile_docs,
@@ -492,6 +494,32 @@ _MODES = {
     "hostile-nulls": _build_hostile_nulls,
     "hostile-extremes": _build_hostile_extremes,
 }
+
+
+def _build_hostile_combined(spark, tables, root: str) -> None:
+    """Ninth mode (r9): EVERY poison class in ONE corpus — each
+    table is the pristine base plus the union of every base mode's
+    added rows.  The per-class gates are all per-row predicates, so
+    parity should compose; a failure here is an INTERACTION bug
+    (one gate invalidating another's assumption) that no single-class
+    sweep can see."""
+    builds = {}
+    for name, fn in _BASE_MODES.items():
+        sub = tempfile.mkdtemp(prefix=f"combined_{name.replace('-', '_')}_")
+        fn(spark, tables, sub)
+        builds[name] = sub
+    for t in tables:
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        extra = None
+        for name, sub in builds.items():
+            added = spark.read.parquet(f"{sub}/{t}.parquet").exceptAll(base)
+            extra = added if extra is None else extra.unionByName(added)
+        _single_file(base.unionByName(extra), f"{root}/{t}.parquet")
+    for sub in builds.values():
+        shutil.rmtree(sub)
+
+
+_MODES = {**_BASE_MODES, "hostile-combined": _build_hostile_combined}
 
 
 def run_mode(spark, mode: str) -> list[str]:
