@@ -279,6 +279,21 @@ _UNI_PROPS = [
     '{"k": "\U0001f680 raw astral"}',
     '{"k": "nul \x00 inside"}',
     '{"k": 7, "\u0301": "combining key"}',
+    # JSON edge battery (late r9): probed clean against the registered
+    # integer-literal guard (scalars._JSON_INT_PAT) — kept as armor.
+    # Raw get_json_object vs json_extract_string DO diverge on 1e309
+    # (Spark re-serializes the overflow as a QUOTED "Infinity" string,
+    # DuckDB unquoted) — the guard is what keeps parity.
+    '{"k": 1, "k": 2}',                 # duplicate key (first wins, both)
+    '{"k": 1e309}',                     # double overflow
+    '{"k": 9223372036854775808}',       # int64+1 (19 digits -> NULL)
+    '{"k": -9223372036854775808}',      # int64 min
+    '{"k": 01}', '{"k": 00012}',        # leading zeros (invalid JSON)
+    '{"k": 1.0}', '{"k": +5}', '{"k": -0}',
+    '{"k": [1,2,3]}', '{"k": {"n": 5}}',
+    '[{"k": 1}]',                       # array root
+    '{"k": 1',                          # truncated
+    '{"k": ' + '[' * 200 + ']' * 200 + '}',  # 200-deep nesting
 ]
 
 
