@@ -220,7 +220,7 @@ def _pagerank_oracle() -> str:
       FROM edges JOIN deg USING (src)
     ),{",".join(its)}
     SELECT node,
-           node % 2 = 1 AS is_supplier,
+           node % 2 != 0 AS is_supplier,
            round(CAST(r_u AS DOUBLE) / 1000000, 6) AS rank
     FROM {prev}
     """
@@ -331,7 +331,10 @@ def q_pagerank(spark, sf_dir):
         )
     return ranks.select(
         "node",
-        (F.col("node") % 2 == 1).alias("is_supplier"),
+        # sign-robust odd test (ADVICE r9): truncated % yields -1 for
+        # negative supplier nodes, so `% 2 == 1` mislabels them; both
+        # engines agree on `% 2 != 0`
+        (F.col("node") % 2 != 0).alias("is_supplier"),
         F.round(F.col("r_u").cast("double") / F.lit(1000000), 6).alias(
             "rank"
         ),

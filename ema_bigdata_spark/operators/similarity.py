@@ -77,13 +77,19 @@ def _norm_gated(df):
     """ONE source of truth for the family's vector domain on the Spark
     side — see `_NORM2_MAX`, and `_sql_norm_gate` for why the row id
     is part of the domain (r9).  The oracle texts spell the same gate
-    via :func:`_sql_norm_gate`."""
-    return df.where(
-        F.expr(
-            f"vec_id IS NOT NULL"
-            f" AND {_DOT_SELF} > 0 AND {_DOT_SELF} <= {_NORM2_MAX}"
-        )
-    )
+    via :func:`_sql_norm_gate`.
+
+    The ``vec_id`` clause applies only when the frame HAS that column
+    (ADVICE r9): library entry points such as
+    :func:`embed_covariance_arrow` accept any (…, ``embedding``)
+    frame, and an id-less frame has no row-identity requirement —
+    matching ``_sql_norm_gate(id_col=None)``.  Every registered
+    query's operand carries ``vec_id``, so this is identity for the
+    oracle contract."""
+    gate = f"{_DOT_SELF} > 0 AND {_DOT_SELF} <= {_NORM2_MAX}"
+    if "vec_id" in df.columns:
+        gate = f"vec_id IS NOT NULL AND {gate}"
+    return df.where(F.expr(gate))
 
 
 # -- q_embed_norm: L2 norm via higher-order fold (SQL-oracled) ------------

@@ -37,105 +37,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-9 verification priority.  The external driver records a
+#: Round-10 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
 #: Rotation rule (steady state since r3): never-checked first, then
 #: red rows / changed-this-round, then stalest-official-row (an old
-#: green row doesn't certify refactored code).  This window:
+#: green row doesn't certify refactored code).  Freshness invariant
+#: (VERDICT r9 item 7, enforced by ``tools/check_freshness.py``): at
+#: round close, no query's latest official row may predate N-3.
 #:
-#: (1) SEVEN queries whose BEHAVIOR changed in r9 (ADVICE r8 +
-#:     hostile-unicode sweep; all identity on driver data, all
-#:     hostile-pinned):
-#:     - q_math_funcs: floor_long's tiny-negative parity fix
-#:       (functions/parity.py; probed -1e-17 → 0 vs -1);
-#:     - q_value_outliers (domain 1e9) / q_outlier_mad (1e8): the
-#:       quadratic-arithmetic headroom gates replacing the
-#:       cast-safety-only 9.2e12 (profiling.py module comment);
-#:     - s_stream_anomaly: DECIMAL(38,0) sx/sxx state + HUGEINT
-#:       oracle sums + |value| ≤ 1e9 gate (stream_queries.py
-#:       _ANOM_DOMAIN — in-domain Σvu² overflow killed the stream);
-#:     - q_embed_covariance: the Arrow/HOF producer auto-switch
-#:       selects Arrow at sf0.01's 500 rows, so the official row must
-#:       certify the NEW physical path (values proven bit-identical);
-#:     - q_dedup_exact: the fold_lower dedup key (textfold.py —
-#:       İ/final-sigma simple folds, the r9 unicode sweep);
-#:     - q_dedup_fuzzy: edit distance re-declared in UTF-8 BYTES
-#:       (Spark counted code points, DuckDB bytes; textfold.lev_bytes).
+#: This window (r10) = the 25 owed names the r9 registry docstring
+#: enumerated, then the full r6-era remainder, then the 11 stalest
+#: r7 rows (alphabetical tiebreak):
 #:
-#: (2) TWELVE of the sixteen r8 identity-change deferrals owed this
-#:     round (VERDICT r8 item 2; rationales in the r8 window notes,
-#:     ROUND8_NOTES §15-§22): q_approx_quantiles, the four seam-gate
-#:     streaming rows (s_stream_dedup/join/static_join/upsert), the
-#:     five gate-only embedding rows (q_similarity_topk,
-#:     q_similarity_batch, q_embed_dup, q_ann_lsh, q_ann_pq),
-#:     q_profile_table, q_approx_distinct.  (q_sql_tpch_q9/q22 and
-#:     q_doc_fingerprint from that list are r5-era and enter via (3).)
+#: (1) TWO r10 behavior changes (ADVICE r9), both identity on driver
+#:     data: q_pagerank's sign-robust ``% 2 != 0`` is_supplier label
+#:     (negative supplier nodes — analytics.py) — q_pagerank heads
+#:     the window; and _norm_gated's column-existence vec_id gate
+#:     (similarity.py), which is identity for every REGISTERED
+#:     operand (all carry vec_id) and certified by the in-window
+#:     embedding rows.
 #:
-#: (3) the THIRTY-ONE r5-era official rows (VERDICT r9 headline:
-#:     after this round no query's latest official row predates r6) —
-#:     the full r5 TPC-H block, the window/text/analytics one-liners,
-#:     and q_normalize_text, whose r9 fold_lower change makes its row
-#:     doubly owed.
+#: (2) the SIXTEEN late-r9 hostile-nulls/extremes text changes owed
+#:     from the r9 addendum (NULL-entity-key rule, mod-first hashes,
+#:     IVF distinct-seed + nprobe=3, ~key hottest-key trick):
+#:     q_init_means, q_lang_id, q_retention, q_pagerank, q_skyline,
+#:     q_ann_ivf, q_collect_agg, q_window_running, q_window_frames,
+#:     q_mm_features/_png/_histogram, q_embed_centroid, q_semdedup,
+#:     q_source_interleave, q_skew_metrics.  All identity on driver
+#:     data except q_ann_ivf's nprobe 2→3 (deliberate recall margin;
+#:     hashed columns identical).
 #:
-#: LATE-r9 ADDENDUM (hostile-nulls sweep, after this window was set):
-#: the seventh sweep mode's NULL-entity-key rule (SURVEY §2.4 r9)
-#: changed 17 query texts.  Seven of them have in-window rows that
-#: certify the new text (s_stream_anomaly, q_embed_covariance,
-#: q_window_lag, q_event_transitions, and the gate-sharing
-#: q_similarity_topk/q_similarity_batch/q_embed_dup/q_ann_lsh/
-#: q_ann_pq rows certify the id-extended _sql_norm_gate).  The other
-#: changed names are OWED r10 rows: q_init_means, q_lang_id,
-#: q_retention, q_pagerank, q_skyline, q_ann_ivf, q_collect_agg,
-#: q_window_running, q_window_frames, q_mm_features/_png/_histogram,
-#: q_embed_centroid, q_semdedup, q_source_interleave, q_skew_metrics
-#: (~key hottest-key trick, hostile-extremes).  q_stratified_sample's
-#: mod-first hash is certified by its own in-window (3) row.
-#: All are identity on driver data (every added gate
-#: is a no-op on benign input; the mod-first rewrites are congruent;
-#: the IVF distinct-seed rule is a no-op on distinct-vector corpora)
-#: EXCEPT q_ann_ivf's nprobe 2→3, which changes the IVF candidate
-#: set by design (recall margin — similarity._IVF_NPROBE note) while
-#: the hashed columns (exact_topk, recall_ok) stay identical.
-#: Pinned by tests/test_null_identity.py (24 nulls checks + 9
-#: extremes checks — incl. q_skew_metrics's overflow-free ~key
-#: hottest-key trick — on the sweeps' own fixtures) and the
-#: eight-mode 151/151 sweep.
+#: (3) the NINE r9 deferrals (rationales: ROUND9_NOTES / the r9
+#:     docstring): gmm_fit, q_gmm_bic, q_kmeans, q_linreg (r9 touched
+#:     only dead-branch removal + temp-view drops; lockstep
+#:     bit-identity pinned), q_dedup_exact_hash, q_corpus_clean,
+#:     q_dedup_incremental, q_train_val_split (their r9 change is the
+#:     identical fold_lower expression q_dedup_exact's r9 row
+#:     certifies), q_source_interleave (already in (2)).
 #:
-#: NINE names defer to r10 with rationale (the window is exactly 50):
-#: - gmm_fit / q_gmm_bic / q_kmeans / q_linreg (r8 rows): r9 changed
-#:   only dead-branch removal (chunked EM) and temp-view drops after
-#:   analysis — output identity pinned by the lockstep bit-identity
-#:   tests and test_gmm_views_do_not_accumulate;
-#: - q_dedup_exact_hash / q_corpus_clean / q_dedup_incremental /
-#:   q_train_val_split: their r9 change is the IDENTICAL fold_lower
-#:   expression q_dedup_exact's in-window row certifies (the r8 (2d)
-#:   one-row-certifies-the-text precedent), pinned by
-#:   TestTextFoldParity + the 151/151 hostile-unicode sweep;
-#: - q_source_interleave (r7 row, deferred once in r8): unchanged in
-#:   r9; its r8 change remains output-identity on driver data, pinned
-#:   by the adversarial documents suite.
-#: All nine are green in this round's full driver sims (sf0.01).
+#: (4) the FIFTEEN remaining r6-era official rows — after this round
+#:     no row predates r7: q_compact_latest, q_contamination,
+#:     q_dedup_incremental_near, q_dup_spans, q_embed_quantize,
+#:     q_funnel, q_join_asof, q_join_range, q_mix_weights,
+#:     q_pack_sequences, q_sql_tpch_q10/q14/q17/q6, q_unigram_lm.
+#:
+#: (5) ELEVEN stalest-r7 fillers (alphabetical): q_agg_distinct,
+#:     q_bm25, q_char_entropy, q_corr_stats, q_cube, q_except,
+#:     q_grouping_sets, q_having, q_join_anti, q_join_broadcast,
+#:     q_join_full.
+#:
+#: OWED r11 (the 16 r7 rows that did not fit; they hit the N-3 edge
+#: next round, so they MUST head the r11 window): q_join_inner,
+#: q_join_semi, q_mm_frames, q_mstep_var_fixed, q_multimodal_join,
+#: q_ngram_jaccard, q_pii_scrub, q_pricing_summary, q_rollup,
+#: q_sql_exists, q_sql_scalar_subquery, q_sql_tpch_q3, q_sql_tpch_q5,
+#: q_string_funcs, q_topk_ngrams, q_weighted_sample.  None changed
+#: in r10; all green in this round's full driver sims.
+#:
+#: (The full r9 window rationale lives in git history and
+#: ROUND9_NOTES.md.)
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — (1) r9 behavior changes (7) —
-    "q_math_funcs", "q_value_outliers", "q_outlier_mad",
-    "s_stream_anomaly", "q_embed_covariance", "q_dedup_exact",
-    "q_dedup_fuzzy",
-    # — (2) r8 deferrals owed (12) —
-    "q_approx_quantiles", "s_stream_dedup", "s_stream_join",
-    "s_stream_static_join", "s_stream_upsert", "q_similarity_topk",
-    "q_similarity_batch", "q_embed_dup", "q_ann_lsh", "q_ann_pq",
-    "q_profile_table", "q_approx_distinct",
-    # — (3) the r5-era rows, retired (31) —
-    "q_bigram_lm", "q_bpe_pairs", "q_case_null", "q_cdc_merge",
-    "q_date_funcs", "q_doc_fingerprint", "q_event_transitions",
-    "q_filter_report", "q_gapfill", "q_normalize_text",
-    "q_quality_score", "q_rag_chunk", "q_repetition_score",
-    "q_source_mix", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9",
-    "q_sql_tpch_q13", "q_sql_tpch_q15", "q_sql_tpch_q16",
-    "q_sql_tpch_q19", "q_sql_tpch_q21", "q_sql_tpch_q22",
-    "q_stratified_sample", "q_text_tokens", "q_tfidf", "q_token_count",
-    "q_token_histogram", "q_window_lag", "q_window_rank",
-    "q_zorder_layout",
+    # — (1)+(2) r10 behavior changes + late-r9 owed texts (16) —
+    "q_pagerank", "q_init_means", "q_lang_id", "q_retention",
+    "q_skyline", "q_ann_ivf", "q_collect_agg", "q_window_running",
+    "q_window_frames", "q_mm_features", "q_mm_png", "q_mm_histogram",
+    "q_embed_centroid", "q_semdedup", "q_source_interleave",
+    "q_skew_metrics",
+    # — (3) r9 deferrals owed (8 more) —
+    "gmm_fit", "q_gmm_bic", "q_kmeans", "q_linreg",
+    "q_dedup_exact_hash", "q_corpus_clean", "q_dedup_incremental",
+    "q_train_val_split",
+    # — (4) the r6-era rows, retired (15) —
+    "q_compact_latest", "q_contamination", "q_dedup_incremental_near",
+    "q_dup_spans", "q_embed_quantize", "q_funnel", "q_join_asof",
+    "q_join_range", "q_mix_weights", "q_pack_sequences",
+    "q_sql_tpch_q10", "q_sql_tpch_q14", "q_sql_tpch_q17",
+    "q_sql_tpch_q6", "q_unigram_lm",
+    # — (5) stalest-r7 fillers (11) —
+    "q_agg_distinct", "q_bm25", "q_char_entropy", "q_corr_stats",
+    "q_cube", "q_except", "q_grouping_sets", "q_having",
+    "q_join_anti", "q_join_broadcast", "q_join_full",
 )
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md

@@ -67,3 +67,16 @@ class TestBenchRecordConsistency:
         assert rec["value"] == pytest.approx(
             round(sum(rec["queries"].values()), 3), abs=0.01
         )
+
+
+class TestWindowFreshness:
+    def test_staged_window_delivers_the_n_minus_3_invariant(self):
+        """VERDICT r9 item 7: at round close no query's latest
+        official CORRECTNESS row may predate N-3.  Fails at
+        window-setting time, not at judge time."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        from tools.check_freshness import check
+
+        assert check() == []

@@ -149,6 +149,47 @@ class TestExtremeKeys:
         root, con = extremes_fixture
         compare_query(spark, con, root, name)
 
+    def test_pagerank_encode_at_in_domain_boundary(self, spark, tmp_path):
+        """ADVICE r9: the sweep's out-of-domain extremes only prove the
+        key gate EXCLUDES them; this fixture plants a JOINING trading
+        pair at the declared domain edge [-2^62, 2^62-1], so the
+        2k/2k+1 node encode itself runs at its i64 limits
+        (2·(-2^62) = -2^63, 2·(2^62-1)+1 = 2^63-1) on both engines —
+        plus an in-domain NEGATIVE supplier, pinning the sign-robust
+        `% 2 != 0` is_supplier label (truncated % yields -1 there)."""
+        lo, hi = -(2**62), 2**62 - 1
+        orders = spark.createDataFrame(
+            [(1, lo), (2, 7), (3, None)],
+            "o_orderkey BIGINT, o_custkey BIGINT",
+        )
+        lineitem = spark.createDataFrame(
+            [(1, hi), (1, 5), (2, 5), (2, -3), (3, None)],
+            "l_orderkey BIGINT, l_suppkey BIGINT",
+        )
+        for name, df in (("orders", orders), ("lineitem", lineitem)):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"{name}.parquet")
+            )
+        con = duckdb.connect()
+        try:
+            for t in ("orders", "lineitem"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+                )
+            compare_query(spark, con, str(tmp_path), "q_pagerank")
+            out = {
+                r.node: r.is_supplier
+                for r in registry.QUERIES["q_pagerank"](
+                    spark, str(tmp_path)
+                ).collect()
+            }
+            assert out[2 * lo] is False          # -2^63 customer node
+            assert out[2 * hi + 1] is True       # 2^63-1 supplier node
+            assert out[2 * -3 + 1] is True       # negative supplier: odd
+        finally:
+            con.close()
+
     def test_ivf_recall_holds_on_duplicate_heavy_corpus(
         self, spark, extremes_fixture
     ):

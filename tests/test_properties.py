@@ -4115,6 +4115,19 @@ def test_covariance_arrow_path_bit_identical(spark, sf_dir):
     )
     assert got2 == ref2 and len(ref2) == 2080
 
+    # ADVICE r9: the library entry accepts ANY (…, embedding) frame —
+    # an id-less frame must not raise (the vec_id clause applies only
+    # when the column exists) and, with no NULL-id rows to exclude,
+    # must produce the identical covariance
+    got3 = sorted(
+        tuple(r)
+        for r in embed_covariance_arrow(
+            spark,
+            load_table(spark, d, "embeddings").select("embedding"),
+        ).collect()
+    )
+    assert got3 == ref2
+
 
 class TestTextFoldParity:
     """r9 (hostile-unicode sweep): the two declared text-builtin

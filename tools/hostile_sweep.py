@@ -450,7 +450,12 @@ def _build_hostile_nulls(spark, tables, root: str) -> None:
 #: "both engines crash" is still a failed sweep row.  INT32 columns
 #: get int32 extremes (they widen safely in arithmetic but stress
 #: join/dominance/grouping paths).
-_EXTREME_I64 = [2**63 - 1, -(2**63 - 1), 2**62, -(2**63)]
+#: the first four sit OUTSIDE q_pagerank's declared key domain
+#: [-2^62, 2^62-1] and prove the gate excludes them; the last two
+#: (ADVICE r9) are the IN-domain boundary keys, so the 2k/2k+1 node
+#: encode itself is exercised at its i64 edge (2·(-2^62) = -2^63,
+#: 2·(2^62-1)+1 = 2^63-1)
+_EXTREME_I64 = [2**63 - 1, -(2**63 - 1), 2**62, -(2**63), -(2**62), 2**62 - 1]
 _EXTREME_I32 = [2**31 - 1, -(2**31 - 1), -(2**31)]
 #: integer columns per table, split by physical width (see TESTDATA
 #: schemas); PK columns are included — an extreme id is a valid id
