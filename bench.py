@@ -336,12 +336,33 @@ def main() -> None:
                                           "3"))
     seg_trace: list[dict] = []
     timings: dict[str, float] = {}
+    # co-tenancy normalization (r10, VERDICT r9 item 2): the r8/r9
+    # official sweeps were both load-poisoned, overstating the honest
+    # floor by ~25% while the builder's fresh-boot sweeps on the same
+    # code read ~1.03× pin.  The reader-side "divide by the
+    # calibration ratio" rule is now computed IN the artifact,
+    # per-PASS: each measurement pass is bracketed by probes, and its
+    # normalization ratio is the QUIETEST bracketing probe clipped at
+    # 1.0 — a lower bound on how hot the pass ran, so the correction
+    # can never overshoot what was directly observed, and a clean pass
+    # (ratio ≤ 1) is left untouched.  Raw numbers remain the headline
+    # `value`/`queries`; the normalized map is published alongside.
+    norm_timings: dict[str, float] = {}
 
-    def run_segment(pairs) -> None:
-        for name, thunk in pairs:
-            t = timed(thunk)
+    def _pass_ratio(*probes: float | None) -> float:
+        seen = [p for p in probes if p is not None]
+        return max(1.0, min(seen)) if seen else 1.0
+
+    def _merge(pass_times: dict[str, float], ratio: float) -> None:
+        for name, t in pass_times.items():
             prev = timings.get(name)
             timings[name] = t if prev is None else min(prev, t)
+            nt = round(t / ratio, 3)
+            nprev = norm_timings.get(name)
+            norm_timings[name] = nt if nprev is None else min(nprev, nt)
+
+    def run_segment(pairs) -> dict[str, float]:
+        return {name: timed(thunk) for name, thunk in pairs}
 
     def probe_ratio() -> float | None:
         if not calib_pin:
@@ -362,7 +383,7 @@ def main() -> None:
     for i in range(0, len(worklist), seg_size):
         seg = worklist[i:i + seg_size]
         before = wait_clear()
-        run_segment(seg)
+        pass_times = run_segment(seg)
         after = probe_ratio()
         entry = {
             "first": seg[0][0],
@@ -371,13 +392,20 @@ def main() -> None:
             "calib_after": after,
             "reran": False,
         }
+        _merge(pass_times, _pass_ratio(before, after))
         if (after is not None and after > gate_max and reruns_left > 0):
             # a burst landed mid-segment: wait it out, re-run, min-merge
             reruns_left -= 1
             entry["reran"] = True
             entry["calib_rerun_before"] = wait_clear()
-            run_segment(seg)
+            rerun_times = run_segment(seg)
             entry["calib_rerun_after"] = probe_ratio()
+            _merge(
+                rerun_times,
+                _pass_ratio(
+                    entry["calib_rerun_before"], entry["calib_rerun_after"]
+                ),
+            )
         seg_trace.append(entry)
 
     # self-defending record (VERDICT r3 §Next-4): any query whose
@@ -425,10 +453,18 @@ def main() -> None:
     # too — the r8 clean record left gmm_fit_10iter reading 1.36× pin
     # solely because the old registry lookup skipped fixtures
     thunks = dict(worklist)
+    # the retime block is bracketed by probes every 10 retimes so the
+    # normalized fold (r10) knows how hot each stretch ran
+    retime_probe = probe_ratio()
+    since_probe = 0
     for _, name in flagged[:retime_cap]:
         thunk = thunks.get(name)
         if thunk is None or name in SKIP:  # honor the sweep's exclusions
             continue
+        if since_probe >= 10:
+            retime_probe = probe_ratio()
+            since_probe = 0
+        since_probe += 1
         ts = []
         for _ in range(3):
             t0 = time.monotonic()
@@ -444,6 +480,10 @@ def main() -> None:
         # visible in `isolated_retimes`' complement (a fold happened
         # exactly where isolated_retimes[name] < the old sweep min).
         timings[name] = min(timings[name], isolated[name])
+        norm_timings[name] = min(
+            norm_timings.get(name, isolated[name]),
+            round(isolated[name] / _pass_ratio(retime_probe), 3),
+        )
 
     calib_end = _calibrate(spark)
     calib_mean = round((calib_start + calib_end) / 2, 3)
@@ -458,6 +498,10 @@ def main() -> None:
         1 for n in timings
         if base_q.get(n) and timings[n] > 1.25 * base_q[n]
     )
+    n_above_pin_norm = sum(
+        1 for n in norm_timings
+        if base_q.get(n) and norm_timings[n] > 1.25 * base_q[n]
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -470,6 +514,15 @@ def main() -> None:
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            # co-tenancy-normalized companions (r10, VERDICT r9 item
+            # 2): each measurement pass divides by its QUIETEST
+            # bracketing calibration probe (clipped at 1.0 — a clean
+            # pass is untouched, and the correction never exceeds
+            # directly-observed slowness), then min-merges.  Raw stays
+            # the headline; this is the co-tenant-robust reading.
+            "value_normalized": round(sum(norm_timings.values()), 3),
+            "queries_normalized": norm_timings,
+            "n_above_pin_normalized": n_above_pin_norm,
             "sf": sf_val,
             # methodology record: fixed reps + how many queries took
             # the adaptive noise-tiebreak rep (their min is min-of-3)
@@ -548,6 +601,9 @@ def main() -> None:
                 "load_poisoned": load_poisoned,
                 "n_above_pin": n_above_pin,
                 "calibration_ratio": calib_ratio,
+                # per-pass quietest-bracketing-probe normalization
+                # (see the full payload's queries_normalized note)
+                "value_normalized": round(sum(norm_timings.values()), 3),
             }
         )
         if len(line) > 1500:

@@ -448,6 +448,93 @@ def r7_scaling(spark, work_dir: str) -> dict:
     )
 
 
+def sf1_heavy_scaling(spark, work_dir: str) -> dict:
+    """r10 (VERDICT r9 item 5): the heavy families at sf1 — one
+    decade past the per-round bench scale (10× sf0.1 = 100× sf0.01) —
+    probing CAP behavior, not just time: dedup LSH on the disjoint
+    10× corpus, dedup clustering, pagerank on a 10× graph, covariance
+    on 10× embeddings, and the global-vs-day-bucket sessionizer.
+    Alongside the exponents, the minhash band-cap drop volumes
+    (``lsh_band_stats``) are recorded at BOTH scales so the
+    bounded-quadratic claim is measured, not asserted: the published
+    number is how many band buckets the ``_BAND_CAP`` stop-shingle
+    rule removed from the self-join at each scale."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.operators import dedup as dd
+    from ema_bigdata_spark.operators.windows import sessionize
+
+    big = f"{work_dir}/sf1h"
+    _make_big_documents_disjoint(spark, big, 10)
+    _make_big_graph(spark, big, 10)
+    _make_big_embeddings(spark, big, 10)
+    out: dict = {
+        "probes": _probe_10x(
+            spark,
+            ("q_dedup_minhash", "q_ngram_jaccard", "q_dedup_cluster",
+             "q_pagerank", "q_embed_covariance"),
+            big,
+        )
+    }
+
+    # band-cap drop volumes at both scales (the scale path's safety
+    # valve — a growing corpus must show the cap ENGAGING, or staying
+    # honestly idle, never silently exploding the self-join)
+    def band_stats(sf_dir: str) -> dict:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bands = dd._banded(
+            dd._minhash_signatures(
+                docs.withColumn("shingles", dd._shingles())
+            ),
+            [],
+        )
+        return dd.lsh_band_stats(bands, ("band", "bsig"))
+
+    out["lsh_band_stats"] = {
+        "sf0.1": band_stats("/root/testdata/sf0.1"),
+        "sf1": band_stats(big),
+    }
+
+    # sessionizer: global single-window form vs the day-bucket
+    # hot-key mitigation, both at sf0.1 and 10× (library callables,
+    # not registry queries — probed directly)
+    ev_big = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+            .select("user_id", "ts", "event_id")
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 10**9))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 10**6))
+            for i in range(10)
+        ],
+    )
+    ev_big.repartition(32).write.mode("overwrite").parquet(
+        f"{big}/events_batch.parquet"
+    )
+    sess = {}
+    for mode, flag in (("global", False), ("day_bucket", True)):
+        t_small = _timed(lambda: _noop(sessionize(
+            spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+            .select("user_id", "ts", "event_id"),
+            day_bucket=flag,
+        )))
+        t_big = _timed(lambda: _noop(sessionize(
+            spark.read.parquet(f"{big}/events_batch.parquet"),
+            day_bucket=flag,
+        )))
+        sess[mode] = {
+            "sec_sf0.1": t_small,
+            "sec_sf1_10x": t_big,
+            "exponent_10x": round(
+                math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 2
+            ),
+        }
+    out["sessionize"] = sess
+    return out
+
+
 #: r8 skew probes (VERDICT r7 item 7): all previous probes grow
 #: VOLUME uniformly; none grow SKEW.  This fixture gives events and
 #: orders a zipfian key map — the hot tenant owns 10% of all rows,
@@ -577,6 +664,13 @@ def main() -> None:
         " (dims constant) — r7 extra",
     )
     ap.add_argument(
+        "--sf1-heavy",
+        action="store_true",
+        help="probe the heavy families (dedup LSH + clustering,"
+        " pagerank, covariance, sessionize modes) at sf1 with"
+        " band-cap drop volumes — VERDICT r9 item 5",
+    )
+    ap.add_argument(
         "--skew-probes",
         action="store_true",
         help="probe the join/window family on a zipfian-key fixture"
@@ -605,6 +699,8 @@ def main() -> None:
             out["tpch_probes"] = tpch_scaling(spark, args.decade_dir)
         if args.skew_probes:
             out["skew_probes"] = skew_scaling(spark, args.decade_dir)
+        if args.sf1_heavy:
+            out["sf1_heavy"] = sf1_heavy_scaling(spark, args.decade_dir)
         print(json.dumps(out))
         spark.stop()
         return

@@ -135,21 +135,26 @@ def test_ann_topk_overlap_vs_exact(spark, sf_dir):
     """ANN results must overlap the brute-force exact top-k: the
     whole point of the approximate index is ranking quality, so 'ran'
     is not enough.  Bounds sit below the deterministic measured values
-    (LSH 3/10, IVF 3-6/10 across sf0.001/0.01) so only a real recall
-    regression trips them."""
+    (LSH 3/10; IVF 5-6/10 under the r9 nprobe=3 contract — pinned
+    here per VERDICT r9 item 4: the ≥4 bound is ABOVE the old
+    nprobe=2 floor of 3, so a silent fallback to the narrower probe
+    budget trips this test, while the measured 5-6 keeps a margin
+    of one)."""
+    from ema_bigdata_spark.operators import similarity as sim
+
+    assert sim._IVF_NPROBE == 3  # the r9 recall-margin contract
+
     exact = {
         r.vec_id
         for r in registry.QUERIES["q_similarity_topk"](spark, sf_dir).collect()
     }
-    from ema_bigdata_spark.operators.similarity import ann_ivf_topk
-
     lsh = {
         r.vec_id
         for r in registry.QUERIES["q_ann_lsh"](spark, sf_dir).collect()
     }
-    ivf = {r.vec_id for r in ann_ivf_topk(spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in sim.ann_ivf_topk(spark, sf_dir).collect()}
     assert len(exact & lsh) >= 2, f"LSH overlap {sorted(exact & lsh)}"
-    assert len(exact & ivf) >= 3, f"IVF overlap {sorted(exact & ivf)}"
+    assert len(exact & ivf) >= 4, f"IVF overlap {sorted(exact & ivf)}"
 
 
 def test_minhash_finds_exact_duplicates(spark, sf_dir):

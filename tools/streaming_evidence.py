@@ -27,6 +27,12 @@ cross-batch state:
   watermark passed its window is dropped instead of reopening the
   window (three batches: Spark's late filter uses a one-batch-lagged
   watermark, measured in the check's comment).
+- ``session_restart`` / ``anomaly_restart`` (r10, VERDICT r9 item
+  6) — checkpoint RECOVERY for the two applyInPandasWithState cores:
+  stop the query after batch 1, start a new query object on the same
+  checkpoint, and assert the batch-2 output proves restored state
+  with zero duplicated or lost emissions (append parquet sink, no
+  dedup).
 
 Usage: ``python tools/streaming_evidence.py [out.json]`` (default
 ``<repo>/STREAMING_r8.json``).  Exit code 0 iff all checks pass.
@@ -70,15 +76,19 @@ def _drain(df, sink: str, mode: str, spark):
     return spark.table(sink)
 
 
-def _write_batches(spark, root: str, schema: str, *batches) -> None:
+def _write_batches(spark, root: str, schema: str, *batches,
+                   start: int = 1) -> None:
     """Write each batch as one parquet file with distinct mtimes (the
     file source orders micro-batches by mtime).  Order is FORCED with
     os.utime — strictly increasing, 10 s apart (r8, ADVICE): sleeping
     and hoping relies on filesystem mtime granularity and a steady
-    clock; an explicit stamp can neither tie nor reorder."""
+    clock; an explicit stamp can neither tie nor reorder.  ``start``
+    offsets the batch directory index so the restart checks can land
+    LATER batches into an existing root (each call's mtime base is
+    time.time(), so later calls also stamp later)."""
     os.makedirs(root, exist_ok=True)
     base = time.time()
-    for i, rows in enumerate(batches, 1):
+    for i, rows in enumerate(batches, start):
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
             f"{root}/b{i}"
         )
@@ -253,6 +263,127 @@ def check_tumbling_late_drop(spark, work: str) -> dict:
     return {"got": rows, "want_window5": [1], "pass": bool(ok)}
 
 
+def _run_to_parquet(spark, df, checkpoint: str, out_dir: str) -> None:
+    """Start-drain-stop a stateful stream into an append-only parquet
+    sink via foreachBatch, against a FIXED checkpoint dir — the
+    restart harness: calling this twice with the same checkpoint is a
+    graceful stop + recovery.  The batch fn is a <locals> closure
+    (r9 rule: module-level fns cloudpickle as import references and
+    die under a neutral-sys.path driver)."""
+    from pyspark.sql import functions as F
+
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _state_partitions,
+    )
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.withColumn(
+            "epoch", F.lit(int(epoch_id))
+        ).write.mode("append").parquet(out_dir)
+
+    with _state_partitions(spark):
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def check_session_restart(spark, work: str) -> dict:
+    """r10 (VERDICT r9 item 6): checkpoint recovery for the session
+    core.  Phase 1 processes batch 1 and STOPS the query; phase 2
+    starts a NEW query object on the SAME checkpoint after batch 2
+    lands.  A session spanning the stop/restart boundary must keep
+    its phase-1 state — the batch-2 update reads (0, 20, 3), which is
+    impossible if the applyInPandasWithState store was lost (a cold
+    restart would emit (20, 20, 1)) — and the phase-1 update (0, 10,
+    2) must appear EXACTLY once (a re-processed batch would duplicate
+    it; the append sink keeps every emission, no dedup)."""
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _SESSION_GAP_US,
+        session_stream,
+    )
+
+    assert 100 * MINUTE_US > _SESSION_GAP_US
+    root = f"{work}/session_restart"
+    schema = "user_id BIGINT, ts_us BIGINT"
+    ckpt, out_dir = f"{root}/ckpt", f"{root}/out"
+    _write_batches(
+        spark, f"{root}/in", schema,
+        [(1, 0 * MINUTE_US), (1, 10 * MINUTE_US)],
+    )
+    _run_to_parquet(
+        spark, session_stream(_read_batches(spark, f"{root}/in", schema)),
+        ckpt, out_dir,
+    )
+    _write_batches(
+        spark, f"{root}/in", schema,
+        [(1, 20 * MINUTE_US), (1, 120 * MINUTE_US)],
+        start=2,
+    )
+    _run_to_parquet(
+        spark, session_stream(_read_batches(spark, f"{root}/in", schema)),
+        ckpt, out_dir,
+    )
+    rows = sorted(
+        (r.start_us // MINUTE_US, r.end_us // MINUTE_US, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = [(0, 10, 2), (0, 20, 3), (120, 120, 1)]
+    return {"got": rows, "want": want, "pass": rows == want}
+
+
+def check_anomaly_restart(spark, work: str) -> dict:
+    """r10: checkpoint recovery for the anomaly core.  The calm
+    priors (n, Σv, Σv² — DECIMAL(38,0) state) accumulate in phase 1;
+    after the stop/restart boundary the phase-2 outlier must be
+    judged against the RESTORED priors (n_prior = _ANOM_MIN_N) and
+    alert exactly once.  A lost store reads n_prior = 0 → below the
+    min-n gate → no alert; a re-processed batch would duplicate
+    phase-1 emissions (phase 1 must emit nothing — calm rows)."""
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _ANOM_MIN_N,
+        anomaly_stream,
+    )
+
+    root = f"{work}/anomaly_restart"
+    schema = (
+        "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+        " value DOUBLE, vu BIGINT"
+    )
+    ckpt, out_dir = f"{root}/ckpt", f"{root}/out"
+    calm = [
+        (1, i * 1_000_000, i, 10.0, 1000 + (i % 2))
+        for i in range(_ANOM_MIN_N)
+    ]
+    _write_batches(spark, f"{root}/in", schema, calm)
+    _run_to_parquet(
+        spark, anomaly_stream(_read_batches(spark, f"{root}/in", schema)),
+        ckpt, out_dir,
+    )
+    _write_batches(
+        spark, f"{root}/in", schema,
+        [(1, 100_000_000, 100, 500.0, 50_000),
+         (1, 101_000_000, 101, 10.0, 1000)],
+        start=2,
+    )
+    _run_to_parquet(
+        spark, anomaly_stream(_read_batches(spark, f"{root}/in", schema)),
+        ckpt, out_dir,
+    )
+    rows = [
+        (r.event_id, r.value, r.n_prior)
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    want = [(100, 500.0, _ANOM_MIN_N)]
+    return {"got": rows, "want": want, "pass": rows == want}
+
+
 def check_rate_soak(spark, work: str, seconds: int | None = None) -> dict:
     """r9 (VERDICT r8 item 7): a wall-clock soak of the two
     ``applyInPandasWithState`` cores on the RATE source — the one
@@ -415,6 +546,8 @@ def main() -> None:
         "dedup_xbatch": check_dedup_xbatch,
         "join_xbatch": check_join_xbatch,
         "tumbling_late_drop": check_tumbling_late_drop,
+        "session_restart": check_session_restart,
+        "anomaly_restart": check_anomaly_restart,
     }
     if int(os.environ.get("STREAM_SOAK_SECONDS", "0")) > 0:
         checks["rate_soak"] = check_rate_soak
@@ -429,7 +562,7 @@ def main() -> None:
         "harness": "tools/streaming_evidence.py",
         "batches_per_check": {
             name: 3 if name == "tumbling_late_drop" else 2
-            for name in checks
+            for name in checks  # restart checks: 2 batches, 1 restart
         },
         "all_pass": all(r["pass"] for r in results.values()),
         "checks": results,
