@@ -134,3 +134,34 @@ class TestProbeMedian:
             [None],
         )
         assert med == 1.0
+
+
+class TestBenchFold:
+    """r10: the min-across-sweeps fold (tools/bench_fold.py)."""
+
+    def test_per_query_min_raw_and_normalized_independent(self):
+        from tools.bench_fold import fold
+
+        a = {
+            "queries": {"q1": 2.0, "q2": 1.0},
+            "queries_normalized": {"q1": 1.5, "q2": 0.9},
+            "value": 3.0, "value_normalized": 2.4, "sf": 0.1,
+            "load_poisoned": True, "calibration": {"probe_median": 1.3},
+        }
+        b = {
+            "queries": {"q1": 1.2, "q2": 1.4},
+            "queries_normalized": {"q1": 1.2, "q2": 1.4},
+            "value": 2.6, "value_normalized": 2.6, "sf": 0.1,
+            "load_poisoned": False, "calibration": {"probe_median": 1.0},
+        }
+        rec = fold([a, b])
+        # raw and normalized mins are taken independently: q2's raw
+        # min comes from sweep a, its normalized min also from a;
+        # q1's both from b
+        assert rec["queries"] == {"q1": 1.2, "q2": 1.0}
+        assert rec["queries_normalized"] == {"q1": 1.2, "q2": 0.9}
+        assert rec["value"] == 2.2
+        assert rec["value_normalized"] == 2.1
+        assert rec["n_sweeps"] == 2
+        # provenance: each input's load evidence is carried
+        assert [i["load_poisoned"] for i in rec["inputs"]] == [True, False]
