@@ -68,6 +68,42 @@ class TestBenchRecordConsistency:
             round(sum(rec["queries"].values()), 3), abs=0.01
         )
 
+    def test_bench_local_normalized_consistent(self):
+        """r10 fields: the normalized total sums its map, covers the
+        same query set as the raw map, and no normalized entry
+        exceeds its raw one (the ratio is clipped at 1.0)."""
+        rec = _load("BENCH_LOCAL.json")
+        if "queries_normalized" not in rec:
+            pytest.skip("pre-r10 record")
+        norm = rec["queries_normalized"]
+        assert set(norm) == set(rec["queries"])
+        assert rec["value_normalized"] == pytest.approx(
+            round(sum(norm.values()), 3), abs=0.01
+        )
+        over = {
+            n for n, t in norm.items()
+            if t > rec["queries"][n] + 1e-9
+        }
+        assert not over, f"normalized above raw: {over}"
+
+    def test_fold_record_consistent(self):
+        """The committed min-across-sweeps fold (if present) sums its
+        maps and folds at-or-below every input sweep's totals."""
+        try:
+            rec = _load("BENCH_FOLD_r10.json")
+        except FileNotFoundError:
+            pytest.skip("no fold record")
+        assert rec["value"] == pytest.approx(
+            round(sum(rec["queries"].values()), 3), abs=0.01
+        )
+        assert rec["value_normalized"] == pytest.approx(
+            round(sum(rec["queries_normalized"].values()), 3), abs=0.01
+        )
+        for inp in rec["inputs"]:
+            assert rec["value"] <= inp["value"] + 1e-6
+            assert (rec["value_normalized"]
+                    <= inp["value_normalized"] + 1e-6)
+
 
 class TestWindowFreshness:
     def test_staged_window_delivers_the_n_minus_3_invariant(self):
