@@ -28,6 +28,18 @@ def fold(payloads: list[dict]) -> dict:
             queries[n] = min(queries.get(n, t), t)
         for n, t in p.get("queries_normalized", {}).items():
             norm[n] = min(norm.get(n, t), t)
+    # reading rule (r10 ledger §15/§16): `value` — the raw fold — is
+    # THE headline: per-query best observed, no correction, fully
+    # defensible.  `value_normalized` compounds two optimistic
+    # operations (min across sweeps × division by the bracketing
+    # probe) and may overcorrect BELOW honest steady state, so it is
+    # published as a lower-bound ESTIMATE, never the claim.  The
+    # quietest sweep's own totals ride along as context.
+    def _probe_med(p):
+        med = (p.get("calibration") or {}).get("probe_median")
+        return med if med is not None else float("inf")
+
+    quietest = min(payloads, key=_probe_med)
     return {
         "metric": "total_query_sec",
         "value": round(sum(queries.values()), 3),
@@ -40,6 +52,19 @@ def fold(payloads: list[dict]) -> dict:
             "per-query min across N gated sweeps (raw and normalized "
             "folded independently); see tools/bench_fold.py"
         ),
+        "reading_rule": (
+            "value (raw fold) is the headline — best observed, no "
+            "correction; value_normalized is a lower-bound ESTIMATE "
+            "that compounds min-across-sweeps with probe division "
+            "and may overcorrect below steady state"
+        ),
+        "quietest_sweep": {
+            "value": quietest.get("value"),
+            "value_normalized": quietest.get("value_normalized"),
+            "probe_median": (
+                (quietest.get("calibration") or {}).get("probe_median")
+            ),
+        },
         "n_sweeps": len(payloads),
         "inputs": [
             {
