@@ -362,7 +362,13 @@ def main() -> None:
             norm_timings[name] = nt if nprev is None else min(nprev, nt)
 
     def run_segment(pairs) -> dict[str, float]:
-        return {name: timed(thunk) for name, thunk in pairs}
+        # min-merge duplicates (ADVICE r10: a dict comprehension would
+        # silently keep only the last occurrence of a repeated name)
+        out: dict[str, float] = {}
+        for name, thunk in pairs:
+            t = timed(thunk)
+            out[name] = t if name not in out else min(out[name], t)
+        return out
 
     def probe_ratio() -> float | None:
         if not calib_pin:
@@ -453,18 +459,34 @@ def main() -> None:
     # too — the r8 clean record left gmm_fit_10iter reading 1.36× pin
     # solely because the old registry lookup skipped fixtures
     thunks = dict(worklist)
-    # the retime block is bracketed by probes every 10 retimes so the
-    # normalized fold (r10) knows how hot each stretch ran
-    retime_probe = probe_ratio()
-    since_probe = 0
+    # each ≤10-retime stretch is bracketed by a LEADING and a TRAILING
+    # probe (ADVICE r10: a leading-only probe misses a burst starting
+    # mid-stretch, inflating raw retimes without being reflected in
+    # the normalization).  The stretch's normalization ratio is the
+    # quietest of the bracketing pair, mirroring the per-segment
+    # _pass_ratio(before, after); each trailing probe doubles as the
+    # next stretch's leading probe.
+    stretch_before = probe_ratio()
+    stretch: list[str] = []
+
+    def _close_stretch() -> None:
+        nonlocal stretch_before
+        after = probe_ratio()
+        ratio = _pass_ratio(stretch_before, after)
+        for n in stretch:
+            norm_timings[n] = min(
+                norm_timings.get(n, isolated[n]),
+                round(isolated[n] / ratio, 3),
+            )
+        stretch.clear()
+        stretch_before = after
+
     for _, name in flagged[:retime_cap]:
         thunk = thunks.get(name)
         if thunk is None or name in SKIP:  # honor the sweep's exclusions
             continue
-        if since_probe >= 10:
-            retime_probe = probe_ratio()
-            since_probe = 0
-        since_probe += 1
+        if len(stretch) >= 10:
+            _close_stretch()
         ts = []
         for _ in range(3):
             t0 = time.monotonic()
@@ -480,10 +502,9 @@ def main() -> None:
         # visible in `isolated_retimes`' complement (a fold happened
         # exactly where isolated_retimes[name] < the old sweep min).
         timings[name] = min(timings[name], isolated[name])
-        norm_timings[name] = min(
-            norm_timings.get(name, isolated[name]),
-            round(isolated[name] / _pass_ratio(retime_probe), 3),
-        )
+        stretch.append(name)
+    if stretch:
+        _close_stretch()
 
     calib_end = _calibrate(spark)
     calib_mean = round((calib_start + calib_end) / 2, 3)

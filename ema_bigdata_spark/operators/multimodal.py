@@ -470,7 +470,10 @@ def q_mm_features(spark, sf_dir):
         "doc_id BIGINT, width BIGINT, height BIGINT, media_bytes BIGINT,"
         " sum_b BIGINT, sum_g BIGINT, sum_r BIGINT"
     )
-    return docs.mapInPandas(byte_features, schema=schema).orderBy("doc_id")
+    # no global orderBy: the driver hash is order-insensitive, and a
+    # total sort after the decode is a full range-partition exchange
+    # over every decoded feature row — avoidable at scale (VERDICT r10)
+    return docs.mapInPandas(byte_features, schema=schema)
 
 
 # -- q_mm_png: compressed-image decode (zlib inflate + unfilter) ----------
@@ -576,7 +579,8 @@ def q_mm_png(spark, sf_dir):
         "doc_id BIGINT, width BIGINT, height BIGINT, pixel_bytes BIGINT,"
         " sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
     )
-    return docs.mapInPandas(png_features, schema=schema).orderBy("doc_id")
+    # no global orderBy — see q_mm_features (driver hash is order-free)
+    return docs.mapInPandas(png_features, schema=schema)
 
 
 # -- q_multimodal_join: typed metadata ⋈ vectors (SQL-oracled) ------------
@@ -718,9 +722,8 @@ def q_mm_frames(spark, sf_dir):
         "doc_id BIGINT, frame_idx BIGINT, frame_samples BIGINT,"
         " sample_rate BIGINT, frame_abs_sum BIGINT"
     )
-    return docs.mapInPandas(frames, schema=schema).orderBy(
-        "doc_id", "frame_idx"
-    )
+    # no global orderBy — see q_mm_features (driver hash is order-free)
+    return docs.mapInPandas(frames, schema=schema)
 
 
 # -- q_mm_histogram: decoded-pixel intensity histogram (r5 addition) ------
@@ -816,4 +819,5 @@ def q_mm_histogram(spark, sf_dir):
     schema = "doc_id BIGINT, n_px BIGINT, " + ", ".join(
         f"h{k} BIGINT" for k in range(_HIST_BINS)
     )
-    return docs.mapInPandas(hist, schema=schema).orderBy("doc_id")
+    # no global orderBy — see q_mm_features (driver hash is order-free)
+    return docs.mapInPandas(hist, schema=schema)

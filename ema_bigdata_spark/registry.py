@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-10 verification priority.  The external driver records a
+#: Round-11 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
 #: Rotation rule (steady state since r3): never-checked first, then
 #: red rows / changed-this-round, then stalest-official-row (an old
@@ -45,79 +45,60 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (VERDICT r9 item 7, enforced by ``tools/check_freshness.py``): at
 #: round close, no query's latest official row may predate N-3.
 #:
-#: This window (r10) = the 25 owed names the r9 registry docstring
-#: enumerated, then the full r6-era remainder, then the 11 stalest
-#: r7 rows (alphabetical tiebreak):
+#: This window (r11) is pure ledger rotation — the surface is
+#: feature-complete (VERDICT r10: 151/151, 50/50 green) and r11 made
+#: no behavior changes to these names except dropping the no-op
+#: global orderBy from the four q_mm_* decode queries (VERDICT r10
+#: item 3; the driver hash is order-insensitive, and q_mm_frames /
+#: q_multimodal_join are in this window to certify it officially;
+#: the other three q_mm_* rows are r10-fresh and hit the r13 edge):
 #:
-#: (1) TWO r10 behavior changes (ADVICE r9), both identity on driver
-#:     data: q_pagerank's sign-robust ``% 2 != 0`` is_supplier label
-#:     (negative supplier nodes — analytics.py) — q_pagerank heads
-#:     the window; and _norm_gated's column-existence vec_id gate
-#:     (similarity.py), which is identity for every REGISTERED
-#:     operand (all carry vec_id) and certified by the in-window
-#:     embedding rows.
+#: (1) the SIXTEEN owed r7-era rows the r10 registry docstring
+#:     enumerated — they hit the N-3 edge this round, so they head
+#:     the window: q_join_inner, q_join_semi, q_mm_frames,
+#:     q_mstep_var_fixed, q_multimodal_join, q_ngram_jaccard,
+#:     q_pii_scrub, q_pricing_summary, q_rollup, q_sql_exists,
+#:     q_sql_scalar_subquery, q_sql_tpch_q3, q_sql_tpch_q5,
+#:     q_string_funcs, q_topk_ngrams, q_weighted_sample.
 #:
-#: (2) the SIXTEEN late-r9 hostile-nulls/extremes text changes owed
-#:     from the r9 addendum (NULL-entity-key rule, mod-first hashes,
-#:     IVF distinct-seed + nprobe=3, ~key hottest-key trick):
-#:     q_init_means, q_lang_id, q_retention, q_pagerank, q_skyline,
-#:     q_ann_ivf, q_collect_agg, q_window_running, q_window_frames,
-#:     q_mm_features/_png/_histogram, q_embed_centroid, q_semdedup,
-#:     q_source_interleave, q_skew_metrics.  All identity on driver
-#:     data except q_ann_ivf's nprobe 2→3 (deliberate recall margin;
-#:     hashed columns identical).
+#: (2) THIRTY-FOUR of the 35 remaining r8 rows (alphabetical) —
+#:     they hit the N-3 edge at r12, so refreshing them now leaves
+#:     r12 owing only one name.
 #:
-#: (3) the NINE r9 deferrals (rationales: ROUND9_NOTES / the r9
-#:     docstring): gmm_fit, q_gmm_bic, q_kmeans, q_linreg (r9 touched
-#:     only dead-branch removal + temp-view drops; lockstep
-#:     bit-identity pinned), q_dedup_exact_hash, q_corpus_clean,
-#:     q_dedup_incremental, q_train_val_split (their r9 change is the
-#:     identical fold_lower expression q_dedup_exact's r9 row
-#:     certifies), q_source_interleave (already in (2)).
+#: OWED r12 (the single r8 row that did not fit; it hits the N-3
+#: edge next round, so it MUST head the r12 window):
+#: s_stream_tumbling.  Unchanged since r8; green in every full
+#: driver sim since.
 #:
-#: (4) the FIFTEEN remaining r6-era official rows — after this round
-#:     no row predates r7: q_compact_latest, q_contamination,
-#:     q_dedup_incremental_near, q_dup_spans, q_embed_quantize,
-#:     q_funnel, q_join_asof, q_join_range, q_mix_weights,
-#:     q_pack_sequences, q_sql_tpch_q10/q14/q17/q6, q_unigram_lm.
-#:
-#: (5) ELEVEN stalest-r7 fillers (alphabetical): q_agg_distinct,
-#:     q_bm25, q_char_entropy, q_corr_stats, q_cube, q_except,
-#:     q_grouping_sets, q_having, q_join_anti, q_join_broadcast,
-#:     q_join_full.
-#:
-#: OWED r11 (the 16 r7 rows that did not fit; they hit the N-3 edge
-#: next round, so they MUST head the r11 window): q_join_inner,
-#: q_join_semi, q_mm_frames, q_mstep_var_fixed, q_multimodal_join,
-#: q_ngram_jaccard, q_pii_scrub, q_pricing_summary, q_rollup,
-#: q_sql_exists, q_sql_scalar_subquery, q_sql_tpch_q3, q_sql_tpch_q5,
-#: q_string_funcs, q_topk_ngrams, q_weighted_sample.  None changed
-#: in r10; all green in this round's full driver sims.
-#:
-#: (The full r9 window rationale lives in git history and
-#: ROUND9_NOTES.md.)
+#: (The full r9/r10 window rationales live in git history and
+#: ROUND9_NOTES.md / ROUND10_NOTES.md.)
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — (1)+(2) r10 behavior changes + late-r9 owed texts (16) —
-    "q_pagerank", "q_init_means", "q_lang_id", "q_retention",
-    "q_skyline", "q_ann_ivf", "q_collect_agg", "q_window_running",
-    "q_window_frames", "q_mm_features", "q_mm_png", "q_mm_histogram",
-    "q_embed_centroid", "q_semdedup", "q_source_interleave",
-    "q_skew_metrics",
-    # — (3) r9 deferrals owed (8 more) —
-    "gmm_fit", "q_gmm_bic", "q_kmeans", "q_linreg",
-    "q_dedup_exact_hash", "q_corpus_clean", "q_dedup_incremental",
-    "q_train_val_split",
-    # — (4) the r6-era rows, retired (15) —
-    "q_compact_latest", "q_contamination", "q_dedup_incremental_near",
-    "q_dup_spans", "q_embed_quantize", "q_funnel", "q_join_asof",
-    "q_join_range", "q_mix_weights", "q_pack_sequences",
-    "q_sql_tpch_q10", "q_sql_tpch_q14", "q_sql_tpch_q17",
-    "q_sql_tpch_q6", "q_unigram_lm",
-    # — (5) stalest-r7 fillers (11) —
-    "q_agg_distinct", "q_bm25", "q_char_entropy", "q_corr_stats",
-    "q_cube", "q_except", "q_grouping_sets", "q_having",
-    "q_join_anti", "q_join_broadcast", "q_join_full",
+    # — (1) the 16 owed r7-era rows (N-3 edge this round) —
+    "q_join_inner", "q_join_semi", "q_mm_frames", "q_mstep_var_fixed",
+    "q_multimodal_join", "q_ngram_jaccard", "q_pii_scrub",
+    "q_pricing_summary", "q_rollup", "q_sql_exists",
+    "q_sql_scalar_subquery", "q_sql_tpch_q3", "q_sql_tpch_q5",
+    "q_string_funcs", "q_topk_ngrams", "q_weighted_sample",
+    # — (2) 34 of the 35 r8 rows (alphabetical; r12 edge) —
+    "q_ab_ttest", "q_dedup_cluster", "q_dedup_keep_best",
+    "q_dedup_minhash", "q_dedup_simhash", "q_embed_norm",
+    "q_events_hourly", "q_filter_project", "q_gamma_fixed",
+    "q_intersect", "q_join_cross", "q_join_left", "q_join_salted",
+    "q_json_extract", "q_loglik_fixed", "q_mean",
+    "q_minhash_jaccard_est", "q_mstep_mean_fixed",
+    "q_mstep_weight_fixed", "q_percentiles", "q_pivot",
+    "q_scan_count", "q_sessionize", "q_sort_limit",
+    "q_sql_tpch_q18", "q_sql_tpch_q2", "q_union", "q_unpivot",
+    "q_variance_pop", "q_window_range_frame", "q_winsorize",
+    "s_stream_session", "s_stream_sliding", "s_stream_topk",
 )
+
+#: The round whose window is staged above.  ``tools/check_freshness.py``
+#: (and its CI test) read this instead of inferring the round from the
+#: recorded CORRECTNESS files, so committing round N's artifact does not
+#: flip the tripwire before the N+1 window is actually staged
+#: (ADVICE r10, tools/check_freshness.py:54).
+_CHECK_WINDOW_ROUND = 11
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md
 #: still directs readers here; keep it resolving

@@ -23,11 +23,21 @@ import sys
 def fold(payloads: list[dict]) -> dict:
     queries: dict[str, float] = {}
     norm: dict[str, float] = {}
+    norm_fallbacks: list[str] = []
     for p in payloads:
         for n, t in p.get("queries", {}).items():
             queries[n] = min(queries.get(n, t), t)
         for n, t in p.get("queries_normalized", {}).items():
             norm[n] = min(norm.get(n, t), t)
+    # ADVICE r10: a sweep with a partial/missing normalized map must
+    # not silently shrink the normalized fold (fewer summands reads as
+    # faster).  Any name present in the raw fold but absent from every
+    # normalized map falls back to its raw fold time, and the fallback
+    # is recorded so the reader can see it.
+    for n, t in queries.items():
+        if n not in norm:
+            norm[n] = t
+            norm_fallbacks.append(n)
     # reading rule (r10 ledger §15/§16): `value` — the raw fold — is
     # THE headline: per-query best observed, no correction, fully
     # defensible.  `value_normalized` compounds two optimistic
@@ -47,6 +57,7 @@ def fold(payloads: list[dict]) -> dict:
         "queries": queries,
         "value_normalized": round(sum(norm.values()), 3),
         "queries_normalized": norm,
+        "normalized_raw_fallbacks": sorted(norm_fallbacks),
         "sf": payloads[0].get("sf"),
         "protocol": (
             "per-query min across N gated sweeps (raw and normalized "

@@ -13,9 +13,15 @@ tests/test_artifacts.py)::
 
     python tools/check_freshness.py [--round N]
 
-``--round`` defaults to (max recorded round) + 1 — the round whose
-window is currently staged in the registry.  Exit 0 = invariant
+``--round`` defaults to ``registry._CHECK_WINDOW_ROUND`` — the round
+whose window is actually staged in the registry (explicit, so
+committing round N's CORRECTNESS artifact does not flip this check
+before the N+1 window is staged — ADVICE r10).  Exit 0 = invariant
 deliverable; exit 1 = violations printed, rotate the window.
+
+Only LIVE queries (names in ``registry.QUERIES``) bind the invariant:
+a retired/renamed name that can no longer appear in any window is
+reported informationally, not as a violation (ADVICE r10).
 """
 
 from __future__ import annotations
@@ -52,8 +58,16 @@ def check(round_n: int | None = None) -> list[str]:
     registry.load_all()
     latest = latest_rows()
     if round_n is None:
-        round_n = max(latest.values()) + 1
+        round_n = registry._CHECK_WINDOW_ROUND
     window = set(registry._CHECK_WINDOW)
+
+    # Only live queries bind the invariant; a retired/renamed name can
+    # never re-enter a window, so it is informational, not a violation.
+    retired = sorted(set(latest) - set(registry.QUERIES))
+    for name in retired:
+        print(f"info: {name} has official rows but is not registered "
+              f"(retired/renamed); excluded from the invariant")
+        del latest[name]
 
     problems = [
         f"{name}: latest official row r{rnd} predates r{round_n - 3} "

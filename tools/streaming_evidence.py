@@ -384,6 +384,97 @@ def check_anomaly_restart(spark, work: str) -> dict:
     return {"got": rows, "want": want, "pass": rows == want}
 
 
+def check_session_multi_restart(spark, work: str) -> dict:
+    """r11 (VERDICT r10 item 5): REPEATED checkpoint recovery — four
+    phases = THREE stop/start cycles on ONE checkpoint, each phase a
+    new query object.  State must survive every boundary: phase 2's
+    merge (0,20,3) needs phase 1's open session; phase 4's merge
+    (120,130,2) needs the (120,120,1) session opened in phase 3 —
+    i.e. state written AFTER the second recovery must itself be
+    recoverable.  Exact emission accounting (append sink, no dedup):
+    (0,20,3) appears TWICE — once as phase 2's open-tail update, once
+    when phase 3's event 120 closes it (the documented supersede
+    semantics, session_stream docstring) — so a re-processed or lost
+    batch shows up as a count mismatch, not just a value one."""
+    from ema_bigdata_spark.streaming.stream_queries import (
+        session_stream,
+    )
+
+    root = f"{work}/session_multi_restart"
+    schema = "user_id BIGINT, ts_us BIGINT"
+    ckpt, out_dir = f"{root}/ckpt", f"{root}/out"
+    phases = [
+        [(1, 0 * MINUTE_US), (1, 10 * MINUTE_US)],
+        [(1, 20 * MINUTE_US)],
+        [(1, 120 * MINUTE_US)],
+        [(1, 130 * MINUTE_US)],
+    ]
+    for i, batch in enumerate(phases):
+        _write_batches(spark, f"{root}/in", schema, batch, start=i + 1)
+        _run_to_parquet(
+            spark,
+            session_stream(_read_batches(spark, f"{root}/in", schema)),
+            ckpt, out_dir,
+        )
+    rows = sorted(
+        (r.start_us // MINUTE_US, r.end_us // MINUTE_US, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = [(0, 10, 2), (0, 20, 3), (0, 20, 3),
+            (120, 120, 1), (120, 130, 2)]
+    return {"got": rows, "want": want, "n_restarts": 3,
+            "pass": rows == want}
+
+
+def check_anomaly_multi_restart(spark, work: str) -> dict:
+    """r11: three stop/start cycles for the anomaly core's
+    DECIMAL(38,0) priors.  Phase 1 seeds exactly ``_ANOM_MIN_N`` calm
+    rows (no emission); phase 2 (after restart 1) alerts on a 500.0
+    outlier with n_prior == _ANOM_MIN_N — restored state, since a
+    cold store reads n < min-n and stays silent; phase 3 (restart 2)
+    adds 8 calm rows, silent because the phase-2 outlier inflated the
+    running variance (which proves the outlier itself entered the
+    restored priors); phase 4 (restart 3) alerts on a 1000.0 outlier
+    with n_prior == _ANOM_MIN_N + 10 — the exact count of every row
+    from all three earlier phases, so ANY lost or duplicated batch
+    across ANY boundary changes the recorded n_prior."""
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _ANOM_MIN_N,
+        anomaly_stream,
+    )
+
+    root = f"{work}/anomaly_multi_restart"
+    schema = (
+        "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+        " value DOUBLE, vu BIGINT"
+    )
+    ckpt, out_dir = f"{root}/ckpt", f"{root}/out"
+    phases = [
+        [(1, i * 1_000_000, i, 10.0, 1000 + (i % 2))
+         for i in range(_ANOM_MIN_N)],
+        [(1, 100_000_000, 100, 500.0, 50_000),
+         (1, 101_000_000, 101, 10.0, 1000)],
+        [(1, (110 + i) * 1_000_000, 110 + i, 10.0, 1000 + (i % 2))
+         for i in range(8)],
+        [(1, 200_000_000, 200, 1000.0, 100_000),
+         (1, 201_000_000, 201, 10.0, 1000)],
+    ]
+    for i, batch in enumerate(phases):
+        _write_batches(spark, f"{root}/in", schema, batch, start=i + 1)
+        _run_to_parquet(
+            spark,
+            anomaly_stream(_read_batches(spark, f"{root}/in", schema)),
+            ckpt, out_dir,
+        )
+    rows = sorted(
+        (r.event_id, r.value, r.n_prior)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = [(100, 500.0, _ANOM_MIN_N), (200, 1000.0, _ANOM_MIN_N + 10)]
+    return {"got": rows, "want": want, "n_restarts": 3,
+            "pass": rows == want}
+
+
 def check_rate_soak(spark, work: str, seconds: int | None = None) -> dict:
     """r9 (VERDICT r8 item 7): a wall-clock soak of the two
     ``applyInPandasWithState`` cores on the RATE source — the one
@@ -548,6 +639,8 @@ def main() -> None:
         "tumbling_late_drop": check_tumbling_late_drop,
         "session_restart": check_session_restart,
         "anomaly_restart": check_anomaly_restart,
+        "session_multi_restart": check_session_multi_restart,
+        "anomaly_multi_restart": check_anomaly_multi_restart,
     }
     if int(os.environ.get("STREAM_SOAK_SECONDS", "0")) > 0:
         checks["rate_soak"] = check_rate_soak
@@ -561,7 +654,9 @@ def main() -> None:
     payload = {
         "harness": "tools/streaming_evidence.py",
         "batches_per_check": {
-            name: 3 if name == "tumbling_late_drop" else 2
+            # multi_restart checks: 4 single-batch phases, 3 restarts
+            name: (4 if name.endswith("multi_restart")
+                   else 3 if name == "tumbling_late_drop" else 2)
             for name in checks  # restart checks: 2 batches, 1 restart
         },
         "all_pass": all(r["pass"] for r in results.values()),
