@@ -475,6 +475,78 @@ def check_anomaly_multi_restart(spark, work: str) -> dict:
             "pass": rows == want}
 
 
+def check_anomaly_volume_restart(spark, work: str) -> dict:
+    """r11: the multi-restart proof at VOLUME — 500 keys × 201 calm
+    rows spread over three phases (= three stop/start cycles on one
+    checkpoint), then a fourth phase with exactly one outlier per
+    key.  Every key must alert exactly once with n_prior == 201, the
+    exact count of its rows across all prior phases — so a state
+    store that loses, duplicates, or cross-wires ANY key's state
+    during ANY recovery shifts some key's n_prior or alert count.
+    This is the exact-accounting complement to the rate soak (which
+    checks liveness/state size under load but can't do per-key exact
+    emission accounting on a nondeterministic source).
+
+    Calm rows alternate vu=1000/1001 per key: the detector's
+    integer-exact condition reads LHS=m² vs RHS=9m² for that
+    sequence, so no calm row can alert regardless of count, while the
+    vu=100000 probe exceeds it by ~6 orders (the same arithmetic the
+    micro check hard-codes)."""
+    from ema_bigdata_spark.streaming.stream_queries import (
+        _ANOM_MIN_N,
+        anomaly_stream,
+    )
+
+    n_keys, rows_per_phase = 500, 67
+    root = f"{work}/anomaly_volume_restart"
+    schema = (
+        "user_id BIGINT, ts_us BIGINT, event_id BIGINT,"
+        " value DOUBLE, vu BIGINT"
+    )
+    ckpt, out_dir = f"{root}/ckpt", f"{root}/out"
+    assert 3 * rows_per_phase > _ANOM_MIN_N
+    ts = 0
+    phases = []
+    for _ in range(3):
+        batch = []
+        for i in range(rows_per_phase):
+            for k in range(n_keys):
+                ts += 1
+                batch.append(
+                    (k, ts * 1_000, ts, 10.0, 1000 + (i % 2))
+                )
+        phases.append(batch)
+    probe = []
+    for k in range(n_keys):
+        ts += 1
+        probe.append((k, ts * 1_000, 10_000_000 + k, 1000.0, 100_000))
+    phases.append(probe)
+    for i, batch in enumerate(phases):
+        _write_batches(spark, f"{root}/in", schema, batch, start=i + 1)
+        _run_to_parquet(
+            spark,
+            anomaly_stream(_read_batches(spark, f"{root}/in", schema)),
+            ckpt, out_dir,
+        )
+    rows = sorted(
+        (r.user_id, r.event_id, r.value, r.n_prior)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = [(k, 10_000_000 + k, 1000.0, 3 * rows_per_phase)
+            for k in range(n_keys)]
+    return {
+        "n_keys": n_keys,
+        "rows_ingested": 3 * rows_per_phase * n_keys + n_keys,
+        "n_restarts": 3,
+        "n_alerts": len(rows),
+        "mismatches": [
+            {"got": g, "want": w}
+            for g, w in zip(rows, want) if g != w
+        ][:5] if rows != want else [],
+        "pass": rows == want,
+    }
+
+
 def check_rate_soak(spark, work: str, seconds: int | None = None) -> dict:
     """r9 (VERDICT r8 item 7): a wall-clock soak of the two
     ``applyInPandasWithState`` cores on the RATE source — the one
@@ -641,6 +713,7 @@ def main() -> None:
         "anomaly_restart": check_anomaly_restart,
         "session_multi_restart": check_session_multi_restart,
         "anomaly_multi_restart": check_anomaly_multi_restart,
+        "anomaly_volume_restart": check_anomaly_volume_restart,
     }
     if int(os.environ.get("STREAM_SOAK_SECONDS", "0")) > 0:
         checks["rate_soak"] = check_rate_soak
@@ -654,8 +727,8 @@ def main() -> None:
     payload = {
         "harness": "tools/streaming_evidence.py",
         "batches_per_check": {
-            # multi_restart checks: 4 single-batch phases, 3 restarts
-            name: (4 if name.endswith("multi_restart")
+            # multi/volume_restart checks: 4 phases, 3 restarts
+            name: (4 if name.endswith(("multi_restart", "volume_restart"))
                    else 3 if name == "tumbling_late_drop" else 2)
             for name in checks  # restart checks: 2 batches, 1 restart
         },
