@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-11 verification priority.  The external driver records a
+#: Round-12 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
 #: Rotation rule (steady state since r3): never-checked first, then
 #: red rows / changed-this-round, then stalest-official-row (an old
@@ -45,52 +45,53 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (VERDICT r9 item 7, enforced by ``tools/check_freshness.py``): at
 #: round close, no query's latest official row may predate N-3.
 #:
-#: This window (r11) is pure ledger rotation — the surface is
-#: feature-complete (VERDICT r10: 151/151, 50/50 green) and r11 made
-#: no behavior changes to these names except dropping the no-op
-#: global orderBy from the four q_mm_* decode queries (VERDICT r10
-#: item 3; the driver hash is order-insensitive, and q_mm_frames /
-#: q_multimodal_join are in this window to certify it officially;
-#: the other three q_mm_* rows are r10-fresh and hit the r13 edge):
+#: This window (r12) is pure ledger rotation — the surface is
+#: feature-complete (VERDICT r11: 151/151, 50/50 green, 151/151 in
+#: the judge's own full sim on r11 code):
 #:
-#: (1) the SIXTEEN owed r7-era rows the r10 registry docstring
-#:     enumerated — they hit the N-3 edge this round, so they head
-#:     the window: q_join_inner, q_join_semi, q_mm_frames,
-#:     q_mstep_var_fixed, q_multimodal_join, q_ngram_jaccard,
-#:     q_pii_scrub, q_pricing_summary, q_rollup, q_sql_exists,
-#:     q_sql_scalar_subquery, q_sql_tpch_q3, q_sql_tpch_q5,
-#:     q_string_funcs, q_topk_ngrams, q_weighted_sample.
+#: (1) s_stream_tumbling — the single owed r8 row (N-3 edge this
+#:     round; VERDICT r11 item 1).  Unchanged since r8; green in
+#:     every full driver sim since.
 #:
-#: (2) THIRTY-FOUR of the 35 remaining r8 rows (alphabetical) —
-#:     they hit the N-3 edge at r12, so refreshing them now leaves
-#:     r12 owing only one name.
+#: (2) q_mm_features, q_mm_png, q_mm_histogram — their latest
+#:     official rows are r10, PRE the r11 orderBy-removal plan
+#:     change (VERDICT r11 watch item / item 2: an old green row
+#:     doesn't certify refactored code, even a provably
+#:     hash-neutral refactor).
 #:
-#: OWED r12 (the single r8 row that did not fit; it hits the N-3
-#: edge next round, so it MUST head the r12 window):
-#: s_stream_tumbling.  Unchanged since r8; green in every full
+#: (3) FORTY-SIX of the 50 remaining r9 rows (alphabetical) —
+#:     they hit the N-3 edge at r13, so refreshing them now leaves
+#:     r13 owing only four names.
+#:
+#: OWED r13 (the four r9 rows that did not fit; they hit the N-3
+#: edge next round, so they MUST head the r13 window):
+#: s_stream_dedup, s_stream_join, s_stream_static_join,
+#: s_stream_upsert.  All unchanged since r9; green in every full
 #: driver sim since.
 #:
-#: (The full r9/r10 window rationales live in git history and
-#: ROUND9_NOTES.md / ROUND10_NOTES.md.)
+#: (The full r9/r10/r11 window rationales live in git history and
+#: ROUND9_NOTES.md / ROUND10_NOTES.md / ROUND11_NOTES.md.)
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — (1) the 16 owed r7-era rows (N-3 edge this round) —
-    "q_join_inner", "q_join_semi", "q_mm_frames", "q_mstep_var_fixed",
-    "q_multimodal_join", "q_ngram_jaccard", "q_pii_scrub",
-    "q_pricing_summary", "q_rollup", "q_sql_exists",
-    "q_sql_scalar_subquery", "q_sql_tpch_q3", "q_sql_tpch_q5",
-    "q_string_funcs", "q_topk_ngrams", "q_weighted_sample",
-    # — (2) 34 of the 35 r8 rows (alphabetical; r12 edge) —
-    "q_ab_ttest", "q_dedup_cluster", "q_dedup_keep_best",
-    "q_dedup_minhash", "q_dedup_simhash", "q_embed_norm",
-    "q_events_hourly", "q_filter_project", "q_gamma_fixed",
-    "q_intersect", "q_join_cross", "q_join_left", "q_join_salted",
-    "q_json_extract", "q_loglik_fixed", "q_mean",
-    "q_minhash_jaccard_est", "q_mstep_mean_fixed",
-    "q_mstep_weight_fixed", "q_percentiles", "q_pivot",
-    "q_scan_count", "q_sessionize", "q_sort_limit",
-    "q_sql_tpch_q18", "q_sql_tpch_q2", "q_union", "q_unpivot",
-    "q_variance_pop", "q_window_range_frame", "q_winsorize",
-    "s_stream_session", "s_stream_sliding", "s_stream_topk",
+    # — (1) the single owed r8 row (N-3 edge this round) —
+    "s_stream_tumbling",
+    # — (2) the three mm rows whose plan changed r11 after their
+    #   latest official (r10) rows —
+    "q_mm_features", "q_mm_png", "q_mm_histogram",
+    # — (3) 46 of the 50 r9 rows (alphabetical; r13 edge) —
+    "q_ann_lsh", "q_ann_pq", "q_approx_distinct", "q_approx_quantiles",
+    "q_bigram_lm", "q_bpe_pairs", "q_case_null", "q_cdc_merge",
+    "q_date_funcs", "q_dedup_exact", "q_dedup_fuzzy",
+    "q_doc_fingerprint", "q_embed_covariance", "q_embed_dup",
+    "q_event_transitions", "q_filter_report", "q_gapfill",
+    "q_math_funcs", "q_normalize_text", "q_outlier_mad",
+    "q_profile_table", "q_quality_score", "q_rag_chunk",
+    "q_repetition_score", "q_similarity_batch", "q_similarity_topk",
+    "q_source_mix", "q_sql_tpch_q13", "q_sql_tpch_q15",
+    "q_sql_tpch_q16", "q_sql_tpch_q19", "q_sql_tpch_q21",
+    "q_sql_tpch_q22", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9",
+    "q_stratified_sample", "q_text_tokens", "q_tfidf", "q_token_count",
+    "q_token_histogram", "q_value_outliers", "q_window_lag",
+    "q_window_rank", "q_zorder_layout", "s_stream_anomaly",
 )
 
 #: The round whose window is staged above.  ``tools/check_freshness.py``
@@ -98,7 +99,7 @@ _CHECK_WINDOW: tuple[str, ...] = (
 #: recorded CORRECTNESS files, so committing round N's artifact does not
 #: flip the tripwire before the N+1 window is actually staged
 #: (ADVICE r10, tools/check_freshness.py:54).
-_CHECK_WINDOW_ROUND = 11
+_CHECK_WINDOW_ROUND = 12
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md
 #: still directs readers here; keep it resolving

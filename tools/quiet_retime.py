@@ -61,9 +61,21 @@ def main() -> int:
     ).mode("overwrite").save()
     bench._calibrate(spark)
 
-    with open(os.path.join(REPO, "BASELINE_LOCAL.json")) as f:
-        base = json.load(f)
-    base_q, calib_pin = base["queries"], base["calibration_sec"]
+    # mirror tools/retime.py:70-77 — a missing or malformed
+    # BASELINE_LOCAL.json must not crash the hunter (ADVICE r11)
+    try:
+        with open(os.path.join(REPO, "BASELINE_LOCAL.json")) as f:
+            base = json.load(f)
+        base_q, calib_pin = base.get("queries", {}), base.get(
+            "calibration_sec"
+        )
+    except (OSError, ValueError):
+        base_q, calib_pin = {}, None
+    if not calib_pin:
+        raise SystemExit(
+            "BASELINE_LOCAL.json missing or has no calibration_sec: the "
+            "quiet gate needs a calibration pin to compare against"
+        )
 
     def probe() -> float:
         return round(bench._calibrate(spark) / calib_pin, 3)

@@ -17,9 +17,11 @@ Usage: python tools/sf1_surface_probe.py [out.json] [sf1_dir]
 
 Driver heap note: the default 1g local driver OOMs at sf1 (the
 UnsafeExternalSorter spill-read path during q_ngram_jaccard's shingle
-aggregate); run under PYSPARK_SUBMIT_ARGS='--driver-memory 48g
-pyspark-shell' — a resource config, not a plan property (executors on
-a real cluster size their own heaps).
+aggregate), so this tool now defaults spark.driver.memory to 48g
+(override with SPARK_GRAFT_DRIVER_MEM, or set PYSPARK_SUBMIT_ARGS
+with an explicit --driver-memory to bypass the default entirely) — a
+resource config, not a plan property (executors on a real cluster
+size their own heaps).
 """
 
 from __future__ import annotations
@@ -46,15 +48,23 @@ def main() -> int:
     import bench_scaling as bs
     from ema_bigdata_spark import registry
 
-    spark = (
+    builder = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # Default the driver heap (see module docstring): the 1g local
+    # default OOMs at sf1.  Skipped when PYSPARK_SUBMIT_ARGS already
+    # sets driver memory, so explicit invocations still win.
+    if "driver-memory" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     names = sorted(registry.QUERIES)

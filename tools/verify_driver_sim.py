@@ -14,12 +14,22 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 import duckdb
 from pyspark.sql import SparkSession
 
-spark = (
+builder = (
     SparkSession.builder.master(f"local[{os.environ.get('PAR_CPUS', '8')}]")
     .config("spark.sql.session.timeZone", "America/New_York")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+# Default a roomy driver heap: the default 1g local driver OOMs at sf1
+# in the UnsafeExternalSorter spill-read path (ROUND11_NOTES §5 /
+# VERDICT r11 item 3).  Resource config, not a plan property — and
+# only applied when the JVM isn't already configured via
+# PYSPARK_SUBMIT_ARGS, so explicit invocations still win.
+if "driver-memory" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
