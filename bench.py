@@ -322,6 +322,39 @@ def main() -> None:
         lambda: _force(ngram_jaccard_pairs(boilerplate_corpus(spark, 2_000))),
     ))
 
+    # hot-key sessionization at REALISTIC skew (VERDICT r11 item 6b):
+    # the day-bucket sessionizer's 0.48-exponent claim lives in the
+    # zipfian scaling probes (bench_scaling.skew_scaling); this entry
+    # pins its per-sweep COST so a regression in the sub-partitioned
+    # plan (the stitch join losing its broadcast, the summary branch
+    # growing a third scan) shows against a pin immediately.  1 M
+    # events, one tenant owning 10% (the documented skew threshold
+    # where day_bucket beats the global form), generated inline with
+    # the same xxhash64 recipe as the scaling fixture.
+    from ema_bigdata_spark.operators.windows import sessionize
+
+    def sess_day_bucket():
+        u = SF.pmod(SF.xxhash64("id"), SF.lit(10_000))
+        ev = spark.range(0, 1_000_000, 1, 32).select(
+            SF.col("id").alias("event_id"),
+            SF.expr(
+                "timestampadd(SECOND, CAST(id % 2592000 AS INT),"
+                " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("ts"),
+            SF.when(u < 1_000, SF.lit(0))
+            .when(u < 2_800, (u % 9) + 1)
+            .otherwise((u % 1_490) + 10)
+            .cast("long")
+            .alias("user_id"),
+        )
+        _force(
+            sessionize(ev, day_bucket=True).select(
+                "event_id", "user_id", "session_id"
+            )
+        )
+
+    worklist.append(("sessionize_day_bucket_zipf_1M", sess_day_bucket))
+
     # ---- segmented, gated sweep (r8, VERDICT r7 item 2): the r5/r6/r7
     # official records were each poisoned by mid-sweep co-tenant bursts
     # that the ENTRY gate cannot see.  The sweep now runs in segments
