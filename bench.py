@@ -83,6 +83,126 @@ def _calibrate(spark) -> float:
 CALIB_POISON_MAX = 1.15
 
 
+def bench_fixtures(spark) -> list[tuple[str, object]]:
+    """The bench-only measurement fixtures, as (name, thunk) pairs in
+    worklist order.  Shared with ``tools/retime.py`` so fixtures are
+    retimeable by name outside a full sweep (r12: the retime tool's
+    docstring promised this since r9 but only resolved registry
+    names)."""
+    from pyspark.sql import functions as SF
+
+    # flagship iterative op at fixed iteration count
+    from ema_bigdata_spark.gmm import gmm_fit
+    from ema_bigdata_spark.sources.tables import load_table
+
+    out: list[tuple[str, object]] = [(
+        "gmm_fit_10iter",
+        lambda: gmm_fit(
+            load_table(spark, SF_DIR, "events"),
+            "value",
+            k=3,
+            tol=0.0,
+            max_iter=10,
+        ),
+    )]
+
+    # wide-domain EM fallback at REALISTIC width (VERDICT r3 §Next-6):
+    # the monkeypatched equivalence test proves _distributed_em's math
+    # at toy size; this entry pins its per-iteration COST on a
+    # generated 2 M-distinct-value histogram (events.value at sf0.1 has
+    # ~60 k bins — far under MAX_DRIVER_BINS — so the distributed path
+    # never runs on testdata).  4 M rows → 2 M bins in [0, 400],
+    # deterministic via xxhash64, k=3, fixed 3 iterations; the reported
+    # number covers histogram build + init + 3 cluster aggregations.
+    from ema_bigdata_spark.gmm import MAX_DRIVER_BINS, gmm_fit_hist
+    from ema_bigdata_spark.gmm import value_histogram
+
+    def wide_em():
+        wide = spark.range(0, 4_000_000, 1, 32).select(
+            (
+                SF.pmod(SF.xxhash64("id"), SF.lit(2_000_000)).cast("double")
+                / 5000.0
+            ).alias("value")
+        )
+        hist = value_histogram(wide, "value")
+        model = gmm_fit_hist(hist, k=3, tol=0.0, max_iter=3)
+        assert model.n_iter == 3 and len(model.lnp_trace) == 3
+
+    # sanity: the fixture genuinely exceeds the driver cutover
+    assert 2_000_000 > MAX_DRIVER_BINS
+    out.append(("gmm_fit_distributed_3iter_2Mbins", wide_em))
+
+    # distributed connected-components at REALISTIC width (VERDICT r4
+    # §Next-4), same pattern as the wide-EM fixture: testdata pair
+    # sets stay far under _CC_DRIVER_MAX, so the label-propagation
+    # path never shows up in the sweep otherwise.  510 k chain edges
+    # (102 k diameter-5 components) flip the gate naturally; the
+    # number covers the bounded probe collect + 5 propagation rounds
+    # + 2 lineage checkpoints + convergence detection.
+    from ema_bigdata_spark.operators.dedup import (
+        _CC_DRIVER_MAX,
+        chain_edges,
+        connected_components,
+    )
+
+    def cc_distributed():
+        labels = connected_components(chain_edges(spark))
+        _force(labels)
+
+    assert 510_000 > _CC_DRIVER_MAX
+    out.append(("dedup_cluster_distributed_510k_edges", cc_distributed))
+
+    # hot-shingle skew fixture (VERDICT r4 §Next-8): 2 000 docs all
+    # sharing one boilerplate sentence.  Uncapped, the shingle
+    # self-join emits ~2 M always-over-threshold pairs; with the
+    # _BUCKET_CAP stop-shingle rule the sweep time stays at the
+    # unique-content level.  A regression that loses the cap makes
+    # this entry blow past its pin immediately.
+    from ema_bigdata_spark.operators.dedup import (
+        boilerplate_corpus,
+        ngram_jaccard_pairs,
+    )
+
+    out.append((
+        "ngram_jaccard_skew_2k_boilerplate",
+        lambda: _force(ngram_jaccard_pairs(boilerplate_corpus(spark, 2_000))),
+    ))
+
+    # hot-key sessionization at REALISTIC skew (VERDICT r11 item 6b):
+    # the day-bucket sessionizer's 0.48-exponent claim lives in the
+    # zipfian scaling probes (bench_scaling.skew_scaling); this entry
+    # pins its per-sweep COST so a regression in the sub-partitioned
+    # plan (the stitch join losing its broadcast, the summary branch
+    # growing a third scan) shows against a pin immediately.  1 M
+    # events, one tenant owning 10% (the documented skew threshold
+    # where day_bucket beats the global form), generated inline with
+    # the same xxhash64 recipe as the scaling fixture.
+    from ema_bigdata_spark.operators.windows import sessionize
+
+    def sess_day_bucket():
+        u = SF.pmod(SF.xxhash64("id"), SF.lit(10_000))
+        ev = spark.range(0, 1_000_000, 1, 32).select(
+            SF.col("id").alias("event_id"),
+            SF.expr(
+                "timestampadd(SECOND, CAST(id % 2592000 AS INT),"
+                " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("ts"),
+            SF.when(u < 1_000, SF.lit(0))
+            .when(u < 2_800, (u % 9) + 1)
+            .otherwise((u % 1_490) + 10)
+            .cast("long")
+            .alias("user_id"),
+        )
+        _force(
+            sessionize(ev, day_bucket=True).select(
+                "event_id", "user_id", "session_id"
+            )
+        )
+
+    out.append(("sessionize_day_bucket_zipf_1M", sess_day_bucket))
+    return out
+
+
 def entry_gave_up_hot(gate_ratios: list[float], gate_max: float) -> bool:
     """True when the pre-sweep gate exhausted its waits still hot —
     the sweep then ran under KNOWN load."""
@@ -229,8 +349,8 @@ def main() -> None:
         return round(min(ts), 3)
 
     # ---- the full measurement worklist: registry queries plus the
-    # bench-only fixtures below, one (name, thunk) list so the
-    # segmented gate treats every entry uniformly ----
+    # bench-only fixtures (bench_fixtures), one (name, thunk) list so
+    # the segmented gate treats every entry uniformly ----
     worklist: list[tuple[str, object]] = []
     for name in sorted(registry.QUERIES):
         if name in SKIP:
@@ -240,120 +360,7 @@ def main() -> None:
              (lambda fn: lambda: _force(fn(spark, SF_DIR)))(
                  registry.QUERIES[name]))
         )
-
-    # flagship iterative op at fixed iteration count
-    from ema_bigdata_spark.gmm import gmm_fit
-    from ema_bigdata_spark.sources.tables import load_table
-
-    worklist.append((
-        "gmm_fit_10iter",
-        lambda: gmm_fit(
-            load_table(spark, SF_DIR, "events"),
-            "value",
-            k=3,
-            tol=0.0,
-            max_iter=10,
-        ),
-    ))
-
-    # wide-domain EM fallback at REALISTIC width (VERDICT r3 §Next-6):
-    # the monkeypatched equivalence test proves _distributed_em's math
-    # at toy size; this entry pins its per-iteration COST on a
-    # generated 2 M-distinct-value histogram (events.value at sf0.1 has
-    # ~60 k bins — far under MAX_DRIVER_BINS — so the distributed path
-    # never runs on testdata).  4 M rows → 2 M bins in [0, 400],
-    # deterministic via xxhash64, k=3, fixed 3 iterations; the reported
-    # number covers histogram build + init + 3 cluster aggregations.
-    from pyspark.sql import functions as SF
-
-    from ema_bigdata_spark.gmm import MAX_DRIVER_BINS, gmm_fit_hist
-    from ema_bigdata_spark.gmm import value_histogram
-
-    def wide_em():
-        wide = spark.range(0, 4_000_000, 1, 32).select(
-            (
-                SF.pmod(SF.xxhash64("id"), SF.lit(2_000_000)).cast("double")
-                / 5000.0
-            ).alias("value")
-        )
-        hist = value_histogram(wide, "value")
-        model = gmm_fit_hist(hist, k=3, tol=0.0, max_iter=3)
-        assert model.n_iter == 3 and len(model.lnp_trace) == 3
-
-    # sanity: the fixture genuinely exceeds the driver cutover
-    assert 2_000_000 > MAX_DRIVER_BINS
-    worklist.append(("gmm_fit_distributed_3iter_2Mbins", wide_em))
-
-    # distributed connected-components at REALISTIC width (VERDICT r4
-    # §Next-4), same pattern as the wide-EM fixture: testdata pair
-    # sets stay far under _CC_DRIVER_MAX, so the label-propagation
-    # path never shows up in the sweep otherwise.  510 k chain edges
-    # (102 k diameter-5 components) flip the gate naturally; the
-    # number covers the bounded probe collect + 5 propagation rounds
-    # + 2 lineage checkpoints + convergence detection.
-    from ema_bigdata_spark.operators.dedup import (
-        _CC_DRIVER_MAX,
-        chain_edges,
-        connected_components,
-    )
-
-    def cc_distributed():
-        labels = connected_components(chain_edges(spark))
-        _force(labels)
-
-    assert 510_000 > _CC_DRIVER_MAX
-    worklist.append(
-        ("dedup_cluster_distributed_510k_edges", cc_distributed)
-    )
-
-    # hot-shingle skew fixture (VERDICT r4 §Next-8): 2 000 docs all
-    # sharing one boilerplate sentence.  Uncapped, the shingle
-    # self-join emits ~2 M always-over-threshold pairs; with the
-    # _BUCKET_CAP stop-shingle rule the sweep time stays at the
-    # unique-content level.  A regression that loses the cap makes
-    # this entry blow past its pin immediately.
-    from ema_bigdata_spark.operators.dedup import (
-        boilerplate_corpus,
-        ngram_jaccard_pairs,
-    )
-
-    worklist.append((
-        "ngram_jaccard_skew_2k_boilerplate",
-        lambda: _force(ngram_jaccard_pairs(boilerplate_corpus(spark, 2_000))),
-    ))
-
-    # hot-key sessionization at REALISTIC skew (VERDICT r11 item 6b):
-    # the day-bucket sessionizer's 0.48-exponent claim lives in the
-    # zipfian scaling probes (bench_scaling.skew_scaling); this entry
-    # pins its per-sweep COST so a regression in the sub-partitioned
-    # plan (the stitch join losing its broadcast, the summary branch
-    # growing a third scan) shows against a pin immediately.  1 M
-    # events, one tenant owning 10% (the documented skew threshold
-    # where day_bucket beats the global form), generated inline with
-    # the same xxhash64 recipe as the scaling fixture.
-    from ema_bigdata_spark.operators.windows import sessionize
-
-    def sess_day_bucket():
-        u = SF.pmod(SF.xxhash64("id"), SF.lit(10_000))
-        ev = spark.range(0, 1_000_000, 1, 32).select(
-            SF.col("id").alias("event_id"),
-            SF.expr(
-                "timestampadd(SECOND, CAST(id % 2592000 AS INT),"
-                " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
-            ).alias("ts"),
-            SF.when(u < 1_000, SF.lit(0))
-            .when(u < 2_800, (u % 9) + 1)
-            .otherwise((u % 1_490) + 10)
-            .cast("long")
-            .alias("user_id"),
-        )
-        _force(
-            sessionize(ev, day_bucket=True).select(
-                "event_id", "user_id", "session_id"
-            )
-        )
-
-    worklist.append(("sessionize_day_bucket_zipf_1M", sess_day_bucket))
+    worklist.extend(bench_fixtures(spark))
 
     # ---- segmented, gated sweep (r8, VERDICT r7 item 2): the r5/r6/r7
     # official records were each poisoned by mid-sweep co-tenant bursts

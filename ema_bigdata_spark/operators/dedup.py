@@ -275,10 +275,12 @@ def _minhash_signatures(
 )
 def q_dedup_minhash(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # sort only at the query boundary (stable declared output); the
-    # library function leaves pairs unordered so pipeline consumers
-    # (clustering, sketch-similarity) don't pay a global sort.
-    return minhash_pairs(docs).orderBy("doc_a", "doc_b")
+    # no trailing orderBy (r12 optimization, the r11 q_mm_* precedent):
+    # the driver hash is order-insensitive, and a global sort costs a
+    # rangepartitioning exchange PLUS a boundary-sampling pass that
+    # re-executes the whole signature pipeline (guide §2.4: an orderBy
+    # used only to make output deterministic is an accidental shuffle)
+    return minhash_pairs(docs)
 
 
 def minhash_pairs(
@@ -450,7 +452,9 @@ def _duck_simhash_sql() -> str:
 @query("q_dedup_simhash", oracle=_duck_simhash_sql())
 def q_dedup_simhash(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return simhash_pairs(docs).orderBy("doc_a", "doc_b")
+    # no trailing orderBy — see q_dedup_minhash (driver hash is
+    # order-free; the sort's sampling pass re-ran the signature folds)
+    return simhash_pairs(docs)
 
 
 def simhash_pairs(
@@ -771,7 +775,16 @@ _CC_DRIVER_MAX = 500_000
 
 
 def _components_driver(spark, edge_rows) -> DataFrame:
-    """Union-find with min-root labels over a collected edge list."""
+    """Union-find with min-root labels over a collected edge list —
+    a pyarrow Table (from ``edges.limit(...).toArrow()``) or any
+    iterable of rows with ``src``/``dst``."""
+    if hasattr(edge_rows, "num_rows"):  # pyarrow.Table
+        edge_iter = zip(
+            edge_rows.column("src").to_pylist(),
+            edge_rows.column("dst").to_pylist(),
+        )
+    else:
+        edge_iter = ((r.src, r.dst) for r in edge_rows)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -780,8 +793,8 @@ def _components_driver(spark, edge_rows) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edge_rows:
-        a, b = int(r.src), int(r.dst)
+    for ra_, rb_ in edge_iter:
+        a, b = int(ra_), int(rb_)
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -789,6 +802,20 @@ def _components_driver(spark, edge_rows) -> DataFrame:
             # union by min so the root IS the cluster label
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
+    nodes = sorted(parent)
+    if len(nodes) >= 10_000:
+        # ship the label table back through Arrow, not pickled tuples
+        # (guide §6: arrow.pyspark.enabled makes createDataFrame(pandas)
+        # orders faster than the row path) — at the 500 k-edge cutover
+        # this table is up to ~1 M rows
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+            ),
+            "doc_id BIGINT, cluster_id BIGINT",
+        )
     rows = [(n, find(n)) for n in sorted(parent)]
     return spark.createDataFrame(rows, "doc_id BIGINT, cluster_id BIGINT")
 
@@ -856,9 +883,13 @@ def connected_components(
     # ONE bounded collect decides the path AND feeds the driver
     # variant — a separate count probe would re-evaluate the whole
     # candidate-pair pipeline and could under-count a source that
-    # changes between jobs, unbounding the later collect.
-    probe = edges.limit(_CC_DRIVER_MAX + 1).collect()
-    if len(probe) <= _CC_DRIVER_MAX:
+    # changes between jobs, unbounding the later collect.  Collected
+    # as Arrow batches, not pickled Rows (r12 optimization, guide
+    # §4.1): at the 500 k-row cutover the Row path measured 2.0 s of
+    # pure serialization vs 0.06 s via toArrow — the probe is the
+    # distributed path's entry fee, so it must be cheap.
+    probe = edges.limit(_CC_DRIVER_MAX + 1).toArrow()
+    if probe.num_rows <= _CC_DRIVER_MAX:
         return _components_driver(pairs.sparkSession, probe)
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -951,7 +982,9 @@ def q_dedup_cluster(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = minhash_pairs(docs)
     comp = connected_components(pairs)
-    return comp.orderBy("doc_id").select("doc_id", "cluster_id")
+    # no trailing orderBy — see q_dedup_minhash (driver hash is
+    # order-free)
+    return comp.select("doc_id", "cluster_id")
 
 
 # -- q_dedup_keep_best: survivor selection per near-dup cluster -----------
@@ -1032,7 +1065,9 @@ def q_dedup_keep_best(spark, sf_dir):
     stop at pairs or cluster labels."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     comp = connected_components(minhash_pairs(docs))
-    return keep_best(docs, comp).orderBy("cluster_id")
+    # no trailing orderBy — see q_dedup_minhash (driver hash is
+    # order-free)
+    return keep_best(docs, comp)
 
 
 # -- q_minhash_jaccard_est: sketch-based similarity estimation ------------
@@ -1101,7 +1136,8 @@ def q_minhash_jaccard_est(spark, sf_dir):
             F.round(F.expr(agree), 6).alias("jaccard_est"),
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        # no trailing orderBy — see q_dedup_minhash (driver hash is
+        # order-free)
     )
 
 

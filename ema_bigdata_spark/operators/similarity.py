@@ -732,7 +732,9 @@ def q_embed_quantize(spark, sf_dir):
         # would differ by sign bit without it (r6 adversarial probe)
         (F.round(F.col("scale"), 6) + F.lit(0.0)).alias("scale"),
         (F.round(F.expr(err), 6) + F.lit(0.0)).alias("max_abs_err"),
-    ).orderBy("vec_id")
+    )  # no trailing orderBy (r12, the r11 q_mm_* precedent): the
+    # driver hash is order-free, and the sort's range-boundary
+    # sampling pass re-ran the Arrow quantization stage end to end
 
 
 # -- q_embed_centroid: per-label mean embedding (SQL-oracled) -------------

@@ -24,6 +24,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE sort-merge→shuffled-hash rewrite (guide §3.1; default 0 =
+    # off): when every post-shuffle partition of the build side is
+    # under this bound, the sort of both sides is skipped.  Bounded at
+    # the AQE advisory partition size (64 MiB default), so a rewritten
+    # partition's hash table is no larger than a normal post-AQE
+    # partition — the OOM guard is the threshold itself.  Local effect
+    # is small (SMJ queries: pagerank/cdc_merge/join_full measured
+    # ~3-10% min-side, within co-tenant noise — ROUND/OPTIMIZATION
+    # r12 notes); the motivation is the sort elimination on iterative
+    # joins at scale.  Env-overridable for cluster sizing.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)
+    ),
     # Guard for TIMESTAMP(NANOS) parquet columns, which Spark cannot
     # read natively: read them as long (ns since epoch); the loader
     # (tables.py) converts to TIMESTAMP_NTZ only when a column actually

@@ -809,3 +809,23 @@ def test_day_bucket_sessionize_plan_shape(spark, sf_dir):
         r"windowspecdefinition\(user_id#\d+L(, _day#\d+L)?,", plan
     )
     assert any(d for d in ev_windows), "no (user, day) windows found"
+
+
+def test_pair_queries_have_no_trailing_global_sort(spark, sf_dir):
+    """r12 optimization guard: the driver compare is an
+    order-insensitive multiset, so declared queries must not pay a
+    global sort (rangepartitioning exchange + a boundary-sampling pass
+    that re-executes the whole upstream pipeline) just to prettify
+    output order.  orderBy+limit top-k forms (TakeOrderedAndProject)
+    are unaffected — they never rangepartition."""
+    for name in (
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_dedup_cluster",
+        "q_dedup_keep_best",
+        "q_minhash_jaccard_est",
+        "q_embed_quantize",
+        "q_pagerank",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" not in plan, name

@@ -657,6 +657,45 @@ def test_connected_components_distributed_past_real_gate(spark):
     assert all(find(n) == n - n % 6 for n in parent)
 
 
+def test_components_driver_arrow_paths(spark):
+    """r12 optimization guard: the driver union-find's boundary
+    crossings are Arrow on both sides — a pyarrow-Table edge list in
+    (what ``connected_components``' toArrow probe hands it) and, above
+    the 10 k-node cutover, a pandas-backed createDataFrame out.  Both
+    must label identically to the plain row-list path."""
+    import pyarrow as pa
+
+    from ema_bigdata_spark.operators import dedup as dd
+
+    # chain of 30 000 nodes in groups of 3 → 10 000 components and
+    # 20 000 edges (> the 10 k-node pandas cutover)
+    edges = [(i, i + 1) for i in range(30_000) if (i + 1) % 3 != 0]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got_arrow = {
+        r.doc_id: r.cluster_id
+        for r in dd._components_driver(spark, tbl).collect()
+    }
+
+    class Row:
+        def __init__(self, a, b):
+            self.src, self.dst = a, b
+
+    got_rows = {
+        r.doc_id: r.cluster_id
+        for r in dd._components_driver(
+            spark, [Row(a, b) for a, b in edges]
+        ).collect()
+    }
+    want = {n: n - n % 3 for n in range(30_000)}
+    assert got_arrow == want
+    assert got_rows == want
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     """Sampled fraction per lang lands near the configured rate."""
     from ema_bigdata_spark.operators.text import _SAMPLE_RATES

@@ -82,12 +82,19 @@ def main() -> int:
         return round(bench._calibrate(spark) / calib_pin, 3)
 
     # resolve names: registry queries plus the bench-only fixtures
+    # (bench.bench_fixtures — r12: this resolution was promised by the
+    # docstring since r9 but never implemented; fixture thunks close
+    # over bench.SF_DIR, so retiming them honors --sf only when it
+    # matches that env-derived dir)
+    fixtures = dict(bench.bench_fixtures(spark))
     thunks = {}
     for name in args.names:
         if name in registry.QUERIES:
             thunks[name] = (
                 lambda fn: lambda: bench._force(fn(spark, sf_dir))
             )(registry.QUERIES[name])
+        elif name in fixtures:
+            thunks[name] = fixtures[name]
         else:
             raise SystemExit(f"unknown query: {name}")
 
