@@ -56,6 +56,10 @@ class TestBaselineConsistency:
             "gmm_fit_distributed_3iter_2Mbins",
             "dedup_cluster_distributed_510k_edges",
             "ngram_jaccard_skew_2k_boilerplate",
+            # r12: the zipfian day-bucket sessionize entry got its
+            # first pin from the r12 fold (added to bench.py by the
+            # r12 ledger session, pinned by the optimization round)
+            "sessionize_day_bucket_zipf_1M",
         }
         orphans = pins - registered - fixture_ok
         assert not orphans, f"pins with no registered query: {orphans}"
