@@ -32,6 +32,7 @@ not reproduce them).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,15 +142,20 @@ def _driver_em(vals, cnts, k: int, tol: float, max_iter: int) -> GMMModel:
     )
 
 
-def _init_params_hist(hist: DataFrame, k: int) -> tuple[list, list, list, int]:
+def _init_params_hist(
+    hist: DataFrame, k: int
+) -> tuple[list, list, list, int, int]:
     """Distributed-path init over the histogram; PARTITIONING-INDEPENDENT
     (exact frequency-weighted `percentile` over ×100 fixed-point integers
     and exact DECIMAL moment sums — approxQuantile's sketch merges and
-    var_pop's double sums both vary with partition count)."""
+    var_pop's double sums both vary with partition count).  Also returns
+    the bin count (free — same aggregate job), which sizes the
+    per-iteration limb-sum overflow guard (``_LIMB_MAX_BINS``)."""
     probs = ", ".join(str((j + 1) / (k + 1)) for j in range(k))
     xi = "CAST(round(_x * 100) AS BIGINT)"
     stats = hist.agg(
         F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("nbins"),
         F.sum(F.expr(f"CAST({xi} AS DECIMAL(38,0)) * cnt")).alias("s1"),
         F.sum(F.expr(f"CAST({xi} AS DECIMAL(38,0)) * {xi} * cnt")).alias(
             "s2"
@@ -160,20 +166,169 @@ def _init_params_hist(hist: DataFrame, k: int) -> tuple[list, list, list, int]:
     mean = float(stats.s1) / n / 100.0
     var = float(stats.s2) / n / 10000.0 - mean * mean
     means = [float(q) / 100.0 for q in stats.qs]
-    return [1.0 / k] * k, means, [var] * k, n
+    return [1.0 / k] * k, means, [var] * k, n, int(stats.nbins)
+
+
+#: exact-sum strategy for ``_distributed_em``'s per-iteration
+#: sufficient statistics.  The r12 A/B on the 1.73 M-bin fixture
+#: measured the DECIMAL(38,0) sums at 1.37-2.33 s/iteration vs
+#: 0.22-0.41 s for (order-dependent, hence forbidden) double sums — a
+#: ~6× exactness tax paid to Decimal128/BigDecimal per-row adds.  The
+#: limb path below keeps the EXACT SAME per-bin quantized integer
+#: (``round(term·1e12)`` as a double) but splits it into four int64
+#: limbs (31/31/31/top bits) with exact power-of-two double arithmetic
+#: — a double has 53 significant bits, so every floor/scale/subtract
+#: below is exact — sums each limb with plain codegen'd BIGINT adds,
+#: and recombines driver-side in Python's arbitrary-precision ints.
+#: Order-independent (integer sums), range-equivalent to DECIMAL(38,0)
+#: (4 limbs cover |d| < 2^126 ≈ 8.5e37), and bit-identical to the
+#: decimal path's result (equivalence-tested).  Limb-sum overflow is
+#: impossible while bins < 2^29 (top-limb |q3| < 2^33, Σ < 2^62); the
+#: bin count is known from the init aggregate, so wider histograms
+#: fall back to the decimal path instead of silently wrapping.
+#: ``SPARK_GRAFT_EM_DECIMAL=1`` forces the decimal path (A/B lever and
+#: the equivalence test's hook).
+_LIMB_SHIFTS = (93, 62, 31, 0)
+_LIMB_MAX_BINS = 1 << 29
+
+
+def _em_quantized_terms(resp: DataFrame, names: dict[str, str]) -> DataFrame:
+    """Shared exact quantizer of both sum paths: per-bin term →
+    ``(sg, a)`` with ``a = floor(|term|·1e12 + 0.5)`` and ``sg`` the
+    term's sign — i.e. round-half-up away from zero at 1e-12, the same
+    snap discipline as gmm_parity's ``_snap`` (r13: the previous
+    ``round()`` call routes every value through BigDecimal and
+    measured ~0.27 s/iteration on the 1.73 M-bin fixture; the
+    ``u − u % 1.0`` truncation below is plain double arithmetic and
+    EXACT — IEEE fmod never rounds, and trunc == floor on the
+    non-negative ``u``).  ``a`` stays a DOUBLE column: ``floor()``'s
+    BIGINT return would ANSI-overflow for terms beyond 2^63·1e-12,
+    which in-domain sufficient statistics legitimately exceed."""
+    t = resp.select(
+        *[F.expr(expr).alias(f"t_{n}") for n, expr in names.items()]
+    )
+    u = t.select(
+        *[
+            F.expr(f"CASE WHEN t_{n} < 0 THEN -1L ELSE 1L END").alias(
+                f"sg_{n}"
+            )
+            for n in names
+        ],
+        *[
+            F.expr(f"abs(t_{n}) * 1e12 + 0.5").alias(f"u_{n}")
+            for n in names
+        ],
+    )
+    return u.select(
+        *[F.col(f"sg_{n}") for n in names],
+        *[
+            F.expr(f"u_{n} - (u_{n} % 1.0)").alias(f"a_{n}")
+            for n in names
+        ],
+    )
+
+
+def _em_stats_decimal(resp: DataFrame, names: dict[str, str]) -> dict:
+    """DECIMAL(38,0) exact fixed-point sums (the pre-r13 form, kept as
+    the wide-histogram fallback and A/B hook): sum the quantized
+    per-bin integers as Decimal128 — associative, so the result is
+    identical under ANY partitioning."""
+    q = _em_quantized_terms(resp, names)
+    aggs = [
+        (
+            F.sum(
+                F.expr(
+                    f"CAST(CAST(sg_{n} AS DOUBLE) * a_{n}"
+                    f" AS DECIMAL(38,0))"
+                )
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias(n)
+        for n in names
+    ]
+    row = q.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars
+    return {n: float(row[n]) for n in names}
+
+
+def _em_stats_limb(resp: DataFrame, names: dict[str, str]) -> dict:
+    """Four-limb int64 exact sums (see ``_LIMB_SHIFTS`` note): the same
+    quantized per-bin integers as the decimal path, split into four
+    BIGINT limbs, summed with plain codegen'd adds, and recombined
+    exactly driver-side in Python's arbitrary-precision ints.
+
+    The decomposition runs on the NON-NEGATIVE ``a`` with the sign
+    applied to each finished limb: floor/mod of a non-negative double
+    by a power of two is exact (the remainder reuses a suffix of the
+    53 significand bits), whereas a floor-mod of a negative value
+    yields ``2^s − |d|``, which can need up to ``s`` significand bits
+    and silently rounds.  Each limb is computed FLAT from ``a``
+    (``a % 2^hi / 2^lo``) rather than by chained remainders — IEEE
+    fmod is always exact, and the chained form measured 2× slower
+    (every level re-inlines the whole upstream expression tree)."""
+    p93, p62, p31 = repr(2.0**93), repr(2.0**62), repr(2.0**31)
+    q = _em_quantized_terms(resp, names)
+    limbs = q.select(
+        *[
+            F.expr(f"sg_{n} * floor(a_{n} / {p93})").alias(f"q0_{n}")
+            for n in names
+        ],
+        *[
+            F.expr(
+                f"sg_{n} * floor((a_{n} % {p93}) / {p62})"
+            ).alias(f"q1_{n}")
+            for n in names
+        ],
+        *[
+            F.expr(
+                f"sg_{n} * floor((a_{n} % {p62}) / {p31})"
+            ).alias(f"q2_{n}")
+            for n in names
+        ],
+        *[
+            F.expr(f"sg_{n} * CAST(a_{n} % {p31} AS BIGINT)").alias(
+                f"q3_{n}"
+            )
+            for n in names
+        ],
+    )
+    row = limbs.agg(
+        *[
+            F.sum(f"q{i}_{n}").alias(f"s{i}_{n}")
+            for i in range(4)
+            for n in names
+        ]
+    ).collect()[0]  # ONE job; 4·(3K+2) int64 scalars
+    out = {}
+    for n in names:
+        total = sum(
+            int(row[f"s{i}_{n}"]) << s
+            for i, s in enumerate(_LIMB_SHIFTS)
+        )
+        out[n] = float(total) / 1e12
+    return out
 
 
 def _distributed_em(
-    hist: DataFrame, k: int, tol: float, max_iter: int
+    hist: DataFrame, k: int, tol: float, max_iter: int,
+    pre_cached: bool = False,
 ) -> GMMModel:
     """Scale fallback when the histogram exceeds ``MAX_DRIVER_BINS``:
     SURVEY §4.3's one-aggregation-per-iteration loop, frequency-weighted
-    over the cached histogram (bins ≪ N rows scanned per iteration)."""
+    over the cached histogram (bins ≪ N rows scanned per iteration).
+    ``pre_cached=True`` means the caller already holds a materialized
+    ``cache()`` of ``hist`` and owns its release (ADVICE r12: the old
+    form re-cached ``spread(hist)``, which when spread repartitions
+    creates a SECOND InMemoryRelation of the same histogram)."""
     from ema_bigdata_spark.sources.tables import spread
 
-    hist = spread(hist).cache()
+    if not pre_cached:
+        hist = spread(hist).cache()
     try:
-        phi, mu, s2, n = _init_params_hist(hist, k)
+        phi, mu, s2, n, nbins = _init_params_hist(hist, k)
+        use_decimal = (
+            nbins >= _LIMB_MAX_BINS
+            or os.environ.get("SPARK_GRAFT_EM_DECIMAL") == "1"
+        )
 
         lnp_prev = None
         trace: list[float] = []
@@ -203,35 +358,29 @@ def _distributed_em(
                     for j in range(k)
                 ],
             )
-            # Sufficient statistics as fixed-point DECIMAL(38,0) sums:
-            # double addition is order-dependent, so raw double sums
-            # vary with partition count.  Quantizing each per-bin term
-            # to 1e-12 and summing integers is associative — identical
-            # under ANY partitioning — and far below EM's statistical
-            # noise.
-            def fp(col):
-                return F.sum(
-                    F.expr(f"CAST(round(({col}) * 1e12) AS DECIMAL(38,0))")
-                ).cast("double") / F.lit(1e12)
-
-            aggs = []
+            # Sufficient statistics as exact fixed-point sums (per-bin
+            # term quantized to 1e-12, summed as integers — associative,
+            # hence identical under ANY partitioning; raw double sums
+            # are order-dependent).  The limb form is the fast path
+            # (plain int64 adds); the decimal form is the wide-histogram
+            # fallback and A/B hook (_LIMB_SHIFTS note).
+            stat_names = {}
             for j in range(k):
-                aggs += [
-                    fp(f"g{j} * _c").alias(f"n{j}"),
-                    fp(f"g{j} * _x * _c").alias(f"sx{j}"),
-                    fp(f"g{j} * _x * _x * _c").alias(f"sxx{j}"),
-                ]
-            aggs.append(fp("_lnp * _c").alias("lnp"))
-            row = resp.agg(*aggs).collect()[0]  # ONE job; 3K+2 scalars
+                stat_names[f"n{j}"] = f"g{j} * _c"
+                stat_names[f"sx{j}"] = f"g{j} * _x * _c"
+                stat_names[f"sxx{j}"] = f"g{j} * _x * _x * _c"
+            stat_names["lnp"] = "_lnp * _c"
+            stats_fn = _em_stats_decimal if use_decimal else _em_stats_limb
+            vals = stats_fn(resp, stat_names)
 
-            lnp = float(row.lnp)
+            lnp = vals["lnp"]
             trace.append(lnp)
             for j in range(k):
-                nj = float(row[f"n{j}"]) or 1e-300
+                nj = vals[f"n{j}"] or 1e-300
                 phi[j] = nj / n
-                mu[j] = float(row[f"sx{j}"]) / nj
+                mu[j] = vals[f"sx{j}"] / nj
                 s2[j] = max(
-                    float(row[f"sxx{j}"]) / nj - mu[j] * mu[j], 1e-12
+                    vals[f"sxx{j}"] / nj - mu[j] * mu[j], 1e-12
                 )
 
             if lnp_prev is not None and abs(lnp - lnp_prev) <= tol:
@@ -239,7 +388,8 @@ def _distributed_em(
                 break
             lnp_prev = lnp
     finally:
-        hist.unpersist()
+        if not pre_cached:
+            hist.unpersist()
     return GMMModel(phi, mu, s2, lnp_prev, it, trace)
 
 
@@ -312,9 +462,13 @@ def gmm_fit_hist(
         head = hist.limit(MAX_DRIVER_BINS + 1).toArrow()
     try:
         if _head_rows(head) > MAX_DRIVER_BINS:
-            # domain too wide: iterate on-cluster (_distributed_em's
-            # cache() resolves to this same entry; its unpersist and
-            # ours release the one materialization)
+            # domain too wide: iterate on-cluster over OUR cache entry
+            # (pre_cached=True — ADVICE r12: letting _distributed_em
+            # re-cache spread(hist) could hold the histogram twice)
+            if own_cache:
+                return _distributed_em(
+                    hist, k, tol, max_iter, pre_cached=True
+                )
             return _distributed_em(hist, k, tol, max_iter)
         import numpy as np
 

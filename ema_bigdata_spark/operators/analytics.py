@@ -290,17 +290,31 @@ def q_pagerank(spark, sf_dir):
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    e = edges.join(deg, "src").localCheckpoint()
-    # node table materialized ONCE and shared (r12 optimization, guide
-    # §2.4): |V| count and the rank seed both need distinct(src), and
-    # as two lazy plans the distinct's |E|-shuffle ran twice — once in
-    # the count job, again inside the first iteration's job
-    nodes = e.select("src").distinct().localCheckpoint()
+    # r13 (guide §2.4/§3.3 — pre-partition both sides by the node
+    # key): the r12 localCheckpoint dropped the edge table's output
+    # partitioning (probed: the ExistingRDD scan reports
+    # UnknownPartitioning even when explicitly repartitioned first),
+    # so EVERY iteration re-exchanged the full (src, dst, deg) table
+    # by src.  A materialized CACHE preserves its partitioning, so
+    # hash-repartitioning once by src makes each iteration's
+    # edges⋈ranks join exchange-free on the edge side (the ranks side
+    # is already hash(node) out of the previous groupBy) — the only
+    # per-iteration shuffle left is the contribution aggregate.  The
+    # node table derives from the cached edges without any exchange
+    # (distinct on the cache's own key).  Both caches are released
+    # before returning, with the final ranks localCheckpoint-ed first
+    # so the returned frame never recomputes the unpersisted lineage
+    # (and a bench rep can never reuse a prior rep's cache).
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.join(deg, "src").repartition(npart, "src").cache()
+    nodes = e.select("src").distinct().cache()
     n = nodes.count()
     if n == 0:
         # designed loud refusal (VERDICT r6 item 4): the teleport and
         # init scalars divide by |V| — an empty purchase graph has no
         # ranks, so refuse friendly instead of an ANSI DIVIDE_BY_ZERO
+        e.unpersist()
+        nodes.unpersist()
         raise ValueError(
             "q_pagerank: empty graph — no customer↔supplier purchase"
             " edges; PageRank is undefined on zero nodes"
@@ -313,9 +327,9 @@ def q_pagerank(spark, sf_dir):
         )
         .first()
     )
-    # seed ranks off the CHECKPOINTED node table (itself derived from
-    # the checkpointed edge table): the whole iteration loop then
-    # reads only materialized blocks — plan-tested
+    # seed ranks off the CACHED node table (itself derived from the
+    # cached, pre-partitioned edge table): the whole iteration loop
+    # then reads only materialized blocks — plan-tested
     ranks = nodes.select(
         F.col("src").alias("node"),
         F.lit(r0_u).cast("long").alias("r_u"),
@@ -330,6 +344,13 @@ def q_pagerank(spark, sf_dir):
             )
             .withColumnRenamed("dst", "node")
         )
+    # materialize the final integer ranks BEFORE releasing the caches:
+    # the returned frame must not lazily recompute through unpersisted
+    # entries (3 corpus scans), and must not let a later invocation
+    # silently reuse this one's cache
+    ranks = ranks.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
     return ranks.select(
         "node",
         # sign-robust odd test (ADVICE r9): truncated % yields -1 for

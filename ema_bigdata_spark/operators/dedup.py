@@ -816,7 +816,7 @@ def _components_driver(spark, edge_rows) -> DataFrame:
             ),
             "doc_id BIGINT, cluster_id BIGINT",
         )
-    rows = [(n, find(n)) for n in sorted(parent)]
+    rows = [(n, find(n)) for n in nodes]
     return spark.createDataFrame(rows, "doc_id BIGINT, cluster_id BIGINT")
 
 
@@ -855,12 +855,23 @@ def connected_components(
     union-find answers in one collect (measured 4× faster than the
     4-round distributed loop's job overhead).  Above it, distributed
     min-label propagation with POINTER DOUBLING (r8): each round every
-    node takes the minimum label among itself and its neighbors, then
-    jumps once through the label table (label ← label(label)), so the
-    distance a min label covers roughly doubles per round — O(log
-    diameter) rounds instead of O(diameter) (dup clusters are
-    near-cliques, so 2-3 rounds either way; deep chains are where the
-    doubling earns).  Convergence is detected by an exact-sum
+    node takes the minimum label among itself and its neighbors (the
+    self-inclusion rides a per-node SELF-LOOP in the edge cache — r13,
+    guide §2.4 — so the propagate is one join + one aggregate, not a
+    third per-round |V| shuffle join; round 1's seed labels are the
+    identity, so its propagate is a plain ``min(dst) GROUP BY src``
+    with no join at all), then jumps once through the label table
+    (label ← label(label)), so the distance a min label covers roughly
+    doubles per round — O(log diameter) rounds instead of O(diameter)
+    (dup clusters are near-cliques, so 2-3 rounds either way; deep
+    chains are where the doubling earns; a SECOND jump per round was
+    measured r13 and LOSES ~2.7× — the extra |V| shuffle join per
+    round costs more than the rounds it could save at these
+    diameters).  The edge cache is hash-partitioned by ``dst`` before
+    materialization (width = the session's shuffle-partition setting),
+    so every round's propagate join reuses the cached layout instead
+    of re-exchanging the full edge table — only the label side
+    shuffles per round.  Convergence is detected by an exact-sum
     fixpoint: per-node labels are monotonically non-increasing
     (``least`` of self and neighbors), so two consecutive rounds with
     equal DECIMAL(38,0) label sums mean NO node changed — one
@@ -868,7 +879,8 @@ def connected_components(
     labels⋈labels change probe.  Measured on the 612 k-node
     diameter-5 chain fixture (warm min-of-3, interleaved): r5 form
     11.31 s / 6 rounds → sum-fixpoint 8.83 s / 6 rounds → +doubling
-    7.91 s / 3 rounds.  Every 3rd round the label frame is
+    7.91 s / 3 rounds → r13 self-loop + round-1 + pre-partitioned
+    cache 5.3 s / 3 rounds.  Every 3rd round the label frame is
     checkpointed — caching alone truncates COMPUTE but not the PLAN,
     so an iterative self-join otherwise grows the lineage (and
     Catalyst re-analysis cost) per round and recompute cascades on
@@ -891,31 +903,52 @@ def connected_components(
     probe = edges.limit(_CC_DRIVER_MAX + 1).toArrow()
     if probe.num_rows <= _CC_DRIVER_MAX:
         return _components_driver(pairs.sparkSession, probe)
-    edges = edges.union(
+    # r13 shape changes (guide §2.4 — remove shuffles outright):
+    # (1) SELF-LOOPS: the symmetrized edge set is augmented with one
+    #     (x, x) loop per node, so the per-round propagation min
+    #     already includes the node's own label — the old
+    #     labels⋈neighbor_min LEFT JOIN (a full |V| shuffle join per
+    #     round) disappears; `min(self ∪ neighbors)` ≡
+    #     `least(own, min(neighbors))` exactly, and every node has a
+    #     self-loop so no row can drop out.
+    # (2) ROUND-1 SPECIALIZATION: the seed labels are the identity, so
+    #     round 1's propagate is `min(dst) GROUP BY src` straight off
+    #     the edge cache — no join at all.
+    # (3) PRE-PARTITIONED EDGE CACHE: the union's output partitioning
+    #     is unknown, so every round's propagate re-exchanged the full
+    #     edge table by dst; hash-repartitioning ONCE before the cache
+    #     (the cached partitioning is preserved — localCheckpoint's is
+    #     not, probed on this build) leaves only the |V|-sized label
+    #     side to shuffle per round.  Width follows the session's
+    #     shuffle-partition setting, not a local constant.
+    # Measured together on the 510 k-edge fixture: 7.0 → 5.3 s warm
+    # min-of-3, labels identical (analytic ground truth + oracle).
+    npart = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    nodes_df = sym.select("src").distinct()
+    edges = (
+        sym.union(nodes_df.select("src", F.col("src").alias("dst")))
+        .repartition(npart, "dst")
         .cache()
     )
+    labels = None
     prev_sum = None
     for it in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
-        )
+        if labels is None:
+            new_labels = edges.groupBy("src").agg(
+                F.min("dst").alias("cluster_id")
+            ).withColumnRenamed("src", "doc_id")
+        else:
+            new_labels = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .withColumnRenamed("src", "doc_id")
+            )
         # pointer doubling (docstring): every cluster_id IS some
         # node's doc_id, so one self-join jumps each label to that
         # node's (≤) label; left join + coalesce is belt-and-braces.
@@ -947,12 +980,17 @@ def connected_components(
                 F.sum(F.col("cluster_id").cast("decimal(38,0)"))
             ).collect()[0][0]
         ) or 0
-        labels.unpersist()
+        if labels is not None:
+            labels.unpersist()
         labels = new_labels
         if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
     edges.unpersist()
+    if labels is None:  # max_iter < 1: identity labeling, unpropagated
+        return nodes_df.select(
+            F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+        )
     return labels
 
 

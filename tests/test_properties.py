@@ -282,6 +282,41 @@ class TestGMM:
             < abs(driver.log_likelihood) * 0.01
         )
 
+    def test_distributed_em_limb_sums_match_decimal(
+        self, spark, monkeypatch
+    ):
+        """The r13 four-limb int64 sufficient-statistic sums must be
+        BIT-IDENTICAL to the DECIMAL(38,0) fixed-point sums they
+        replace: both quantize each per-bin term to the same integer
+        (``round(term·1e12)`` on the same double) and sum it exactly,
+        so every parameter and the whole lnp trace must agree to the
+        last bit — any divergence means the limb extraction lost a
+        bit and the partitioning-independence contract is broken."""
+        import numpy as np
+
+        from ema_bigdata_spark import gmm as gmm_mod
+
+        rng = np.random.default_rng(41)
+        xs = np.round(
+            np.concatenate(
+                [rng.normal(-3.0, 1.5, 2500), rng.normal(7.0, 0.8, 2500)]
+            ),
+            2,
+        )
+        df = spark.createDataFrame([(float(v),) for v in xs], "value DOUBLE")
+        monkeypatch.setattr(gmm_mod, "MAX_DRIVER_BINS", 4)
+
+        monkeypatch.setenv("SPARK_GRAFT_EM_DECIMAL", "1")
+        dec = gmm_mod.gmm_fit(df, "value", k=3, tol=0.0, max_iter=5)
+        monkeypatch.delenv("SPARK_GRAFT_EM_DECIMAL")
+        limb = gmm_mod.gmm_fit(df, "value", k=3, tol=0.0, max_iter=5)
+
+        assert dec.weights == limb.weights
+        assert dec.means == limb.means
+        assert dec.variances == limb.variances
+        assert dec.lnp_trace == limb.lnp_trace
+        assert dec.log_likelihood == limb.log_likelihood
+
     def test_matches_sparkml_loglik(self, spark, sf_dir):
         """Converged average log-likelihood within tolerance of
         pyspark.ml's GaussianMixture on the same data (different init,
