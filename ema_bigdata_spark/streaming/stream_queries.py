@@ -61,11 +61,33 @@ def _state_partitions(spark, n: int | None = None):
     checkpoint is created)."""
     n = n or int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # r13 (guide §1 — measured): after the data batch drains, Spark
+    # schedules one extra NO-DATA micro-batch purely to advance the
+    # watermark and evict state; it emits nothing for every query in
+    # this module (complete/update modes re-emit state, and the
+    # append-mode shapes — dropDuplicates, stream-stream inner join —
+    # emit on arrival, never on watermark advance), yet it re-pays
+    # query planning plus a state-store commit per partition per store
+    # (~0.9 s of s_stream_join's 2.8 s: 4 stores × 4 partitions).
+    # Disabled for these drains — A/B'd rows-identical across all nine
+    # queries, join 1.33× faster interleaved.  A deployment whose sink
+    # DOES emit on watermark advance (append-mode windowed aggregation)
+    # or that needs idle-time state eviction should leave the default
+    # on — which is why this rides the per-query context, not the
+    # session builder.  Env-overridable like the partition count.
+    nodata = os.environ.get("SPARK_GRAFT_STREAM_NODATA_BATCHES", "false")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", nodata)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
 
 def _configure_kafka(reader, table: str):
     """Apply the Kafka source configuration to a ``DataStreamReader``

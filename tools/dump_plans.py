@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump ``explain("formatted")`` for every registered query to
-``plans/r12/<name>_<label>.txt`` (guide §7.2: the optimization round's
+``plans/$SPARK_GRAFT_PLANS_DIR/<name>_<label>.txt`` (default r13) (guide §7.2: the optimization round's
 before/after plan evidence — the judge reads these files, not a live
 Spark UI).
 
@@ -43,7 +43,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
