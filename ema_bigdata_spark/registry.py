@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Round-12 verification priority.  The external driver records a
+#: Round-13 verification priority.  The external driver records a
 #: CORRECTNESS row for only the FIRST 50 names in ``queries()`` order.
 #: Rotation rule (steady state since r3): never-checked first, then
 #: red rows / changed-this-round, then stalest-official-row (an old
@@ -45,53 +45,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (VERDICT r9 item 7, enforced by ``tools/check_freshness.py``): at
 #: round close, no query's latest official row may predate N-3.
 #:
-#: This window (r12) is pure ledger rotation — the surface is
-#: feature-complete (VERDICT r11: 151/151, 50/50 green, 151/151 in
-#: the judge's own full sim on r11 code):
+#: This window (r13, optimization round 2):
 #:
-#: (1) s_stream_tumbling — the single owed r8 row (N-3 edge this
-#:     round; VERDICT r11 item 1).  Unchanged since r8; green in
-#:     every full driver sim since.
+#: (1) The four OWED r9 rows (N-3 edge this round; staged by the r12
+#:     registry docstring): s_stream_dedup, s_stream_join,
+#:     s_stream_static_join, s_stream_upsert.  Their execution also
+#:     changed this round (the no-data micro-batch is now skipped in
+#:     the drain context — stream_queries._state_partitions), so the
+#:     re-certification is doubly owed.
 #:
-#: (2) q_mm_features, q_mm_png, q_mm_histogram — their latest
-#:     official rows are r10, PRE the r11 orderBy-removal plan
-#:     change (VERDICT r11 watch item / item 2: an old green row
-#:     doesn't certify refactored code, even a provably
-#:     hash-neutral refactor).
+#: (2) The five remaining s_stream_* rows (r11/r12 rows, same
+#:     changed-this-round drain conf; A/B'd rows-identical in-repo,
+#:     but the driver-of-record should certify the new execution).
 #:
-#: (3) FORTY-SIX of the 50 remaining r9 rows (alphabetical) —
-#:     they hit the N-3 edge at r13, so refreshing them now leaves
-#:     r13 owing only four names.
+#: (3) The seven queries whose PLANS changed in r12 after their
+#:     latest official rows (VERDICT r12 item 1 / Next-round #2):
+#:     the six sort-removals + q_pagerank.  q_pagerank,
+#:     q_dedup_cluster and q_dedup_keep_best changed AGAIN this round
+#:     (pre-partitioned caches; self-loop CC), so their inclusion
+#:     certifies the r13 plans directly.
 #:
-#: OWED r13 (the four r9 rows that did not fit; they hit the N-3
-#: edge next round, so they MUST head the r13 window):
-#: s_stream_dedup, s_stream_join, s_stream_static_join,
-#: s_stream_upsert.  All unchanged since r9; green in every full
-#: driver sim since.
+#: (4) THIRTY-FOUR of the 45 remaining r10 rows (alphabetical) —
+#:     the rest of the stalest cohort.
 #:
-#: (The full r9/r10/r11 window rationales live in git history and
-#: ROUND9_NOTES.md / ROUND10_NOTES.md / ROUND11_NOTES.md.)
+#: OWED r14 (the eleven r10 rows that did not fit; they hit the N-3
+#: edge next round, so they MUST head the r14 window):
+#: q_skew_metrics, q_skyline, q_source_interleave, q_sql_tpch_q10,
+#: q_sql_tpch_q14, q_sql_tpch_q17, q_sql_tpch_q6, q_train_val_split,
+#: q_unigram_lm, q_window_frames, q_window_running.  All unchanged
+#: for multiple rounds; green in every full driver sim since r10.
+#:
+#: (The full r9-r12 window rationales live in git history and
+#: ROUND9_NOTES.md … ROUND12_NOTES.md.)
 _CHECK_WINDOW: tuple[str, ...] = (
-    # — (1) the single owed r8 row (N-3 edge this round) —
-    "s_stream_tumbling",
-    # — (2) the three mm rows whose plan changed r11 after their
-    #   latest official (r10) rows —
-    "q_mm_features", "q_mm_png", "q_mm_histogram",
-    # — (3) 46 of the 50 r9 rows (alphabetical; r13 edge) —
-    "q_ann_lsh", "q_ann_pq", "q_approx_distinct", "q_approx_quantiles",
-    "q_bigram_lm", "q_bpe_pairs", "q_case_null", "q_cdc_merge",
-    "q_date_funcs", "q_dedup_exact", "q_dedup_fuzzy",
-    "q_doc_fingerprint", "q_embed_covariance", "q_embed_dup",
-    "q_event_transitions", "q_filter_report", "q_gapfill",
-    "q_math_funcs", "q_normalize_text", "q_outlier_mad",
-    "q_profile_table", "q_quality_score", "q_rag_chunk",
-    "q_repetition_score", "q_similarity_batch", "q_similarity_topk",
-    "q_source_mix", "q_sql_tpch_q13", "q_sql_tpch_q15",
-    "q_sql_tpch_q16", "q_sql_tpch_q19", "q_sql_tpch_q21",
-    "q_sql_tpch_q22", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9",
-    "q_stratified_sample", "q_text_tokens", "q_tfidf", "q_token_count",
-    "q_token_histogram", "q_value_outliers", "q_window_lag",
-    "q_window_rank", "q_zorder_layout", "s_stream_anomaly",
+    # — (1) the four owed r9 stream rows (N-3 edge this round) —
+    "s_stream_dedup", "s_stream_join", "s_stream_static_join",
+    "s_stream_upsert",
+    # — (2) the rest of the stream family (drain conf changed r13) —
+    "s_stream_anomaly", "s_stream_session", "s_stream_sliding",
+    "s_stream_topk", "s_stream_tumbling",
+    # — (3) plans changed r12 (and three of them again r13) —
+    "q_pagerank", "q_dedup_cluster", "q_dedup_keep_best",
+    "q_dedup_minhash", "q_dedup_simhash", "q_minhash_jaccard_est",
+    "q_embed_quantize",
+    # — (4) 34 of the 45 remaining r10 rows (alphabetical) —
+    "gmm_fit", "q_agg_distinct", "q_ann_ivf", "q_bm25",
+    "q_char_entropy", "q_collect_agg", "q_compact_latest",
+    "q_contamination", "q_corpus_clean", "q_corr_stats", "q_cube",
+    "q_dedup_exact_hash", "q_dedup_incremental",
+    "q_dedup_incremental_near", "q_dup_spans", "q_embed_centroid",
+    "q_except", "q_funnel", "q_gmm_bic", "q_grouping_sets", "q_having",
+    "q_init_means", "q_join_anti", "q_join_asof", "q_join_broadcast",
+    "q_join_full", "q_join_range", "q_kmeans", "q_lang_id", "q_linreg",
+    "q_mix_weights", "q_pack_sequences", "q_retention", "q_semdedup",
 )
 
 #: The round whose window is staged above.  ``tools/check_freshness.py``
@@ -99,7 +105,7 @@ _CHECK_WINDOW: tuple[str, ...] = (
 #: recorded CORRECTNESS files, so committing round N's artifact does not
 #: flip the tripwire before the N+1 window is actually staged
 #: (ADVICE r10, tools/check_freshness.py:54).
-_CHECK_WINDOW_ROUND = 12
+_CHECK_WINDOW_ROUND = 13
 
 #: legacy name for the pre-r4 round-scoped constant — ROUND3_NOTES.md
 #: still directs readers here; keep it resolving

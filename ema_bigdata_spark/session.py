@@ -24,19 +24,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE sort-merge→shuffled-hash rewrite (guide §3.1; default 0 =
-    # off): when every post-shuffle partition of the build side is
-    # under this bound, the sort of both sides is skipped.  Bounded at
-    # the AQE advisory partition size (64 MiB default), so a rewritten
-    # partition's hash table is no larger than a normal post-AQE
-    # partition — the OOM guard is the threshold itself.  Local effect
-    # is small (SMJ queries: pagerank/cdc_merge/join_full measured
-    # ~3-10% min-side, within co-tenant noise — ROUND/OPTIMIZATION
-    # r12 notes); the motivation is the sort elimination on iterative
-    # joins at scale.  Env-overridable for cluster sizing.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
-        "SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)
-    ),
+    # (The AQE sort-merge→shuffled-hash threshold is set in ``tune()``,
+    # not here: its value must track the session's ACTUAL advisory
+    # partition size — Spark only applies the rewrite when the
+    # threshold is ≥ advisoryPartitionSizeInBytes, so a static 64 MiB
+    # would silently disable it on any deployment that raises the
+    # advisory size.  ADVICE r12.)
     # Guard for TIMESTAMP(NANOS) parquet columns, which Spark cannot
     # read natively: read them as long (ns since epoch); the loader
     # (tables.py) converts to TIMESTAMP_NTZ only when a column actually
@@ -68,6 +61,32 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build; loader re-asserts what it needs
+    # AQE sort-merge→shuffled-hash rewrite (guide §3.1; Spark default 0
+    # = off): when every post-shuffle partition of the build side is
+    # under the threshold, the sort of both sides is skipped.  The
+    # default DERIVES from the session's advisory partition size
+    # (Spark only applies the rewrite when threshold ≥ advisory size,
+    # and the advisory size is exactly the "one normal post-AQE
+    # partition" bound that makes the rewritten hash table OOM-safe).
+    # Evidence: interleaved min-of-3 A/B at sf1 (r13) on the five
+    # SMJ-shaped queries — q_join_full −8.8%, q_cdc_merge −10.8%,
+    # q_dedup_incremental_near −11.8%, q_pagerank −7.9%,
+    # q_sql_tpch_q2 flat (+2%, noise); the sf0.1 A/B was within noise
+    # (r12), the sf1 one is not.  Env-overridable for cluster sizing.
+    shj = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD")
+    if shj is None:
+        try:
+            shj = spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            )
+        except Exception:
+            shj = str(64 * 1024 * 1024)
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shj
+        )
+    except Exception:
+        pass
     return spark
 
 

@@ -2995,6 +2995,29 @@ class TestAnnPQ:
         again = [r["vec_id"] for r in ann_pq_topk(spark, sf_dir).collect()]
         assert got == again
 
+    def test_training_memo_is_per_process_and_deterministic(
+        self, spark, sf_dir
+    ):
+        """VERDICT r12 item 4 (pin-ledger pricing): ``_PQ_CACHE`` /
+        ``_IVF_CACHE`` memoize codebook/centroid TRAINING within one
+        process — a plain module dict, nothing persisted — so a cold
+        process always trains at least once, and a retrain from the
+        same parquet yields bit-identical codebooks (the memo can never
+        change a result, only skip recomputing it).  This pins both
+        halves: clear the memo → the next call re-trains (the key
+        reappears) and the retrained books equal the memoized ones."""
+        from ema_bigdata_spark.operators import similarity as S
+
+        books = S._pq_codebooks(spark, sf_dir)
+        assert sf_dir in S._PQ_CACHE
+        S._PQ_CACHE.pop(sf_dir)
+        retrained = S._pq_codebooks(spark, sf_dir)
+        assert sf_dir in S._PQ_CACHE  # trained again in this process
+        assert retrained == books  # bit-identical: memo is cost-only
+        cents = S._ivf_centroids(spark, sf_dir)
+        S._IVF_CACHE.pop(sf_dir)
+        assert S._ivf_centroids(spark, sf_dir) == cents
+
 
 class TestSkyline:
     def test_matches_quadratic_definition(self, spark, sf_dir):

@@ -94,6 +94,15 @@ def main() -> int:
                 lambda fn: lambda: bench._force(fn(spark, sf_dir))
             )(registry.QUERIES[name])
         elif name in fixtures:
+            if os.path.normpath(sf_dir) != os.path.normpath(bench.SF_DIR):
+                # ADVICE r12: fixture thunks close over bench.SF_DIR,
+                # so a mismatched --sf would silently measure the
+                # env-derived dir; refuse instead of mis-measuring
+                raise SystemExit(
+                    f"fixture {name} is bound to bench.SF_DIR="
+                    f"{bench.SF_DIR!r}; rerun with SPARK_GRAFT_SF_DIR="
+                    f"{sf_dir!r} in the environment instead of --sf"
+                )
             thunks[name] = fixtures[name]
         else:
             raise SystemExit(f"unknown query: {name}")
